@@ -1,0 +1,84 @@
+"""Index build pipeline: stats, manifest, resume, salting."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from whoosh_novo_ray.analysis import StandardAnalyzer
+from whoosh_novo_ray.index import Index, IndexConfig, build_index
+from whoosh_novo_ray.search import Searcher, Term
+
+
+def test_manifest_stats(built_index, pages_table):
+    ana = StandardAnalyzer()
+    texts = pages_table["text"].to_pylist()
+    total = sum(len(ana(t)) for t in texts)
+    assert built_index.doc_count == len(pages_table)
+    assert built_index.total_field_length == total
+    assert built_index.avg_field_length == total / len(pages_table)
+
+
+def test_term_lookup_matches_brute_force(built_index, pages_table):
+    ana = StandardAnalyzer()
+    texts = pages_table["text"].to_pylist()
+    ids = pages_table["doc_id"].to_numpy()
+    term = "search"
+    expect = [
+        (int(d), toks.count(term))
+        for d, toks in zip(ids, (ana(t) for t in texts))
+        if term in toks
+    ]
+    s = Searcher(built_index)
+    got_ids, got_tfs, _, _ = s.term_postings(term)
+    assert got_ids.tolist() == [d for d, _ in expect]
+    assert got_tfs.tolist() == [c for _, c in expect]
+
+
+def test_resume_skips_completed_buckets(ray_session, pages_table, tmp_path):
+    import ray.data
+
+    out = str(tmp_path / "idx")
+    docs = ray.data.from_arrow(pages_table.select(["doc_id", "text"]))
+    cfg = IndexConfig(num_buckets=4)
+    m1 = build_index(docs, out, cfg, lineage="L1")
+    # delete one bucket file; resume should rebuild only that bucket
+    victim = m1["buckets"][1]
+    os.remove(os.path.join(out, victim["path"]))
+    m2 = build_index(docs, out, cfg, lineage="L1", resume=True)
+    assert m2["doc_count"] == m1["doc_count"]
+    assert {b["bucket"] for b in m2["buckets"]} == {b["bucket"] for b in m1["buckets"]}
+    assert m2["n_postings"] == m1["n_postings"]
+    # full resume with nothing missing: no buckets rebuilt
+    m3 = build_index(docs, out, cfg, lineage="L1", resume=True)
+    assert m3["n_postings"] == m1["n_postings"]
+
+
+def test_salted_heavy_terms_equivalent(ray_session, pages_table, tmp_path):
+    """An index built with heavy-term salting returns identical postings."""
+    import ray.data
+
+    docs = ray.data.from_arrow(pages_table.select(["doc_id", "text"]))
+    plain_dir = str(tmp_path / "plain")
+    salted_dir = str(tmp_path / "salted")
+    build_index(docs, plain_dir, IndexConfig(num_buckets=4), lineage="L")
+    build_index(
+        docs,
+        salted_dir,
+        IndexConfig(
+            num_buckets=4, heavy_terms=("search", "the", "index"), salt_k=4, salt_shift=3
+        ),
+        lineage="L",
+    )
+    sp = Searcher(Index(plain_dir))
+    ss = Searcher(Index(salted_dir))
+    for t in ["search", "the", "index", "data"]:
+        a = sp.term_postings(t)
+        b = ss.term_postings(t)
+        assert a[0].tolist() == b[0].tolist(), t
+        assert a[1].tolist() == b[1].tolist(), t
+        assert a[2].tolist() == b[2].tolist(), t
+        ra = sp.search(Term(t), limit=10).to_pydict()
+        rb = ss.search(Term(t), limit=10).to_pydict()
+        assert ra == rb

@@ -1,0 +1,160 @@
+"""Analyzer chain: tokenize -> lowercase -> stop-filter, vectorized per batch.
+
+Reproduces the semantics of the reference engine's ``StandardAnalyzer``
+(de-odex/whoosh-novo ``src/whoosh/analysis/analyzers.py:190-217``):
+
+* tokenizer regex ``[\\w\\*]+(\\.?[\\w\\*]+)*``
+  (``src/whoosh/analysis/tokenizers.py:43``),
+* lowercase filter,
+* stop filter with the reference's 33-word English stop set
+  (``src/whoosh/analysis/filters.py:47-84``), ``minsize=2``, and position
+  renumbering after removal (``StopFilter(renumber=True)`` default).
+
+Unlike the reference (a per-token generator pipeline), everything here is
+batch-oriented: one call analyzes a whole Arrow/pandas batch of documents and
+returns flat numpy arrays, suitable for ``Dataset.map_batches``. Lowercasing
+before tokenization is equivalent to the reference's tokenize-then-lowercase
+because ``\\w`` matching is case-insensitive over the same character set.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+
+# The reference's default token pattern, with the capture group made
+# non-capturing so findall() returns whole matches.
+DEFAULT_PATTERN = r"[\w\*]+(?:\.?[\w\*]+)*"
+
+# Reference STOP_WORDS (src/whoosh/analysis/filters.py:47-84).
+STOP_WORDS = frozenset(
+    """a an and are as at be by can for from have if in is it may not of on
+    or tbd that the this to us we when will with yet you your""".split()
+)
+
+
+@dataclass(frozen=True)
+class AnalyzedBatch:
+    """Flat token stream for a batch of documents.
+
+    ``doc_idx`` indexes into the batch (NOT a global doc id); ``pos`` is the
+    token's position within its document after stop-word removal (renumbered,
+    matching StopFilter(renumber=True)); ``field_lengths`` is the per-document
+    token count after stop removal (= the scorable field length).
+    """
+
+    doc_idx: np.ndarray  # int64, one entry per surviving token
+    tokens: np.ndarray  # object (str)
+    pos: np.ndarray  # int32
+    field_lengths: np.ndarray  # int64, one entry per document in the batch
+
+
+@dataclass(frozen=True)
+class StandardAnalyzer:
+    """Vectorized equivalent of the reference StandardAnalyzer chain."""
+
+    pattern: str = DEFAULT_PATTERN
+    stoplist: frozenset | None = STOP_WORDS
+    minsize: int = 2
+    maxsize: int | None = None
+    _rx: re.Pattern = field(init=False, repr=False, compare=False, default=None)
+
+    def __post_init__(self):
+        object.__setattr__(self, "_rx", re.compile(self.pattern))
+
+    # -- single-document path (queries, tests) --------------------------------
+
+    def __call__(self, text: str) -> list[str]:
+        toks = self._rx.findall(text.lower())
+        if self.stoplist is None and self.minsize <= 1 and self.maxsize is None:
+            return toks
+        stops = self.stoplist or frozenset()
+        mx = self.maxsize
+        return [
+            t
+            for t in toks
+            if len(t) >= self.minsize and (mx is None or len(t) <= mx) and t not in stops
+        ]
+
+    # -- batch path (map_batches hot loop) ------------------------------------
+
+    def analyze_batch(self, texts: list[str]) -> AnalyzedBatch:
+        """Tokenize a batch of documents into one flat token stream."""
+        rx = self._rx
+        per_doc: list[list[str]] = [rx.findall(t.lower()) if t else [] for t in texts]
+        counts = np.fromiter((len(p) for p in per_doc), dtype=np.int64, count=len(per_doc))
+        n = int(counts.sum())
+        doc_idx = np.repeat(np.arange(len(per_doc), dtype=np.int64), counts)
+        tokens = np.empty(n, dtype=object)
+        i = 0
+        for p in per_doc:
+            tokens[i : i + len(p)] = p
+            i += len(p)
+
+        if n == 0:
+            empty = np.empty(0, dtype=np.int64)
+            return AnalyzedBatch(
+                empty, tokens, empty.astype(np.int32), np.zeros(len(texts), np.int64)
+            )
+
+        # original (pre-filter) position of each token within its doc
+        pre_start = np.flatnonzero(np.diff(doc_idx, prepend=-1))
+        pre_len = np.diff(np.append(pre_start, n))
+        orig_pos = np.arange(n) - np.repeat(pre_start, pre_len)
+
+        s = pd.Series(tokens)
+        keep = np.ones(n, dtype=bool)
+        if self.minsize > 1 or self.maxsize is not None:
+            tlen = s.str.len().to_numpy()
+            keep &= tlen >= self.minsize
+            if self.maxsize is not None:
+                keep &= tlen <= self.maxsize
+        if self.stoplist:
+            keep &= ~s.isin(self.stoplist).to_numpy()
+
+        doc_idx = doc_idx[keep]
+        tokens = tokens[keep]
+        orig_pos = orig_pos[keep]
+        field_lengths = np.bincount(doc_idx, minlength=len(texts)).astype(np.int64)
+
+        # Renumbered positions, matching the reference StopFilter(renumber=True)
+        # (src/whoosh/analysis/filters.py:422-447): the FIRST surviving token
+        # keeps its original position; later ones increment by 1 from there.
+        if len(doc_idx):
+            run_start = np.flatnonzero(np.diff(doc_idx, prepend=-1))
+            run_len = np.diff(np.append(run_start, len(doc_idx)))
+            base = np.repeat(orig_pos[run_start], run_len)
+            rel = np.arange(len(doc_idx)) - np.repeat(run_start, run_len)
+            pos = (base + rel).astype(np.int32)
+        else:
+            pos = np.empty(0, dtype=np.int32)
+
+        return AnalyzedBatch(doc_idx, tokens, pos, field_lengths)
+
+
+def simple_analyzer() -> StandardAnalyzer:
+    """Regex tokenize + lowercase, no stop filter (reference SimpleAnalyzer)."""
+    return StandardAnalyzer(stoplist=None, minsize=1)
+
+
+def ngram_tokens(text: str, minsize: int, maxsize: int | None = None) -> list[str]:
+    """Character n-grams of the raw (lowercased) text, reference NgramTokenizer
+    semantics (``src/whoosh/analysis/ngrams.py:42``): all grams of sizes
+    minsize..maxsize over the whole string."""
+    maxsize = maxsize or minsize
+    t = text.lower()
+    out = []
+    for size in range(minsize, maxsize + 1):
+        out.extend(t[i : i + size] for i in range(0, len(t) - size + 1))
+    return out
+
+
+def shingle_tokens(tokens: list[str], size: int = 2, sep: str = "-") -> list[str]:
+    """Adjacent-token shingles (reference ShingleFilter,
+    ``src/whoosh/analysis/intraword.py:181``)."""
+    if len(tokens) < size:
+        return []
+    return [sep.join(tokens[i : i + size]) for i in range(len(tokens) - size + 1)]

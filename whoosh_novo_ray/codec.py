@@ -1,0 +1,157 @@
+"""Posting-block codec: delta + varint doc ids, varint tfs, raw length bytes.
+
+Re-expresses the semantics of the reference's W3 posting blocks
+(de-odex/whoosh-novo ``src/whoosh/codec/whoosh3.py:675-902``: blocks of <=128
+postings, delta-encoded ids, per-block header carrying count / max id / max
+weight / min length for WAND-style block skipping) as numpy-vectorized
+encoders over flat posting arrays, so a whole hash-bucket of terms is encoded
+in one pass with no per-posting Python loop.
+
+Layout per term (columns of the segment Parquet, see index/build.py):
+  * three blobs — ``ids_blob`` (varint deltas, absolute at block starts),
+    ``tfs_blob`` (varint), ``lens_blob`` (raw uint8 length bytes) — kept
+    separate so a block decode is three slices, no interleave parsing;
+  * per-block metadata lists (count, max_id, max_weight, min_len_byte) +
+    byte offsets into the blobs = the skip table.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_U7 = np.uint64(7)
+_U7F = np.uint64(0x7F)
+
+
+def varint_encode(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized LEB128 encode. Returns (byte buffer uint8, nbytes per value)."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    n = len(v)
+    if n == 0:
+        return np.empty(0, np.uint8), np.empty(0, np.int64)
+    nb = np.ones(n, np.int64)
+    x = v >> _U7
+    while x.any():
+        nb += x > 0
+        x >>= _U7
+    ends = np.cumsum(nb)
+    starts = ends - nb
+    out = np.zeros(int(ends[-1]), np.uint8)
+    val = v.copy()
+    k = 0
+    active = np.ones(n, bool)
+    while True:
+        idx = starts[active] + k
+        chunk = val[active]
+        more = (k + 1) < nb[active]
+        out[idx] = (chunk & _U7F).astype(np.uint8) | (more.astype(np.uint8) << 7)
+        k += 1
+        active = nb > k
+        if not active.any():
+            break
+        val >>= _U7
+    return out, nb
+
+
+def varint_decode(buf, n: int) -> np.ndarray:
+    """Vectorized LEB128 decode of exactly ``n`` values from ``buf``."""
+    if n == 0:
+        return np.empty(0, np.uint64)
+    data = np.frombuffer(buf, np.uint8)
+    is_end = (data & 0x80) == 0
+    ends = np.flatnonzero(is_end)[:n]
+    starts = np.empty(n, np.int64)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    vals = np.zeros(n, np.uint64)
+    cur = starts.copy()
+    shift = np.zeros(n, np.uint64)
+    active_idx = np.arange(n)
+    while len(active_idx):
+        b = data[cur[active_idx]].astype(np.uint64)
+        vals[active_idx] |= (b & _U7F) << shift[active_idx]
+        cont = active_idx[(b & np.uint64(0x80)) != 0]
+        cur[cont] += 1
+        shift[cont] += _U7
+        active_idx = cont
+    return vals
+
+
+def delta_encode_with_resets(ids: np.ndarray, reset_mask: np.ndarray) -> np.ndarray:
+    """ids -> deltas, storing the absolute id wherever reset_mask is True
+    (term starts and block starts, so each block decodes independently)."""
+    ids = np.ascontiguousarray(ids, dtype=np.uint64)
+    d = np.empty_like(ids)
+    d[0] = ids[0]
+    np.subtract(ids[1:], ids[:-1], out=d[1:])
+    d[reset_mask] = ids[reset_mask]
+    return d
+
+
+def delta_decode(deltas: np.ndarray) -> np.ndarray:
+    """Inverse of per-block delta encoding (first value absolute)."""
+    return np.cumsum(deltas, dtype=np.uint64)
+
+
+def encode_positions(pos_flat: np.ndarray, counts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Encode ragged per-posting position lists.
+
+    ``pos_flat`` is the concatenation of each posting's sorted positions;
+    ``counts`` is positions-per-posting. Wire format per posting:
+    varint(count) then varint deltas (first absolute). Returns
+    (byte buffer, bytes-per-posting).
+    """
+    n = len(counts)
+    if n == 0:
+        return np.empty(0, np.uint8), np.empty(0, np.int64)
+    counts = np.ascontiguousarray(counts, dtype=np.int64)
+    total = int(counts.sum())
+    # interleave: for each posting, [count, d0, d1, ...]
+    out_vals = np.empty(n + total, np.uint64)
+    ends = np.cumsum(counts)
+    starts = ends - counts
+    cnt_pos = starts + np.arange(n)  # index of the count entry per posting
+    out_vals[cnt_pos] = counts.astype(np.uint64)
+    if total:
+        pos_flat = np.ascontiguousarray(pos_flat, dtype=np.uint64)
+        deltas = np.empty(total, np.uint64)
+        deltas[0] = pos_flat[0]
+        np.subtract(pos_flat[1:], pos_flat[:-1], out=deltas[1:])
+        deltas[starts[counts > 0]] = pos_flat[starts[counts > 0]]
+        val_mask = np.ones(n + total, bool)
+        val_mask[cnt_pos] = False
+        out_vals[val_mask] = deltas
+    buf, nb = varint_encode(out_vals)
+    # bytes per posting = bytes(count varint) + bytes(its deltas)
+    grp = np.repeat(np.arange(n), counts + 1)
+    per_posting = np.bincount(grp, weights=nb, minlength=n).astype(np.int64)
+    return buf, per_posting
+
+
+def decode_positions(buf, n_postings: int) -> list[np.ndarray]:
+    """Decode ``n_postings`` position lists from a positions-blob slice."""
+    out: list[np.ndarray] = []
+    data = memoryview(buf)
+    off = 0
+    for _ in range(n_postings):
+        cnt, off = _read_varint(data, off)
+        if cnt == 0:
+            out.append(np.empty(0, np.uint64))
+            continue
+        vals = np.empty(cnt, np.uint64)
+        for i in range(cnt):
+            vals[i], off = _read_varint(data, off)
+        out.append(np.cumsum(vals, dtype=np.uint64))
+    return out
+
+
+def _read_varint(data, off: int) -> tuple[int, int]:
+    result = 0
+    shift = 0
+    while True:
+        b = data[off]
+        off += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, off
+        shift += 7

@@ -1,0 +1,4 @@
+from whoosh_novo_ray.index.build import IndexConfig, build_index
+from whoosh_novo_ray.index.segment import Index, TermRow
+
+__all__ = ["IndexConfig", "build_index", "Index", "TermRow"]

@@ -1,0 +1,478 @@
+"""Distributed inverted-index build as a Ray Data pipeline.
+
+Pipeline (cf. SURVEY.md §3.4; replaces the reference's PostingPool external
+sort + single-process segment writer, de-odex/whoosh-novo
+``src/whoosh/writing.py:136-190,748-822`` and ``codec/whoosh3.py:675-902``):
+
+    docs (doc_id, text)
+      -> map_batches(TokenizePostings)        # stateless, zero-copy Arrow out
+           rows: (bucket, term, doc_id, tf, len_byte[, positions])
+      -> groupby("bucket").map_groups(BucketEncoder)   # THE all-to-all shuffle
+           one hash-bucket of the term space per group; vectorized sort by
+           (term, doc_id) + block encode; writes segments/bucket=%05d.parquet
+           atomically and returns one manifest row
+      -> driver collects the (tiny) manifest rows -> manifest.json (the "TOC")
+
+Scale notes:
+  * The term-space is hash-partitioned into ``num_buckets`` buckets; at 100 TB
+    raise ``num_buckets`` so each bucket (sum of its posting rows) fits a
+    worker's heap — the shuffle itself streams through the object store.
+  * Heavy (stopword-like) terms are salted: their shuffle key mixes in a
+    doc-id *range* slice so one term's postings split across ``salt_k``
+    buckets as disjoint, sorted doc-id ranges; the reader concatenates the
+    per-bucket block lists (see segment.py). This is the explicit skew
+    handling the reference lacks (its only mitigation is the stop filter).
+  * Resume: each bucket file carries lineage (input fingerprint) and is
+    written via tmp+rename; ``build_index(..., resume=True)`` skips buckets
+    already present with matching lineage by filtering the shuffle key.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field, asdict
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+
+from whoosh_novo_ray.analysis import StandardAnalyzer
+from whoosh_novo_ray.codec import (
+    delta_encode_with_resets,
+    encode_positions,
+    varint_encode,
+)
+from whoosh_novo_ray.lengths import lengths_to_bytes
+
+MANIFEST_NAME = "manifest.json"
+_SALT_PRIME = np.uint64(2654435761)
+
+
+def stable_term_hash(terms) -> np.ndarray:
+    """Deterministic (process-independent) uint64 hash of term strings."""
+    arr = np.asarray(terms, dtype=object)
+    return pd.util.hash_array(arr, categorize=False)
+
+
+@dataclass
+class IndexConfig:
+    text_col: str = "text"
+    id_col: str = "doc_id"
+    num_buckets: int = 32
+    block_size: int = 128
+    with_positions: bool = True
+    # terms whose postings are split over `salt_k` shuffle keys by doc-id range
+    heavy_terms: tuple = ()
+    salt_k: int = 8
+    salt_shift: int = 12  # heavy-term salt slice = doc_id >> salt_shift
+    analyzer: StandardAnalyzer = field(default_factory=StandardAnalyzer)
+
+    def to_json(self) -> dict:
+        d = asdict(self)
+        d["heavy_terms"] = sorted(self.heavy_terms)
+        d["analyzer"] = {
+            "pattern": self.analyzer.pattern,
+            "stoplist": sorted(self.analyzer.stoplist) if self.analyzer.stoplist else None,
+            "minsize": self.analyzer.minsize,
+            "maxsize": self.analyzer.maxsize,
+        }
+        return d
+
+    @staticmethod
+    def from_json(d: dict) -> "IndexConfig":
+        a = d.pop("analyzer")
+        ana = StandardAnalyzer(
+            pattern=a["pattern"],
+            stoplist=frozenset(a["stoplist"]) if a["stoplist"] is not None else None,
+            minsize=a["minsize"],
+            maxsize=a["maxsize"],
+        )
+        d["heavy_terms"] = tuple(d.get("heavy_terms", ()))
+        return IndexConfig(analyzer=ana, **d)
+
+
+def bucket_for_terms(cfg: IndexConfig, terms, doc_ids: np.ndarray | None = None) -> np.ndarray:
+    """Shuffle key per posting row. Heavy terms mix a doc-id range salt."""
+    h = stable_term_hash(terms)
+    if cfg.heavy_terms and doc_ids is not None:
+        heavy = pd.Series(np.asarray(terms, dtype=object)).isin(cfg.heavy_terms).to_numpy()
+        if heavy.any():
+            salt = (doc_ids.astype(np.uint64) >> np.uint64(cfg.salt_shift)) % np.uint64(
+                cfg.salt_k
+            )
+            h = h.copy()
+            h[heavy] = h[heavy] + salt[heavy] * _SALT_PRIME
+    return (h % np.uint64(cfg.num_buckets)).astype(np.uint32)
+
+
+def buckets_for_query_term(cfg: IndexConfig, term: str) -> list[int]:
+    """All buckets a term's postings may live in (1 normally, salt_k if heavy)."""
+    h = int(stable_term_hash([term])[0])
+    if term in cfg.heavy_terms:
+        return sorted(
+            {int((h + s * int(_SALT_PRIME)) % (1 << 64)) % cfg.num_buckets for s in range(cfg.salt_k)}
+        )
+    return [h % cfg.num_buckets]
+
+
+class TokenizePostings:
+    """map_batches callable: (doc_id, text) batch -> posting rows.
+
+    Stateless per row but kept as a class so the compiled regex / stop set are
+    built once per actor (``__init__``), not per batch.
+    """
+
+    def __init__(self, cfg: IndexConfig):
+        self.cfg = cfg
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        texts = batch[cfg.text_col].to_pylist()
+        doc_ids = batch[cfg.id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ab = cfg.analyzer.analyze_batch(texts)
+        if len(ab.doc_idx) == 0:
+            return _empty_postings_table(cfg.with_positions)
+
+        # group the flat token stream into per-(doc, term) postings
+        codes, uniques = pd.factorize(ab.tokens, sort=False)
+        order = np.lexsort((codes, ab.doc_idx))
+        s_doc = ab.doc_idx[order]
+        s_code = codes[order]
+        s_pos = ab.pos[order]
+
+        key_change = np.empty(len(s_doc), dtype=bool)
+        key_change[0] = True
+        np.logical_or(
+            s_doc[1:] != s_doc[:-1], s_code[1:] != s_code[:-1], out=key_change[1:]
+        )
+        starts = np.flatnonzero(key_change)
+        tf = np.diff(np.append(starts, len(s_doc))).astype(np.uint32)
+
+        g_doc_idx = s_doc[starts]
+        g_terms = uniques[s_code[starts]]
+        g_doc_ids = doc_ids[g_doc_idx]
+        g_len_bytes = lengths_to_bytes(ab.field_lengths)[g_doc_idx]
+        g_bucket = bucket_for_terms(cfg, g_terms, g_doc_ids)
+
+        cols = {
+            "bucket": pa.array(g_bucket, pa.uint32()),
+            "term": pa.array(g_terms, pa.string()),
+            "doc_id": pa.array(g_doc_ids, pa.uint64()),
+            "tf": pa.array(tf, pa.uint32()),
+            "len_byte": pa.array(g_len_bytes, pa.uint8()),
+        }
+        if cfg.with_positions:
+            offsets = np.append(starts, len(s_doc)).astype(np.int32)
+            cols["positions"] = pa.ListArray.from_arrays(
+                pa.array(offsets, pa.int32()), pa.array(s_pos, pa.int32())
+            )
+        return pa.table(cols)
+
+
+def _empty_postings_table(with_positions: bool) -> pa.Table:
+    cols = {
+        "bucket": pa.array([], pa.uint32()),
+        "term": pa.array([], pa.string()),
+        "doc_id": pa.array([], pa.uint64()),
+        "tf": pa.array([], pa.uint32()),
+        "len_byte": pa.array([], pa.uint8()),
+    }
+    if with_positions:
+        cols["positions"] = pa.array([], pa.list_(pa.int32()))
+    return pa.table(cols)
+
+
+def _large_binary_from_slices(big: np.ndarray, offsets: np.ndarray) -> pa.Array:
+    """Zero-copy large_binary array: value i = big[offsets[i]:offsets[i+1]]."""
+    return pa.LargeBinaryArray.from_buffers(
+        pa.large_binary(),
+        len(offsets) - 1,
+        [None, pa.py_buffer(offsets.astype(np.int64).tobytes()), pa.py_buffer(big.tobytes())],
+    )
+
+
+def _list_array(values: pa.Array, counts: np.ndarray) -> pa.ListArray:
+    offsets = np.zeros(len(counts) + 1, dtype=np.int32)
+    np.cumsum(counts, out=offsets[1:])
+    return pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), values)
+
+
+def encode_bucket_table(tbl: pa.Table, block_size: int, with_positions: bool) -> pa.Table:
+    """Vectorized posting-block encoding of one term-space bucket.
+
+    Sorts by (term, doc_id), finds term runs, delta+varint encodes doc ids
+    (absolute value at every block start so blocks decode independently),
+    varints tfs, keeps length bytes raw, and computes the per-block skip
+    table (count / max id / max weight / min & max len byte) with
+    ``np.*.reduceat`` — no per-term Python loop.
+    """
+    tbl = tbl.sort_by([("term", "ascending"), ("doc_id", "ascending")])
+    n = len(tbl)
+    terms_col = tbl["term"].combine_chunks()
+    dict_arr = pc.dictionary_encode(terms_col)
+    if isinstance(dict_arr, pa.ChunkedArray):
+        dict_arr = dict_arr.combine_chunks()
+    codes = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    uniq_terms = dict_arr.dictionary
+
+    doc_ids = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    tfs = tbl["tf"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    len_bytes = tbl["len_byte"].to_numpy(zero_copy_only=False).astype(np.uint8)
+
+    term_change = np.empty(n, dtype=bool)
+    term_change[0] = True
+    term_change[1:] = codes[1:] != codes[:-1]
+    term_starts = np.flatnonzero(term_change)
+    n_terms = len(term_starts)
+    df = np.diff(np.append(term_starts, n)).astype(np.int64)
+
+    # block starts: every `block_size` postings within a term
+    within = np.arange(n) - np.repeat(term_starts, df)
+    block_start_mask = (within % block_size) == 0
+    block_starts = np.flatnonzero(block_start_mask)
+    nblocks_per_term = ((df + block_size - 1) // block_size).astype(np.int64)
+    block_term = np.repeat(np.arange(n_terms), nblocks_per_term)
+    # end (exclusive) of each block
+    term_end = np.repeat(np.append(term_starts[1:], n), nblocks_per_term)
+    block_ends = np.minimum(block_starts + block_size, term_end)
+    block_counts = (block_ends - block_starts).astype(np.uint32)
+
+    # encode doc ids
+    deltas = delta_encode_with_resets(doc_ids, block_start_mask)
+    ids_buf, ids_nb = varint_encode(deltas)
+    ids_byte_end = np.cumsum(ids_nb)
+    ids_byte_start = ids_byte_end - ids_nb
+
+    tfs_buf, tfs_nb = varint_encode(tfs)
+    tfs_byte_end = np.cumsum(tfs_nb)
+    tfs_byte_start = tfs_byte_end - tfs_nb
+
+    # per-block stats (weight == tf as float, boost 1.0)
+    w = tfs.astype(np.float64)
+    block_max_w = np.maximum.reduceat(w, block_starts)
+    block_min_lb = np.minimum.reduceat(len_bytes, block_starts)
+    block_max_id = doc_ids[block_ends - 1]
+
+    # per-term aggregates
+    term_weight = np.add.reduceat(w, term_starts)
+    term_max_w = np.maximum.reduceat(w, term_starts)
+    term_min_lb = np.minimum.reduceat(len_bytes, term_starts)
+    term_max_lb = np.maximum.reduceat(len_bytes, term_starts)
+    term_min_id = doc_ids[term_starts]
+    term_max_id = doc_ids[np.append(term_starts[1:], n) - 1]
+
+    # per-term byte ranges in the big buffers
+    t_ids_off = ids_byte_start[term_starts]
+    t_ids_end = np.append(t_ids_off[1:], ids_byte_end[-1] if n else 0)
+    t_tfs_off = tfs_byte_start[term_starts]
+    t_tfs_end = np.append(t_tfs_off[1:], tfs_byte_end[-1] if n else 0)
+
+    # per-block offsets *relative to the term's blob start*
+    blk_ids_off = (ids_byte_start[block_starts] - np.repeat(t_ids_off, nblocks_per_term)).astype(
+        np.uint64
+    )
+    blk_tfs_off = (tfs_byte_start[block_starts] - np.repeat(t_tfs_off, nblocks_per_term)).astype(
+        np.uint64
+    )
+    # lens blob offset per block = posting ordinal within term
+    blk_lens_off = (block_starts - np.repeat(term_starts, nblocks_per_term)).astype(np.uint64)
+
+    cols: dict[str, pa.Array] = {
+        "term": uniq_terms,
+        "df": pa.array(df.astype(np.uint64), pa.uint64()),
+        "weight": pa.array(term_weight, pa.float64()),
+        "max_weight": pa.array(term_max_w, pa.float64()),
+        "min_len_byte": pa.array(term_min_lb, pa.uint8()),
+        "max_len_byte": pa.array(term_max_lb, pa.uint8()),
+        "min_id": pa.array(term_min_id, pa.uint64()),
+        "max_id": pa.array(term_max_id, pa.uint64()),
+        "block_counts": _list_array(pa.array(block_counts, pa.uint32()), nblocks_per_term),
+        "block_max_ids": _list_array(pa.array(block_max_id, pa.uint64()), nblocks_per_term),
+        "block_max_weights": _list_array(pa.array(block_max_w, pa.float64()), nblocks_per_term),
+        "block_min_lens": _list_array(
+            pa.array(block_min_lb, pa.uint8()), nblocks_per_term
+        ),
+        "block_ids_off": _list_array(pa.array(blk_ids_off, pa.uint64()), nblocks_per_term),
+        "block_tfs_off": _list_array(pa.array(blk_tfs_off, pa.uint64()), nblocks_per_term),
+        "block_lens_off": _list_array(pa.array(blk_lens_off, pa.uint64()), nblocks_per_term),
+        "ids_blob": _large_binary_from_slices(ids_buf, np.append(t_ids_off, t_ids_end[-1:])),
+        "tfs_blob": _large_binary_from_slices(tfs_buf, np.append(t_tfs_off, t_tfs_end[-1:])),
+        "lens_blob": _large_binary_from_slices(
+            len_bytes, np.append(term_starts, n).astype(np.int64)
+        ),
+    }
+
+    if with_positions and "positions" in tbl.column_names:
+        pos_col = tbl["positions"].combine_chunks()
+        pos_counts = np.diff(pos_col.offsets.to_numpy()).astype(np.int64)
+        pos_flat = pos_col.values.to_numpy(zero_copy_only=False).astype(np.uint64)
+        pos_buf, per_posting_nb = encode_positions(pos_flat, pos_counts)
+        pos_byte_end = np.cumsum(per_posting_nb)
+        pos_byte_start = pos_byte_end - per_posting_nb
+        t_pos_off = pos_byte_start[term_starts]
+        t_pos_end = np.append(t_pos_off[1:], pos_byte_end[-1] if n else 0)
+        blk_pos_off = (
+            pos_byte_start[block_starts] - np.repeat(t_pos_off, nblocks_per_term)
+        ).astype(np.uint64)
+        cols["block_pos_off"] = _list_array(pa.array(blk_pos_off, pa.uint64()), nblocks_per_term)
+        cols["pos_blob"] = _large_binary_from_slices(
+            pos_buf, np.append(t_pos_off, t_pos_end[-1:])
+        )
+
+    return pa.table(cols)
+
+
+class BucketEncoder:
+    """groupby("bucket").map_groups callable: encode + atomically write one
+    bucket's segment file; emits a one-row manifest record."""
+
+    def __init__(self, out_dir: str, cfg: IndexConfig, lineage: str):
+        self.out_dir = out_dir
+        self.cfg = cfg
+        self.lineage = lineage
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        if len(group) == 0:
+            return _empty_manifest_table()
+        bucket = int(group["bucket"][0].as_py())
+        seg = encode_bucket_table(
+            group.drop_columns(["bucket"]), self.cfg.block_size, self.cfg.with_positions
+        )
+        seg_dir = os.path.join(self.out_dir, "segments")
+        os.makedirs(seg_dir, exist_ok=True)
+        final = os.path.join(seg_dir, f"bucket={bucket:05d}.parquet")
+        tmp = final + f".tmp.{os.getpid()}"
+        pq.write_table(
+            seg,
+            tmp,
+            compression="zstd",
+            row_group_size=4096,
+        )
+        os.replace(tmp, final)  # atomic; reruns are idempotent
+        return pa.table(
+            {
+                "bucket": pa.array([bucket], pa.uint32()),
+                "path": pa.array([f"segments/bucket={bucket:05d}.parquet"]),
+                "n_terms": pa.array([len(seg)], pa.uint64()),
+                "n_postings": pa.array([len(group)], pa.uint64()),
+                "sum_tf": pa.array([float(pc.sum(group["tf"]).as_py() or 0)], pa.float64()),
+                "min_term": pa.array([seg["term"][0].as_py()]),
+                "max_term": pa.array([seg["term"][-1].as_py()]),
+                "lineage": pa.array([self.lineage]),
+            }
+        )
+
+
+def _empty_manifest_table() -> pa.Table:
+    return pa.table(
+        {
+            "bucket": pa.array([], pa.uint32()),
+            "path": pa.array([], pa.string()),
+            "n_terms": pa.array([], pa.uint64()),
+            "n_postings": pa.array([], pa.uint64()),
+            "sum_tf": pa.array([], pa.float64()),
+            "min_term": pa.array([], pa.string()),
+            "max_term": pa.array([], pa.string()),
+            "lineage": pa.array([], pa.string()),
+        }
+    )
+
+
+def build_index(
+    docs: "ray.data.Dataset",
+    out_dir: str,
+    cfg: IndexConfig | None = None,
+    lineage: str = "",
+    resume: bool = False,
+) -> dict:
+    """Build an inverted index at ``out_dir`` from a docs Dataset.
+
+    Returns the manifest dict (also written to ``out_dir/manifest.json``).
+    ``lineage`` should fingerprint the input (paths + row counts + config);
+    with ``resume=True``, buckets already on disk whose manifest lineage
+    matches are skipped (the shuffle is filtered down to missing buckets).
+    """
+    cfg = cfg or IndexConfig()
+    os.makedirs(out_dir, exist_ok=True)
+
+    done_buckets: dict[int, dict] = {}
+    man_path = os.path.join(out_dir, MANIFEST_NAME)
+    if resume and os.path.exists(man_path):
+        with open(man_path) as f:
+            old = json.load(f)
+        if old.get("config") == cfg.to_json():
+            for b in old.get("buckets", []):
+                if b.get("lineage") == lineage and os.path.exists(
+                    os.path.join(out_dir, b["path"])
+                ):
+                    done_buckets[b["bucket"]] = b
+
+    doc_count = docs.count()
+    t0 = time.perf_counter()
+
+    postings = docs.map_batches(
+        TokenizePostings(cfg),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    if done_buckets:
+        missing = sorted(set(range(cfg.num_buckets)) - set(done_buckets))
+        if not missing:
+            postings = None
+        else:
+            missing_set = pa.array(np.array(missing, np.uint32))
+            postings = postings.map_batches(
+                lambda b: b.filter(pc.is_in(b["bucket"], value_set=missing_set)),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+
+    rows = []
+    if postings is not None:
+        encoder = BucketEncoder(out_dir, cfg, lineage)
+
+        def encode_group(group: pa.Table) -> pa.Table:
+            return encoder(group)
+
+        manifest_ds = postings.groupby("bucket").map_groups(
+            encode_group, batch_format="pyarrow"
+        )
+        rows = manifest_ds.take_all()  # tiny: one row per bucket
+
+    build_secs = time.perf_counter() - t0
+    buckets = list(done_buckets.values()) + [
+        {
+            "bucket": int(r["bucket"]),
+            "path": r["path"],
+            "n_terms": int(r["n_terms"]),
+            "n_postings": int(r["n_postings"]),
+            "sum_tf": float(r["sum_tf"]),
+            "min_term": r["min_term"],
+            "max_term": r["max_term"],
+            "lineage": r["lineage"],
+        }
+        for r in rows
+    ]
+    buckets.sort(key=lambda b: b["bucket"])
+    manifest = {
+        "format_version": 1,
+        "generation": int(time.time()),
+        "doc_count": int(doc_count),
+        "total_field_length": float(sum(b["sum_tf"] for b in buckets)),
+        "n_postings": int(sum(b["n_postings"] for b in buckets)),
+        "build_secs": build_secs,
+        "config": cfg.to_json(),
+        "lineage": lineage,
+        "buckets": buckets,
+    }
+    tmp = man_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, man_path)
+    return manifest

@@ -1,0 +1,235 @@
+"""Index reader: manifest + term-dictionary lookups + posting-block decode.
+
+Read-side counterpart of build.py. Replaces the reference's SegmentReader /
+MultiReader / W3LeafMatcher machinery (de-odex/whoosh-novo
+``src/whoosh/reading.py:601-1256``, ``codec/whoosh3.py:905-1173``): terms are
+hash-partitioned across bucket Parquet files sorted by term, so a term lookup
+is a predicate-pushdown read of one bucket (or ``salt_k`` buckets for salted
+heavy terms); posting blocks decode lazily per block for WAND-style skipping,
+or all at once (vectorized segmented cumsum) for term-at-a-time scoring.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+from functools import lru_cache
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+
+from whoosh_novo_ray.codec import decode_positions, varint_decode
+from whoosh_novo_ray.index.build import (
+    MANIFEST_NAME,
+    IndexConfig,
+    buckets_for_query_term,
+)
+
+_SCORING_COLUMNS = [
+    "term",
+    "df",
+    "weight",
+    "max_weight",
+    "min_len_byte",
+    "max_len_byte",
+    "min_id",
+    "max_id",
+    "block_counts",
+    "block_max_ids",
+    "block_max_weights",
+    "block_min_lens",
+    "block_ids_off",
+    "block_tfs_off",
+    "block_lens_off",
+    "ids_blob",
+    "tfs_blob",
+    "lens_blob",
+]
+
+
+@dataclass
+class TermRow:
+    """One term's posting list within one bucket (decoded lazily)."""
+
+    term: str
+    df: int
+    weight: float
+    max_weight: float
+    min_len_byte: int
+    max_len_byte: int
+    block_counts: np.ndarray
+    block_max_ids: np.ndarray
+    block_max_weights: np.ndarray
+    block_min_lens: np.ndarray
+    block_ids_off: np.ndarray
+    block_tfs_off: np.ndarray
+    block_lens_off: np.ndarray
+    ids_blob: bytes
+    tfs_blob: bytes
+    lens_blob: bytes
+    block_pos_off: np.ndarray | None = None
+    pos_blob: bytes | None = None
+
+    @property
+    def n_blocks(self) -> int:
+        return len(self.block_counts)
+
+    def decode_block(self, i: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Decode block i -> (doc_ids, tfs, len_bytes)."""
+        cnt = int(self.block_counts[i])
+        a = int(self.block_ids_off[i])
+        b = int(self.block_ids_off[i + 1]) if i + 1 < self.n_blocks else len(self.ids_blob)
+        deltas = varint_decode(self.ids_blob[a:b], cnt)
+        ids = np.cumsum(deltas, dtype=np.uint64)
+        a = int(self.block_tfs_off[i])
+        b = int(self.block_tfs_off[i + 1]) if i + 1 < self.n_blocks else len(self.tfs_blob)
+        tfs = varint_decode(self.tfs_blob[a:b], cnt)
+        a = int(self.block_lens_off[i])
+        lens = np.frombuffer(self.lens_blob, np.uint8, count=cnt, offset=a)
+        return ids, tfs, lens
+
+    def decode_all(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Decode the whole posting list -> (doc_ids, tfs, len_bytes).
+
+        Vectorized: one varint pass, then a segmented cumsum that honors the
+        per-block absolute resets.
+        """
+        n = self.df
+        deltas = varint_decode(self.ids_blob, n)
+        c = np.cumsum(deltas, dtype=np.uint64)
+        starts = np.zeros(self.n_blocks, np.int64)
+        np.cumsum(self.block_counts[:-1], out=starts[1:])
+        # value before each block's absolute reset must be subtracted
+        corr = c[starts] - deltas[starts]
+        ids = c - np.repeat(corr, self.block_counts.astype(np.int64))
+        tfs = varint_decode(self.tfs_blob, n)
+        lens = np.frombuffer(self.lens_blob, np.uint8, count=n)
+        return ids, tfs, lens
+
+    def decode_block_positions(self, i: int) -> list[np.ndarray]:
+        if self.pos_blob is None:
+            raise ValueError("index built without positions")
+        cnt = int(self.block_counts[i])
+        a = int(self.block_pos_off[i])
+        b = (
+            int(self.block_pos_off[i + 1])
+            if i + 1 < self.n_blocks
+            else len(self.pos_blob)
+        )
+        return decode_positions(self.pos_blob[a:b], cnt)
+
+    def decode_all_positions(self) -> list[np.ndarray]:
+        if self.pos_blob is None:
+            raise ValueError("index built without positions")
+        return decode_positions(self.pos_blob, self.df)
+
+
+def _row_to_termrow(tbl: pa.Table, i: int, with_positions: bool) -> TermRow:
+    get = lambda name: tbl[name][i].as_py()
+
+    def nplist(name, dtype):
+        return np.asarray(get(name), dtype=dtype)
+
+    tr = TermRow(
+        term=get("term"),
+        df=int(get("df")),
+        weight=float(get("weight")),
+        max_weight=float(get("max_weight")),
+        min_len_byte=int(get("min_len_byte")),
+        max_len_byte=int(get("max_len_byte")),
+        block_counts=nplist("block_counts", np.int64),
+        block_max_ids=nplist("block_max_ids", np.uint64),
+        block_max_weights=nplist("block_max_weights", np.float64),
+        block_min_lens=nplist("block_min_lens", np.uint8),
+        block_ids_off=nplist("block_ids_off", np.int64),
+        block_tfs_off=nplist("block_tfs_off", np.int64),
+        block_lens_off=nplist("block_lens_off", np.int64),
+        ids_blob=get("ids_blob"),
+        tfs_blob=get("tfs_blob"),
+        lens_blob=get("lens_blob"),
+    )
+    if with_positions and "pos_blob" in tbl.column_names:
+        tr.block_pos_off = nplist("block_pos_off", np.int64)
+        tr.pos_blob = get("pos_blob")
+    return tr
+
+
+class Index:
+    """Handle on a built index directory (manifest + bucket segment files)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        with open(os.path.join(path, MANIFEST_NAME)) as f:
+            self.manifest = json.load(f)
+        self.cfg = IndexConfig.from_json(dict(self.manifest["config"]))
+        self.doc_count: int = self.manifest["doc_count"]
+        self.total_field_length: float = self.manifest["total_field_length"]
+        self._bucket_paths = {
+            b["bucket"]: os.path.join(path, b["path"]) for b in self.manifest["buckets"]
+        }
+
+    @property
+    def avg_field_length(self) -> float:
+        # reference: Searcher.avg_field_length (searching.py:275-278)
+        return self.total_field_length / (self.doc_count or 1)
+
+    # -- term dictionary lookups ---------------------------------------------
+
+    def term_rows(
+        self, terms: list[str], with_positions: bool = False
+    ) -> dict[str, list[TermRow]]:
+        """Fetch posting-list rows for the given terms (predicate-pushdown
+        reads of only the buckets that can contain them). A term maps to >1
+        row when it was salted at build time."""
+        by_bucket: dict[int, set[str]] = {}
+        for t in terms:
+            for bk in buckets_for_query_term(self.cfg, t):
+                by_bucket.setdefault(bk, set()).add(t)
+        out: dict[str, list[TermRow]] = {t: [] for t in terms}
+        cols = list(_SCORING_COLUMNS)
+        if with_positions and self.cfg.with_positions:
+            cols += ["block_pos_off", "pos_blob"]
+        for bk, tset in sorted(by_bucket.items()):
+            p = self._bucket_paths.get(bk)
+            if p is None:
+                continue
+            tbl = pq.read_table(
+                p,
+                columns=cols,
+                filters=pc.field("term").isin(sorted(tset)),
+            )
+            for i in range(len(tbl)):
+                tr = _row_to_termrow(tbl, i, with_positions)
+                out[tr.term].append(tr)
+        return out
+
+    def iter_term_stats(self, columns=("term", "df", "weight")) -> pa.Table:
+        """Full term dictionary (stats columns only) across all buckets,
+        merging salted duplicates by summation."""
+        tables = []
+        for bk in sorted(self._bucket_paths):
+            tables.append(pq.read_table(self._bucket_paths[bk], columns=list(columns)))
+        tbl = pa.concat_tables(tables)
+        if self.cfg.heavy_terms:
+            tbl = pa.TableGroupBy(tbl, "term").aggregate(
+                [(c, "sum") for c in columns if c != "term"]
+            )
+            tbl = tbl.rename_columns(
+                ["term"] + [c for c in columns if c != "term"]
+            )
+        return tbl
+
+    def expand_terms(self, predicate) -> list[str]:
+        """Scan the term dictionary with an Arrow compute predicate on the
+        `term` column; returns matching terms sorted lexicographically.
+        Used by Prefix/Wildcard/Regex/TermRange expansion."""
+        found: set[str] = set()
+        for bk in sorted(self._bucket_paths):
+            tbl = pq.read_table(self._bucket_paths[bk], columns=["term"])
+            mask = predicate(tbl["term"])
+            found.update(pc.filter(tbl["term"], mask).to_pylist())
+        return sorted(found)

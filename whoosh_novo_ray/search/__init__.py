@@ -1,0 +1,35 @@
+from whoosh_novo_ray.search.query import (
+    And,
+    AndMaybe,
+    AndNot,
+    DisMax,
+    Every,
+    Or,
+    Phrase,
+    Prefix,
+    Require,
+    Term,
+    TermRange,
+    Wildcard,
+)
+from whoosh_novo_ray.search.scoring import BM25F, Frequency, TFIDF
+from whoosh_novo_ray.search.searcher import Searcher
+
+__all__ = [
+    "Term",
+    "And",
+    "Or",
+    "AndNot",
+    "AndMaybe",
+    "Require",
+    "DisMax",
+    "Phrase",
+    "Prefix",
+    "Wildcard",
+    "TermRange",
+    "Every",
+    "BM25F",
+    "TFIDF",
+    "Frequency",
+    "Searcher",
+]

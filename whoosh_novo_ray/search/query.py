@@ -1,0 +1,189 @@
+"""Query AST — the logical plan of a search.
+
+Mirrors the semantics of the reference query classes (de-odex/whoosh-novo
+``src/whoosh/query/``): Term, And (intersection, summed scores), Or (union,
+summed scores), AndNot (anti), Require (semi: docs must match b, scores from
+a), AndMaybe (a's docs, b's score added where present), DisjunctionMax,
+Phrase (positional adjacency with slop), Prefix/Wildcard/TermRange
+(term-dictionary expansion -> Or), Every. Evaluation is vectorized
+term-at-a-time in searcher.py.
+"""
+
+from __future__ import annotations
+
+import fnmatch
+import re
+from dataclasses import dataclass, field
+
+
+class Query:
+    """Base query node."""
+
+    def leaves(self):
+        yield self
+
+    def terms(self) -> list[str]:
+        out = []
+        for leaf in self.leaves():
+            if isinstance(leaf, Term):
+                out.append(leaf.text)
+        return out
+
+    def needs_positions(self) -> bool:
+        return any(isinstance(leaf, Phrase) for leaf in self.leaves())
+
+
+@dataclass(frozen=True)
+class Term(Query):
+    """Match documents containing the term (reference query/terms.py:39)."""
+
+    text: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class _Compound(Query):
+    children: tuple
+
+    def __init__(self, *children: Query):
+        object.__setattr__(self, "children", tuple(children))
+
+    def leaves(self):
+        yield self
+        for c in self.children:
+            yield from c.leaves()
+
+
+class And(_Compound):
+    """Docs matching all children; score = sum (query/compound.py:238)."""
+
+
+class Or(_Compound):
+    """Docs matching any child; score = sum (query/compound.py:269)."""
+
+
+class DisMax(_Compound):
+    """Union scored by max (query/compound.py:446)."""
+
+
+@dataclass(frozen=True)
+class AndNot(Query):
+    """Docs matching a but not b (query/compound.py:548)."""
+
+    a: Query
+    b: Query
+
+    def leaves(self):
+        yield self
+        yield from self.a.leaves()
+        yield from self.b.leaves()
+
+
+@dataclass(frozen=True)
+class Require(Query):
+    """Docs matching both; score only from a (query/compound.py:592)."""
+
+    a: Query
+    b: Query
+
+    def leaves(self):
+        yield self
+        yield from self.a.leaves()
+        yield from self.b.leaves()
+
+
+@dataclass(frozen=True)
+class AndMaybe(Query):
+    """Docs of a; score boosted by b where it also matches (compound.py:629)."""
+
+    a: Query
+    b: Query
+
+    def leaves(self):
+        yield self
+        yield from self.a.leaves()
+        yield from self.b.leaves()
+
+
+@dataclass(frozen=True)
+class Phrase(Query):
+    """Terms appearing adjacently in order, within `slop`
+    (query/positional.py:134)."""
+
+    words: tuple
+    slop: int = 1
+
+    def __init__(self, words, slop: int = 1):
+        object.__setattr__(self, "words", tuple(words))
+        object.__setattr__(self, "slop", slop)
+
+
+@dataclass(frozen=True)
+class Prefix(Query):
+    """All terms starting with `text` (query/terms.py:310); expands to Or.
+    Like the reference (PatternQuery, terms.py:249), multi-term expansions
+    default to constant score = boost."""
+
+    text: str
+    boost: float = 1.0
+    constantscore: bool = True
+
+
+@dataclass(frozen=True)
+class Wildcard(Query):
+    """fnmatch-style pattern over the lexicon (query/terms.py:352)."""
+
+    pattern: str
+    boost: float = 1.0
+    constantscore: bool = True
+
+    def regex(self) -> str:
+        # RE2-compatible translation (fnmatch.translate emits Python-only
+        # constructs like \Z): * -> .*, ? -> ., [seq] kept, rest escaped.
+        out = []
+        i, pat = 0, self.pattern
+        while i < len(pat):
+            c = pat[i]
+            if c == "*":
+                out.append(".*")
+            elif c == "?":
+                out.append(".")
+            elif c == "[":
+                j = pat.find("]", i + 1)
+                if j == -1:
+                    out.append(re.escape(c))
+                else:
+                    out.append(pat[i : j + 1])
+                    i = j
+            else:
+                out.append(re.escape(c))
+            i += 1
+        return "^" + "".join(out) + "$"
+
+
+@dataclass(frozen=True)
+class Regex(Query):
+    """Regex over the lexicon (query/terms.py:396)."""
+
+    pattern: str
+    boost: float = 1.0
+    constantscore: bool = True
+
+
+@dataclass(frozen=True)
+class TermRange(Query):
+    """Lexicographic term range (query/ranges.py:144)."""
+
+    start: str | None
+    end: str | None
+    startexcl: bool = False
+    endexcl: bool = False
+    boost: float = 1.0
+    constantscore: bool = True
+
+
+@dataclass(frozen=True)
+class Every(Query):
+    """All documents, constant score (query/qcore.py:650)."""
+
+    boost: float = 1.0

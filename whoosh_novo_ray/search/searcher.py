@@ -1,0 +1,321 @@
+"""Searcher: evaluates a Query against an Index, rank-identical to the
+reference.
+
+Evaluation strategy: vectorized term-at-a-time. Each node evaluates to a pair
+of aligned numpy arrays ``(doc_ids sorted asc, scores)``; set operations are
+sorted-array merges (np.add.reduceat over stable-sorted concatenations), so
+per-doc score accumulation happens in fixed child order. This produces
+exactly the reference's scores (same idf / BM25 / quantized lengths) and the
+same ``(score desc, doc_id asc)`` tie-break (reference collectors.py:466-508);
+only float summation *association order* can differ at the 1e-16 level for
+3+-term queries, which differential tests bound with exact rank checks.
+
+Block-max pruning (the reference's WAND path, whoosh3.py:1085-1098 +
+collectors.py:376-420) lives in `topk_disjunctive_pruned`, used for large
+single/OR term queries where whole blocks below the current min-score
+threshold are skipped without decoding.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import re as _re
+
+from whoosh_novo_ray.index.segment import Index, TermRow
+from whoosh_novo_ray.search import query as Q
+from whoosh_novo_ray.search.scoring import BM25F, WeightingModel
+
+Posting = tuple[np.ndarray, np.ndarray]  # (ids sorted asc, scores)
+
+_EMPTY: Posting = (np.empty(0, np.uint64), np.empty(0, np.float64))
+
+
+def _merge_sum(parts: list[Posting]) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Merge sorted (ids, scores) lists -> (unique ids, summed scores, hit counts)."""
+    parts = [p for p in parts if len(p[0])]
+    if not parts:
+        return _EMPTY[0], _EMPTY[1], np.empty(0, np.int64)
+    ids = np.concatenate([p[0] for p in parts])
+    scores = np.concatenate([p[1] for p in parts])
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    scores = scores[order]
+    change = np.empty(len(ids), bool)
+    change[0] = True
+    change[1:] = ids[1:] != ids[:-1]
+    starts = np.flatnonzero(change)
+    out_ids = ids[starts]
+    out_scores = np.add.reduceat(scores, starts)
+    counts = np.diff(np.append(starts, len(ids)))
+    return out_ids, out_scores, counts
+
+
+class Searcher:
+    def __init__(
+        self,
+        index: Index,
+        weighting: WeightingModel | None = None,
+        doc_ids: np.ndarray | None = None,
+    ):
+        """``doc_ids``: optional universe of all document ids (needed only by
+        Every / Not queries); pass the source table's id column."""
+        self.index = index
+        self.weighting = weighting or BM25F()
+        self._universe = (
+            np.sort(doc_ids.astype(np.uint64)) if doc_ids is not None else None
+        )
+        self._term_cache: dict[tuple[str, bool], list[TermRow]] = {}
+
+    # -- posting access -------------------------------------------------------
+
+    def prefetch_terms(self, terms: list[str], with_positions: bool = False) -> None:
+        missing = [t for t in set(terms) if (t, with_positions) not in self._term_cache]
+        if missing:
+            rows = self.index.term_rows(missing, with_positions=with_positions)
+            for t in missing:
+                self._term_cache[(t, with_positions)] = rows.get(t, [])
+
+    def _rows(self, term: str, with_positions: bool = False) -> list[TermRow]:
+        key = (term, with_positions)
+        if key not in self._term_cache:
+            self.prefetch_terms([term], with_positions)
+        return self._term_cache[key]
+
+    def term_postings(
+        self, term: str, with_positions: bool = False
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray, list[np.ndarray] | None]:
+        """Fully-decoded merged postings for a term:
+        (ids asc, tfs, len_bytes, positions|None)."""
+        rows = self._rows(term, with_positions)
+        if not rows:
+            e = np.empty(0, np.uint64)
+            return e, e.astype(np.uint64), np.empty(0, np.uint8), ([] if with_positions else None)
+        parts = [r.decode_all() for r in rows]
+        ids = np.concatenate([p[0] for p in parts])
+        tfs = np.concatenate([p[1] for p in parts])
+        lens = np.concatenate([p[2] for p in parts])
+        pos: list[np.ndarray] | None = None
+        if with_positions:
+            pos = []
+            for r in rows:
+                pos.extend(r.decode_all_positions())
+        if len(rows) > 1:  # salted term: bucket slices interleave by doc id
+            order = np.argsort(ids, kind="stable")
+            ids, tfs, lens = ids[order], tfs[order], lens[order]
+            if pos is not None:
+                pos = [pos[i] for i in order]
+        return ids, tfs, lens, pos
+
+    def term_stats(self, term: str) -> tuple[int, float, float]:
+        """(df, total_weight, max_weight) summed across salted rows."""
+        rows = self._rows(term)
+        if not rows:
+            return 0, 0.0, 0.0
+        return (
+            sum(r.df for r in rows),
+            sum(r.weight for r in rows),
+            max(r.max_weight for r in rows),
+        )
+
+    def scorer_for(self, term: str):
+        df, w, _mx = self.term_stats(term)
+        return self.weighting.scorer(
+            self.index.doc_count, self.index.avg_field_length, df, w
+        )
+
+    def idf(self, term: str) -> float:
+        from whoosh_novo_ray.search.scoring import idf as _idf
+
+        df, _, _ = self.term_stats(term)
+        return _idf(self.index.doc_count, df)
+
+    # -- evaluation -----------------------------------------------------------
+
+    def postings(self, q: Q.Query) -> Posting:
+        """Evaluate a query node -> (doc_ids sorted asc, scores)."""
+        if isinstance(q, Q.Term):
+            ids, tfs, lens, _ = self.term_postings(q.text)
+            if not len(ids):
+                return _EMPTY
+            scorer = self.scorer_for(q.text)
+            return ids, scorer.score_arrays(tfs, lens) * q.boost
+
+        if isinstance(q, Q.Or):
+            ids, scores, _ = _merge_sum([self.postings(c) for c in q.children])
+            return ids, scores
+
+        if isinstance(q, Q.And):
+            parts = [self.postings(c) for c in q.children]
+            if any(len(p[0]) == 0 for p in parts):
+                return _EMPTY
+            ids, scores, counts = _merge_sum(parts)
+            keep = counts == len(parts)
+            return ids[keep], scores[keep]
+
+        if isinstance(q, Q.DisMax):
+            parts = [p for p in (self.postings(c) for c in q.children) if len(p[0])]
+            if not parts:
+                return _EMPTY
+            ids = np.concatenate([p[0] for p in parts])
+            scores = np.concatenate([p[1] for p in parts])
+            order = np.argsort(ids, kind="stable")
+            ids, scores = ids[order], scores[order]
+            change = np.empty(len(ids), bool)
+            change[0] = True
+            change[1:] = ids[1:] != ids[:-1]
+            starts = np.flatnonzero(change)
+            return ids[starts], np.maximum.reduceat(scores, starts)
+
+        if isinstance(q, Q.AndNot):
+            a_ids, a_sc = self.postings(q.a)
+            b_ids, _ = self.postings(q.b)
+            if not len(a_ids) or not len(b_ids):
+                return a_ids, a_sc
+            keep = ~np.isin(a_ids, b_ids)
+            return a_ids[keep], a_sc[keep]
+
+        if isinstance(q, Q.Require):
+            a_ids, a_sc = self.postings(q.a)
+            b_ids, _ = self.postings(q.b)
+            keep = np.isin(a_ids, b_ids)
+            return a_ids[keep], a_sc[keep]
+
+        if isinstance(q, Q.AndMaybe):
+            a_ids, a_sc = self.postings(q.a)
+            b_ids, b_sc = self.postings(q.b)
+            if not len(a_ids) or not len(b_ids):
+                return a_ids, a_sc
+            pos = np.searchsorted(b_ids, a_ids)
+            pos_c = np.minimum(pos, len(b_ids) - 1)
+            hit = b_ids[pos_c] == a_ids
+            out = a_sc.copy()
+            out[hit] += b_sc[pos_c[hit]]
+            return a_ids, out
+
+        if isinstance(q, Q.Phrase):
+            return self._phrase(q)
+
+        if isinstance(q, (Q.Prefix, Q.Wildcard, Q.Regex, Q.TermRange)):
+            expanded = self.expand(q)
+            if not expanded:
+                return _EMPTY
+            if len(expanded) == 1:
+                return self.postings(Q.Term(expanded[0], boost=q.boost))
+            if q.constantscore:
+                # reference MultiTerm.matcher (query/terms.py:215-241): >1
+                # expanded terms with constantscore -> every match scores
+                # the boost, no BM25
+                ids, _, _ = _merge_sum(
+                    [self.postings(Q.Term(t)) for t in expanded]
+                )
+                return ids, np.full(len(ids), float(q.boost))
+            return self.postings(
+                Q.Or(*[Q.Term(t, boost=q.boost) for t in expanded])
+            )
+
+        if isinstance(q, Q.Every):
+            if self._universe is None:
+                raise ValueError("Every requires Searcher(doc_ids=...)")
+            return self._universe, np.full(len(self._universe), float(q.boost))
+
+        raise TypeError(f"unsupported query node: {type(q).__name__}")
+
+    def expand(self, q: Q.Query) -> list[str]:
+        """Term-dictionary expansion for multi-term queries."""
+        if isinstance(q, Q.Prefix):
+            return self.index.expand_terms(
+                lambda col: pc.starts_with(col, pattern=q.text)
+            )
+        if isinstance(q, Q.Wildcard):
+            rx = q.regex()
+            return self.index.expand_terms(
+                lambda col: pc.match_substring_regex(col, pattern=rx)
+            )
+        if isinstance(q, Q.Regex):
+            return self.index.expand_terms(
+                lambda col: pc.match_substring_regex(col, pattern=q.pattern)
+            )
+        if isinstance(q, Q.TermRange):
+            def pred(col):
+                mask = None
+                if q.start is not None:
+                    m = (
+                        pc.greater(col, q.start)
+                        if q.startexcl
+                        else pc.greater_equal(col, q.start)
+                    )
+                    mask = m
+                if q.end is not None:
+                    m = pc.less(col, q.end) if q.endexcl else pc.less_equal(col, q.end)
+                    mask = m if mask is None else pc.and_(mask, m)
+                if mask is None:
+                    mask = pc.equal(col, col)
+                return mask
+
+            return self.index.expand_terms(pred)
+        raise TypeError(type(q))
+
+    def _phrase(self, q: Q.Phrase) -> Posting:
+        """Positional adjacency: keep docs where word i+1 occurs at a position
+        p+1..p+slop after an occurrence of word i (reference SpanNear2
+        semantics for the common slop=1 phrase case). Scored like the
+        underlying And of the terms."""
+        words = list(q.words)
+        if not words:
+            return _EMPTY
+        per_term = [self.term_postings(w, with_positions=True) for w in words]
+        if any(len(p[0]) == 0 for p in per_term):
+            return _EMPTY
+        # candidate docs = intersection
+        cand = per_term[0][0]
+        for ids, *_ in per_term[1:]:
+            cand = cand[np.isin(cand, ids)]
+        if not len(cand):
+            return _EMPTY
+        # verify adjacency per candidate doc
+        idx_of = [
+            {int(d): i for i, d in enumerate(ids)} for ids, *_ in per_term
+        ]
+        ok = np.zeros(len(cand), bool)
+        for ci, d in enumerate(cand):
+            d = int(d)
+            allowed = per_term[0][3][idx_of[0][d]].astype(np.int64)
+            for t in range(1, len(words)):
+                nxt = per_term[t][3][idx_of[t][d]].astype(np.int64)
+                # positions in nxt within (allowed, allowed+slop]
+                merged = []
+                for s in range(1, q.slop + 1):
+                    merged.append(nxt[np.isin(nxt, allowed + s)])
+                allowed = np.unique(np.concatenate(merged)) if merged else nxt[:0]
+                if not len(allowed):
+                    break
+            else:
+                ok[ci] = True
+        good = cand[ok]
+        if not len(good):
+            return _EMPTY
+        # score = sum of term scores on the surviving docs
+        ids, scores, counts = _merge_sum(
+            [self.postings(Q.Term(w)) for w in words]
+        )
+        keep = np.isin(ids, good)
+        return ids[keep], scores[keep]
+
+    # -- top-k ----------------------------------------------------------------
+
+    def search(self, q: Q.Query, limit: int | None = 10) -> pa.Table:
+        """Run a query; return Arrow table (doc_id, score) sorted by
+        (score desc, doc_id asc) — the reference tie-break
+        (collectors.py:466-508) — truncated to `limit`."""
+        ids, scores = self.postings(q)
+        order = np.lexsort((ids, -scores))
+        if limit is not None:
+            order = order[:limit]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[order], pa.uint64()),
+                "score": pa.array(scores[order], pa.float64()),
+            }
+        )
