@@ -1,0 +1,27 @@
+from whoosh_novo_ray.ops.textstats import (
+    doc_length_table,
+    fingerprint_table,
+    langid_table,
+    quality_table,
+)
+from whoosh_novo_ray.ops.dedup import (
+    exact_dedup_keep,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_table,
+)
+from whoosh_novo_ray.ops.knn import brute_force_knn, cosine_near_dup_pairs, lsh_knn
+
+__all__ = [
+    "doc_length_table",
+    "quality_table",
+    "langid_table",
+    "fingerprint_table",
+    "exact_dedup_keep",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_candidates",
+    "simhash_table",
+    "brute_force_knn",
+    "lsh_knn",
+    "cosine_near_dup_pairs",
+]

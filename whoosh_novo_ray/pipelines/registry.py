@@ -1,0 +1,483 @@
+"""Driver-facing query registry: every implemented operator as a callable
+over an ``sf_dir`` of parquet tables, each paired (where SQL-expressible)
+with an ANSI-SQL oracle that DuckDB runs on the same tables.
+
+Column names and value rounding are kept identical between the Ray pipelines
+and the SQL so the driver's order-insensitive value-hash comparison matches.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from whoosh_novo_ray.analysis import STOP_WORDS
+from whoosh_novo_ray.lengths import length_table_sql_literal
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (tokenization identical to analysis.StandardAnalyzer)
+# ---------------------------------------------------------------------------
+
+_RX_SQL = r"[\w*]+(\.?[\w*]+)*"
+_STOPLIST_SQL = ", ".join(f"'{w}'" for w in sorted(STOP_WORDS))
+_LTAB = length_table_sql_literal()
+
+# token stream with per-token ordinal (zipped unnest preserves list order)
+_BASE_CTES = f"""
+tokarr AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{_RX_SQL}') AS arr FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(arr) AS term, unnest(range(len(arr))) AS ord FROM tokarr
+),
+filt AS (
+  SELECT doc_id, term, ord FROM tok
+  WHERE length(term) >= 2 AND term NOT IN ({_STOPLIST_SQL})
+),
+tfs AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM filt GROUP BY doc_id, term
+),
+dls AS (
+  SELECT d.doc_id, coalesce(f.dl, 0)::BIGINT AS dl
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, count(*) AS dl FROM filt GROUP BY doc_id) f USING (doc_id)
+),
+qdl AS (
+  SELECT doc_id, dl,
+         least(255, len(list_filter({_LTAB}, x -> x < dl)))::BIGINT AS len_byte,
+         ({_LTAB})[least(255, len(list_filter({_LTAB}, x -> x < dl))) + 1]::DOUBLE AS dlq
+  FROM dls
+),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS N,
+         (SELECT sum(dl) FROM dls)::DOUBLE AS total_len
+),
+dfs AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tfs GROUP BY term
+),
+bm AS (
+  SELECT t.doc_id, t.term,
+         (ln(s.N / (f.df + 1)) + 1) * (t.tf * 2.2)
+           / (t.tf + 1.2 * (0.25 + 0.75 * q.dlq / (s.total_len / s.N))) AS score
+  FROM tfs t
+  JOIN dfs f USING (term)
+  JOIN qdl q ON q.doc_id = t.doc_id
+  CROSS JOIN stats s
+)
+"""
+
+
+def _terms_sql(terms: list[str]) -> str:
+    return ", ".join(f"'{t}'" for t in terms)
+
+
+def _topk_sql(where: str, k: int) -> str:
+    return f"""WITH {_BASE_CTES}
+SELECT doc_id::BIGINT AS doc_id, round(sum(score), 6) AS score
+FROM bm WHERE {where}
+GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT {k}"""
+
+
+# ---------------------------------------------------------------------------
+# engine-side helpers
+# ---------------------------------------------------------------------------
+
+_INDEX_CACHE: dict[str, Any] = {}
+
+
+def _docs_ds(sf_dir: str, columns=("doc_id", "text")):
+    import ray.data
+
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=list(columns)
+    )
+
+
+def _index_for(sf_dir: str):
+    from whoosh_novo_ray.index import Index, IndexConfig, build_index
+
+    if sf_dir not in _INDEX_CACHE:
+        out = os.path.join(
+            "/tmp/wnr_indexes", sf_dir.strip("/").replace("/", "_")
+        )
+        build_index(
+            _docs_ds(sf_dir),
+            out,
+            IndexConfig(num_buckets=16),
+            lineage=f"documents:{sf_dir}",
+            resume=True,
+        )
+        _INDEX_CACHE[sf_dir] = Index(out)
+    return _INDEX_CACHE[sf_dir]
+
+
+def _searcher_for(sf_dir: str):
+    from whoosh_novo_ray.search import Searcher
+
+    return Searcher(_index_for(sf_dir))
+
+
+def _search_table(sf_dir: str, q, limit: int) -> pa.Table:
+    t = _searcher_for(sf_dir).search(q, limit=limit)
+    return pa.table(
+        {
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "score": pa.array(np.round(t["score"].to_numpy(), 6), pa.float64()),
+        }
+    )
+
+
+# query terms chosen from the documents vocabulary (common/mid/absent)
+_T_COMMON = "table"
+_T_MID = "query"
+_T_MID2 = "window"
+_T_ABSENT = "zzzznope"
+
+
+# ---------------------------------------------------------------------------
+# the registry
+# ---------------------------------------------------------------------------
+
+
+def queries() -> dict[str, Callable[[str], Any]]:
+    from whoosh_novo_ray.search import (
+        And,
+        AndNot,
+        Or,
+        Phrase,
+        Prefix,
+        Term,
+    )
+
+    def term_stats(sf_dir):
+        tbl = _index_for(sf_dir).iter_term_stats(("term", "df", "weight"))
+        return pa.table(
+            {
+                "term": tbl["term"],
+                "df": tbl["df"].cast(pa.int64()),
+                "weight": tbl["weight"].cast(pa.float64()),
+            }
+        ).sort_by("term")
+
+    def doc_lengths(sf_dir):
+        from whoosh_novo_ray.ops import doc_length_table
+
+        ds = doc_length_table(_docs_ds(sf_dir))
+        return pa.concat_tables(_collect(ds)).sort_by("doc_id")
+
+    def quality(sf_dir):
+        from whoosh_novo_ray.ops import quality_table
+
+        return pa.concat_tables(_collect(quality_table(_docs_ds(sf_dir)))).sort_by(
+            "doc_id"
+        )
+
+    def langid(sf_dir):
+        from whoosh_novo_ray.ops import langid_table
+
+        return pa.concat_tables(_collect(langid_table(_docs_ds(sf_dir)))).sort_by(
+            "doc_id"
+        )
+
+    def fingerprint(sf_dir):
+        from whoosh_novo_ray.ops import fingerprint_table
+
+        return pa.concat_tables(
+            _collect(fingerprint_table(_docs_ds(sf_dir)))
+        ).sort_by("doc_id")
+
+    def dedup_exact(sf_dir):
+        from whoosh_novo_ray.ops import exact_dedup_keep
+
+        ds = exact_dedup_keep(_docs_ds(sf_dir))
+        return pa.concat_tables(_collect(ds)).sort_by("doc_id")
+
+    def jaccard_pairs(sf_dir):
+        from whoosh_novo_ray.ops import ngram_jaccard_pairs
+
+        return ngram_jaccard_pairs(_docs_ds(sf_dir), n=3, threshold=0.2)
+
+    def minhash_cands(sf_dir):
+        from whoosh_novo_ray.ops import minhash_lsh_candidates
+
+        return minhash_lsh_candidates(_docs_ds(sf_dir))
+
+    def simhash(sf_dir):
+        from whoosh_novo_ray.ops import simhash_table
+
+        t = pa.concat_tables(_collect(simhash_table(_docs_ds(sf_dir))))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                # int64 view of the uint64 simhash for pandas-friendliness
+                "simhash": pa.array(
+                    t["simhash"].to_numpy().astype(np.int64), pa.int64()
+                ),
+            }
+        ).sort_by("doc_id")
+
+    def knn(sf_dir):
+        import ray.data
+        from whoosh_novo_ray.ops import brute_force_knn
+
+        emb_path = os.path.join(sf_dir, "embeddings.parquet")
+        q = pq.read_table(emb_path).filter(pc.field("vec_id") == 0)["embedding"][0].as_py()
+        ds = ray.data.read_parquet(emb_path, columns=["vec_id", "embedding"])
+        t = brute_force_knn(ds, np.asarray(q, np.float64), k=10)
+        return t.drop_columns(["query_i"])
+
+    def knn_lsh(sf_dir):
+        import ray.data
+        from whoosh_novo_ray.ops import lsh_knn
+
+        emb_path = os.path.join(sf_dir, "embeddings.parquet")
+        q = pq.read_table(emb_path).filter(pc.field("vec_id") == 0)["embedding"][0].as_py()
+        ds = ray.data.read_parquet(emb_path, columns=["vec_id", "embedding"])
+        return lsh_knn(ds, np.asarray(q, np.float64), k=10).drop_columns(["query_i"])
+
+    def near_dup_cosine(sf_dir):
+        import ray.data
+        from whoosh_novo_ray.ops import cosine_near_dup_pairs
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["vec_id", "embedding", "label"],
+        )
+        return cosine_near_dup_pairs(ds, threshold=0.9)
+
+    def numeric_range(sf_dir):
+        ds = _docs_ds(sf_dir, ("doc_id", "n_chars")).filter(
+            expr="n_chars >= 500 and n_chars <= 900"
+        )
+        t = pa.concat_tables(_collect(ds))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "n_chars": t["n_chars"].cast(pa.int64()),
+            }
+        ).sort_by("doc_id")
+
+    def facet_lang(sf_dir):
+        """FacetCollector analog: matching-doc counts per lang for a term."""
+        ids, _ = _searcher_for(sf_dir).postings(Term(_T_MID))
+        docs = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]
+        )
+        m = docs.filter(pc.is_in(docs["doc_id"], value_set=pa.array(ids.astype(np.int64))))
+        g = m.group_by("lang").aggregate([("doc_id", "count")])
+        return pa.table(
+            {
+                "lang": g["lang"],
+                "n": g["doc_id_count"].cast(pa.int64()),
+            }
+        ).sort_by("lang")
+
+    def collapse_source(sf_dir):
+        """CollapseCollector analog: top-2 hits per source for a term."""
+        t = _search_table(sf_dir, Term(_T_MID), limit=10**9)
+        docs = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "source"]
+        )
+        src = dict(zip(docs["doc_id"].to_pylist(), docs["source"].to_pylist()))
+        import collections
+
+        best: dict[str, list] = collections.defaultdict(list)
+        for d, s in zip(t["doc_id"].to_pylist(), t["score"].to_pylist()):
+            b = best[src[d]]
+            if len(b) < 2:
+                b.append((d, s))
+        rows = [(s, d, sc) for s, lst in best.items() for d, sc in lst]
+        rows.sort()
+        return pa.table(
+            {
+                "source": pa.array([r[0] for r in rows], pa.string()),
+                "doc_id": pa.array([r[1] for r in rows], pa.int64()),
+                "score": pa.array([r[2] for r in rows], pa.float64()),
+            }
+        )
+
+    return {
+        # --- inverted index + BM25 core ---
+        "term_stats": term_stats,
+        "doc_lengths": doc_lengths,
+        "bm25_top10_common": lambda sf: _search_table(sf, Term(_T_COMMON), 10),
+        "bm25_top10_mid": lambda sf: _search_table(sf, Term(_T_MID), 10),
+        "bm25_top100_mid": lambda sf: _search_table(sf, Term(_T_MID), 100),
+        "bm25_absent": lambda sf: _search_table(sf, Term(_T_ABSENT), 10),
+        "bm25_or_top10": lambda sf: _search_table(sf, Or(Term(_T_MID), Term(_T_MID2)), 10),
+        "bm25_and_top10": lambda sf: _search_table(sf, And(Term(_T_MID), Term(_T_MID2)), 10),
+        "bm25_andnot_top10": lambda sf: _search_table(
+            sf, AndNot(Term(_T_MID), Term(_T_MID2)), 10
+        ),
+        "phrase_top10": lambda sf: _search_table(sf, Phrase([_T_MID, _T_MID2]), 10),
+        "prefix_docs": lambda sf: _search_table(sf, Prefix("s"), 10**9),
+        "facet_lang": facet_lang,
+        "collapse_source": collapse_source,
+        # --- training-data ops ---
+        "quality_scores": quality,
+        "langid": langid,
+        "fingerprint": fingerprint,
+        "dedup_exact": dedup_exact,
+        "jaccard_pairs": jaccard_pairs,
+        "minhash_candidates": minhash_cands,  # rows-only (no SQL oracle)
+        "simhash": simhash,  # rows-only (no SQL oracle)
+        "knn_cosine_top10": knn,
+        "knn_lsh_top10": knn_lsh,  # rows-only (approximate by design)
+        "near_dup_cosine": near_dup_cosine,
+        "numeric_range": numeric_range,
+    }
+
+
+def _collect(ds) -> list[pa.Table]:
+    import ray
+
+    return [t for t in ray.get(ds.to_arrow_refs()) if len(t)]
+
+
+def oracle_sql() -> dict[str, str]:
+    raw_tok = f"regexp_extract_all(lower(text), '{_RX_SQL}')"
+    return {
+        "term_stats": f"""WITH {_BASE_CTES}
+SELECT term, count(*)::BIGINT AS df, sum(tf)::DOUBLE AS weight
+FROM tfs GROUP BY term ORDER BY term""",
+        "doc_lengths": f"""WITH {_BASE_CTES}
+SELECT doc_id::BIGINT AS doc_id, dl::BIGINT AS n_tokens,
+       len_byte, dlq::BIGINT AS quantized_len
+FROM qdl ORDER BY doc_id""",
+        "bm25_top10_common": _topk_sql(f"term = '{_T_COMMON}'", 10),
+        "bm25_top10_mid": _topk_sql(f"term = '{_T_MID}'", 10),
+        "bm25_top100_mid": _topk_sql(f"term = '{_T_MID}'", 100),
+        "bm25_absent": _topk_sql(f"term = '{_T_ABSENT}'", 10),
+        "bm25_or_top10": _topk_sql(f"term IN ({_terms_sql([_T_MID, _T_MID2])})", 10),
+        "bm25_and_top10": f"""WITH {_BASE_CTES}
+SELECT doc_id::BIGINT AS doc_id, round(sum(score), 6) AS score
+FROM bm WHERE term IN ({_terms_sql([_T_MID, _T_MID2])})
+GROUP BY doc_id HAVING count(DISTINCT term) = 2
+ORDER BY score DESC, doc_id LIMIT 10""",
+        "bm25_andnot_top10": f"""WITH {_BASE_CTES}
+SELECT doc_id::BIGINT AS doc_id, round(sum(score), 6) AS score
+FROM bm WHERE term = '{_T_MID}'
+  AND doc_id NOT IN (SELECT doc_id FROM tfs WHERE term = '{_T_MID2}')
+GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""",
+        "phrase_top10": f"""WITH {_BASE_CTES},
+pos AS (
+  SELECT doc_id, term,
+         row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1 AS p
+  FROM filt
+),
+pdocs AS (
+  SELECT DISTINCT a.doc_id FROM pos a
+  JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+  WHERE a.term = '{_T_MID}' AND b.term = '{_T_MID2}'
+)
+SELECT doc_id::BIGINT AS doc_id, round(sum(score), 6) AS score
+FROM bm WHERE term IN ({_terms_sql([_T_MID, _T_MID2])})
+  AND doc_id IN (SELECT doc_id FROM pdocs)
+GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""",
+        "prefix_docs": f"""WITH {_BASE_CTES}
+SELECT DISTINCT doc_id::BIGINT AS doc_id, 1.0 AS score
+FROM tfs WHERE term LIKE 's%'""",
+        "facet_lang": f"""WITH {_BASE_CTES}
+SELECT d.lang AS lang, count(DISTINCT t.doc_id)::BIGINT AS n
+FROM tfs t JOIN documents d USING (doc_id)
+WHERE t.term = '{_T_MID}'
+GROUP BY d.lang ORDER BY lang""",
+        "collapse_source": f"""WITH {_BASE_CTES},
+scored AS (
+  SELECT doc_id, round(sum(score), 6) AS score FROM bm
+  WHERE term = '{_T_MID}' GROUP BY doc_id
+),
+ranked AS (
+  SELECT d.source, s.doc_id, s.score,
+         row_number() OVER (
+           PARTITION BY d.source ORDER BY s.score DESC, s.doc_id
+         ) AS rn
+  FROM scored s JOIN documents d USING (doc_id)
+)
+SELECT source, doc_id::BIGINT AS doc_id, score
+FROM ranked WHERE rn <= 2 ORDER BY source, doc_id""",
+        "quality_scores": f"""WITH tokarr AS (
+  SELECT doc_id, {raw_tok} AS arr FROM documents
+),
+tok AS (SELECT doc_id, unnest(arr) AS term FROM tokarr),
+agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n,
+         sum(CASE WHEN term IN ({_STOPLIST_SQL}) THEN 1 ELSE 0 END)::DOUBLE AS ns,
+         sum(length(term))::DOUBLE AS sl
+  FROM tok GROUP BY doc_id
+)
+SELECT d.doc_id::BIGINT AS doc_id,
+       coalesce(a.n, 0)::BIGINT AS n_tokens_raw,
+       round(coalesce(a.ns / a.n, 0), 6) AS stopword_ratio,
+       round(coalesce(a.sl / a.n, 0), 6) AS mean_token_len
+FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""",
+        "langid": f"""WITH tokarr AS (
+  SELECT doc_id, {raw_tok} AS arr FROM documents
+),
+tok AS (SELECT doc_id, unnest(arr) AS term FROM tokarr),
+agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n,
+         sum(CASE WHEN term IN ({_STOPLIST_SQL}) THEN 1 ELSE 0 END)::DOUBLE AS ns
+  FROM tok GROUP BY doc_id
+),
+r AS (
+  SELECT d.doc_id, round(coalesce(a.ns / a.n, 0), 6) AS ratio
+  FROM documents d LEFT JOIN agg a USING (doc_id)
+)
+SELECT doc_id::BIGINT AS doc_id, ratio AS en_stop_ratio,
+       CASE WHEN ratio >= 0.08 THEN 'en' ELSE 'other' END AS lang_pred
+FROM r ORDER BY doc_id""",
+        "fingerprint": f"""
+SELECT doc_id::BIGINT AS doc_id,
+       md5(array_to_string({raw_tok}, ' ')) AS fingerprint
+FROM documents ORDER BY doc_id""",
+        "dedup_exact": """
+SELECT md5(text) AS text_md5, min(doc_id)::BIGINT AS doc_id
+FROM documents GROUP BY md5(text) ORDER BY doc_id""",
+        "jaccard_pairs": f"""WITH tokarr AS (
+  SELECT doc_id, {raw_tok} AS arr FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(arr, i + 1, i + 3), ' ') AS shingle
+  FROM (SELECT doc_id, arr, unnest(range(len(arr) - 2)) AS i FROM tokarr
+        WHERE len(arr) >= 3)
+),
+sizes AS (SELECT doc_id, count(*)::DOUBLE AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::DOUBLE AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a::BIGINT AS doc_a, doc_b::BIGINT AS doc_b,
+       round(inter / (sa.n + sb.n - inter), 6) AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE inter / (sa.n + sb.n - inter) >= 0.2
+ORDER BY doc_a, doc_b""",
+        "knn_cosine_top10": """WITH q AS (
+  SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
+)
+SELECT e.vec_id::BIGINT AS vec_id,
+       round(list_cosine_similarity(e.embedding, q.qe), 6) AS cosine
+FROM embeddings e CROSS JOIN q
+ORDER BY cosine DESC, vec_id LIMIT 10""",
+        "near_dup_cosine": """
+SELECT a.vec_id::BIGINT AS vec_a, b.vec_id::BIGINT AS vec_b,
+       round(list_cosine_similarity(a.embedding, b.embedding), 6) AS cosine
+FROM embeddings a
+JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9
+ORDER BY vec_a, vec_b""",
+        "numeric_range": """
+SELECT doc_id::BIGINT AS doc_id, n_chars::BIGINT AS n_chars
+FROM documents WHERE n_chars BETWEEN 500 AND 900 ORDER BY doc_id""",
+    }
