@@ -1,0 +1,313 @@
+"""Benchmark harness. Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
+   "sf": ..., "num_cpus": N}
+
+Headline pipelines over $GRAFT_SF_DIR (default /root/testdata/sf0.1):
+  * index build over the sf documents table,
+  * index build over a larger deterministic synthetic pages corpus
+    (BASELINE.json input_hint shape) -> docs/s,
+  * BM25 query latency p50 over a standard query set,
+  * dedup / knn / text-stat ops.
+
+--scaling: run the pages index build in two FRESH processes at
+num_cpus=8 and num_cpus=32 on the same input and report throughput at both
+plus scaling efficiency (the sandbox proxy for the N vs 4N-node cluster
+criterion; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+PAGES_N = int(os.environ.get("GRAFT_BENCH_PAGES", "100000"))
+PAGES_SHARDS = 32
+PAGES_PARQUET = f"/tmp/wnr_bench_pages_{PAGES_N}"  # a DIRECTORY of shard files
+
+
+def ensure_pages_corpus() -> str:
+    done = os.path.join(PAGES_PARQUET, "_SUCCESS")
+    if not os.path.exists(done):
+        import pyarrow.parquet as pq
+
+        from whoosh_novo_ray.testing.pages import synth_pages
+
+        os.makedirs(PAGES_PARQUET, exist_ok=True)
+        t = synth_pages(n=PAGES_N, seed=42, vocab_size=20000, mean_len=120)
+        per = (len(t) + PAGES_SHARDS - 1) // PAGES_SHARDS
+        for i in range(PAGES_SHARDS):
+            part = t.slice(i * per, per)
+            if len(part):
+                pq.write_table(
+                    part,
+                    os.path.join(PAGES_PARQUET, f"part-{i:05d}.parquet"),
+                    compression="zstd",
+                    row_group_size=4096,
+                )
+        open(done, "w").close()
+    return PAGES_PARQUET
+
+
+def build_pages_index(num_cpus: int, out_dir: str) -> dict:
+    """One fresh-process measurement unit: build the pages index."""
+    import shutil
+
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        logging_level="ERROR",
+    )
+    import ray.data
+
+    from whoosh_novo_ray.index import IndexConfig, build_index
+
+    path = ensure_pages_corpus()
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    # Warm the worker pool with one full untimed run (worker process spawn +
+    # per-worker imports of whoosh_novo_ray/pyarrow/numpy are one-time session
+    # costs, not pipeline throughput), then time the steady-state run.
+    warm_docs = ray.data.read_parquet(
+        path, columns=["doc_id", "text"], override_num_blocks=num_cpus
+    )
+    build_index(
+        warm_docs,
+        out_dir + "_warm",
+        IndexConfig(num_buckets=num_cpus * 2, with_positions=True),
+        lineage="warm",
+    )
+    shutil.rmtree(out_dir + "_warm", ignore_errors=True)
+
+    # Timed: median of 3 runs (the sandbox VM has noisy neighbors; single
+    # runs vary +-30%). Blocks ~4x cpus for load balance; buckets ~2x cpus.
+    walls = []
+    for rep in range(3):
+        docs = ray.data.read_parquet(
+            path, columns=["doc_id", "text"], override_num_blocks=num_cpus * 4
+        )
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        man = build_index(
+            docs,
+            out_dir,
+            IndexConfig(num_buckets=num_cpus * 2, with_positions=True),
+            lineage=f"bench:{path}",
+        )
+        walls.append(time.perf_counter() - t0)
+    wall = statistics.median(walls)
+    res = {
+        "num_cpus": num_cpus,
+        "docs": man["doc_count"],
+        "postings": man["n_postings"],
+        "build_sec": round(wall, 3),
+        "build_secs_all": [round(w, 3) for w in walls],
+        "docs_per_sec": round(man["doc_count"] / wall, 1),
+    }
+    ray.shutdown()
+    return res
+
+
+def query_latencies(index_dir: str, repeats: int = 20) -> dict:
+    from whoosh_novo_ray.index import Index
+    from whoosh_novo_ray.search import And, Or, Phrase, Searcher, Term
+
+    idx = Index(index_dir)
+    qset = {
+        "q_term_common": Term("the"),
+        "q_term_mid": Term("search"),
+        "q_or3": Or(Term("search"), Term("index"), Term("data")),
+        "q_and2": And(Term("search"), Term("data")),
+        "q_phrase": Phrase(["search", "index"]),
+    }
+    out = {}
+    for name, q in qset.items():
+        samples = []
+        for _ in range(repeats):
+            s = Searcher(idx)  # cold per repeat: includes term-dict fetch
+            t0 = time.perf_counter()
+            s.search(q, limit=10)
+            samples.append(time.perf_counter() - t0)
+        out[name] = round(statistics.median(samples), 5)
+    return out
+
+
+def run_ops(sf_dir: str) -> dict:
+    import ray.data
+
+    from whoosh_novo_ray.ops import (
+        brute_force_knn,
+        exact_dedup_keep,
+        minhash_lsh_candidates,
+        quality_table,
+        simhash_table,
+    )
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    times = {}
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        fn()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    timed(
+        "op_dedup_exact",
+        lambda: exact_dedup_keep(
+            ray.data.read_parquet(docs_path, columns=["doc_id", "text"])
+        ).count(),
+    )
+    timed(
+        "op_quality",
+        lambda: quality_table(
+            ray.data.read_parquet(docs_path, columns=["doc_id", "text"])
+        ).count(),
+    )
+    timed(
+        "op_simhash",
+        lambda: simhash_table(
+            ray.data.read_parquet(docs_path, columns=["doc_id", "text"])
+        ).count(),
+    )
+    timed(
+        "op_minhash_lsh",
+        lambda: minhash_lsh_candidates(
+            ray.data.read_parquet(docs_path, columns=["doc_id", "text"])
+        ),
+    )
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    q = pq.read_table(emb_path).column("embedding")[0].as_py()
+    timed(
+        "op_knn",
+        lambda: brute_force_knn(
+            ray.data.read_parquet(emb_path, columns=["vec_id", "embedding"]),
+            np.asarray(q, np.float64),
+            k=10,
+        ),
+    )
+    return times
+
+
+def main_bench() -> None:
+    import ray
+
+    ensure_pages_corpus()
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        logging_level="ERROR",
+    )
+    import shutil
+
+    import ray.data
+
+    from whoosh_novo_ray.index import IndexConfig, build_index
+
+    queries: dict[str, float] = {}
+    t_start = time.perf_counter()
+
+    # 1) index build over the sf documents table
+    docs = ray.data.read_parquet(
+        os.path.join(SF_DIR, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out_docs = "/tmp/wnr_bench_idx_docs"
+    shutil.rmtree(out_docs, ignore_errors=True)
+    t0 = time.perf_counter()
+    build_index(docs, out_docs, IndexConfig(num_buckets=16), lineage="bench-docs")
+    queries["build_documents_index"] = round(time.perf_counter() - t0, 3)
+
+    # 2) index build over the big synthetic pages corpus
+    out_pages = "/tmp/wnr_bench_idx_pages"
+    pages = ray.data.read_parquet(
+        PAGES_PARQUET, columns=["doc_id", "text"], override_num_blocks=NUM_CPUS
+    )
+    t0 = time.perf_counter()
+    man = build_index(
+        pages,
+        out_pages,
+        IndexConfig(num_buckets=max(16, NUM_CPUS)),
+        lineage="bench-pages",
+    )
+    build_pages = time.perf_counter() - t0
+    queries["build_pages_index"] = round(build_pages, 3)
+    queries["pages_docs_per_sec"] = round(man["doc_count"] / build_pages, 1)
+
+    # 3) query latency p50 on the pages index
+    queries.update(query_latencies(out_pages))
+
+    # 4) ops over the sf tables
+    queries.update(run_ops(SF_DIR))
+
+    total = time.perf_counter() - t_start
+    print(
+        json.dumps(
+            {
+                "metric": "whoosh_novo_ray bench: index build + BM25 p50 + ops",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": queries,
+                "sf": SF_DIR,
+                "num_cpus": NUM_CPUS,
+                "pages_corpus_docs": PAGES_N,
+            }
+        )
+    )
+    ray.shutdown()
+
+
+def main_scaling() -> None:
+    ensure_pages_corpus()
+    results = {}
+    for n in (8, 32):
+        cp = subprocess.run(
+            [sys.executable, __file__, "--_build-only", str(n)],
+            capture_output=True,
+            text=True,
+            timeout=3600,
+        )
+        line = [l for l in cp.stdout.splitlines() if l.startswith("{")][-1]
+        results[n] = json.loads(line)
+    t8, t32 = results[8]["docs_per_sec"], results[32]["docs_per_sec"]
+    eff = t32 / (4 * t8)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling efficiency 8->32 cpus (N->4N proxy)",
+                "value": round(eff, 3),
+                "unit": "efficiency",
+                "queries": {
+                    "docs_per_sec_8cpu": t8,
+                    "docs_per_sec_32cpu": t32,
+                    "build_sec_8cpu": results[8]["build_sec"],
+                    "build_sec_32cpu": results[32]["build_sec"],
+                    "build_secs_all_8cpu": results[8]["build_secs_all"],
+                    "build_secs_all_32cpu": results[32]["build_secs_all"],
+                },
+                "sf": PAGES_PARQUET,
+                "num_cpus": 32,
+                "pages_corpus_docs": PAGES_N,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--_build-only" in sys.argv:
+        n = int(sys.argv[sys.argv.index("--_build-only") + 1])
+        print(json.dumps(build_pages_index(n, f"/tmp/wnr_scaling_idx_{n}")))
+    elif "--scaling" in sys.argv:
+        main_scaling()
+    else:
+        main_bench()

@@ -83,6 +83,18 @@ class StandardAnalyzer:
 
     def analyze_batch(self, texts: list[str]) -> AnalyzedBatch:
         """Tokenize a batch of documents into one flat token stream."""
+        doc_idx, codes, uniques, pos, field_lengths = self.analyze_batch_coded(texts)
+        return AnalyzedBatch(doc_idx, uniques[codes], pos, field_lengths)
+
+    def analyze_batch_coded(
+        self, texts: list[str]
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        """Like analyze_batch but dictionary-coded: returns
+        (doc_idx, term_codes, unique_terms, pos, field_lengths).
+
+        Length/stopword filtering and (downstream) hashing run once per
+        UNIQUE term, not per token — the fused fast path for indexing.
+        """
         rx = self._rx
         per_doc: list[list[str]] = [rx.findall(t.lower()) if t else [] for t in texts]
         counts = np.fromiter((len(p) for p in per_doc), dtype=np.int64, count=len(per_doc))
@@ -96,8 +108,12 @@ class StandardAnalyzer:
 
         if n == 0:
             empty = np.empty(0, dtype=np.int64)
-            return AnalyzedBatch(
-                empty, tokens, empty.astype(np.int32), np.zeros(len(texts), np.int64)
+            return (
+                empty,
+                empty.copy(),
+                np.empty(0, dtype=object),
+                empty.astype(np.int32),
+                np.zeros(len(texts), np.int64),
             )
 
         # original (pre-filter) position of each token within its doc
@@ -105,18 +121,22 @@ class StandardAnalyzer:
         pre_len = np.diff(np.append(pre_start, n))
         orig_pos = np.arange(n) - np.repeat(pre_start, pre_len)
 
-        s = pd.Series(tokens)
-        keep = np.ones(n, dtype=bool)
+        codes, uniques = pd.factorize(tokens, sort=False)
+        uniques = np.asarray(uniques, dtype=object)
+
+        u = pd.Series(uniques)
+        keep_u = np.ones(len(uniques), dtype=bool)
         if self.minsize > 1 or self.maxsize is not None:
-            tlen = s.str.len().to_numpy()
-            keep &= tlen >= self.minsize
+            ulen = u.str.len().to_numpy()
+            keep_u &= ulen >= self.minsize
             if self.maxsize is not None:
-                keep &= tlen <= self.maxsize
+                keep_u &= ulen <= self.maxsize
         if self.stoplist:
-            keep &= ~s.isin(self.stoplist).to_numpy()
+            keep_u &= ~u.isin(self.stoplist).to_numpy()
+        keep = keep_u[codes]
 
         doc_idx = doc_idx[keep]
-        tokens = tokens[keep]
+        codes = codes[keep]
         orig_pos = orig_pos[keep]
         field_lengths = np.bincount(doc_idx, minlength=len(texts)).astype(np.int64)
 
@@ -132,7 +152,7 @@ class StandardAnalyzer:
         else:
             pos = np.empty(0, dtype=np.int32)
 
-        return AnalyzedBatch(doc_idx, tokens, pos, field_lengths)
+        return doc_idx, codes, uniques, pos, field_lengths
 
 
 def simple_analyzer() -> StandardAnalyzer:

@@ -24,32 +24,47 @@ _U7F = np.uint64(0x7F)
 
 
 def varint_encode(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Vectorized LEB128 encode. Returns (byte buffer uint8, nbytes per value)."""
+    """Vectorized LEB128 encode. Returns (byte buffer uint8, nbytes per value).
+
+    Fast path: posting deltas/tfs are overwhelmingly < 128, so the common
+    case is a single cast; multi-byte values are filled by iterating only
+    over the (few) remaining actives.
+    """
     v = np.ascontiguousarray(values, dtype=np.uint64)
     n = len(v)
     if n == 0:
         return np.empty(0, np.uint8), np.empty(0, np.int64)
+    big_mask = v >= np.uint64(128)
+    if not big_mask.any():
+        return v.astype(np.uint8), np.ones(n, np.int64)
     nb = np.ones(n, np.int64)
-    x = v >> _U7
-    while x.any():
-        nb += x > 0
+    x = v[big_mask] >> _U7
+    nb_big = np.ones(len(x), np.int64)
+    while True:
+        more = x > 0
+        if not more.any():
+            break
+        nb_big += more
         x >>= _U7
+    nb[big_mask] = nb_big
     ends = np.cumsum(nb)
     starts = ends - nb
     out = np.zeros(int(ends[-1]), np.uint8)
-    val = v.copy()
-    k = 0
-    active = np.ones(n, bool)
-    while True:
-        idx = starts[active] + k
-        chunk = val[active]
-        more = (k + 1) < nb[active]
-        out[idx] = (chunk & _U7F).astype(np.uint8) | (more.astype(np.uint8) << 7)
+    # layer 0 for everyone
+    out[starts] = (v & _U7F).astype(np.uint8) | (big_mask.astype(np.uint8) << 7)
+    # higher layers only for multi-byte values
+    idx = np.flatnonzero(big_mask)
+    val = v[idx] >> _U7
+    k = 1
+    while len(idx):
+        more = (k + 1) < nb[idx]
+        out[starts[idx] + k] = (val & _U7F).astype(np.uint8) | (
+            more.astype(np.uint8) << 7
+        )
+        keep = more
+        idx = idx[keep]
+        val = val[keep] >> _U7
         k += 1
-        active = nb > k
-        if not active.any():
-            break
-        val >>= _U7
     return out, nb
 
 

@@ -135,16 +135,17 @@ class TokenizePostings:
         cfg = self.cfg
         texts = batch[cfg.text_col].to_pylist()
         doc_ids = batch[cfg.id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
-        ab = cfg.analyzer.analyze_batch(texts)
-        if len(ab.doc_idx) == 0:
+        doc_idx, codes, uniques, pos, field_lengths = (
+            cfg.analyzer.analyze_batch_coded(texts)
+        )
+        if len(doc_idx) == 0:
             return _empty_postings_table(cfg.with_positions)
 
         # group the flat token stream into per-(doc, term) postings
-        codes, uniques = pd.factorize(ab.tokens, sort=False)
-        order = np.lexsort((codes, ab.doc_idx))
-        s_doc = ab.doc_idx[order]
+        order = np.lexsort((codes, doc_idx))
+        s_doc = doc_idx[order]
         s_code = codes[order]
-        s_pos = ab.pos[order]
+        s_pos = pos[order]
 
         key_change = np.empty(len(s_doc), dtype=bool)
         key_change[0] = True
@@ -155,14 +156,27 @@ class TokenizePostings:
         tf = np.diff(np.append(starts, len(s_doc))).astype(np.uint32)
 
         g_doc_idx = s_doc[starts]
-        g_terms = uniques[s_code[starts]]
+        g_codes = s_code[starts]
         g_doc_ids = doc_ids[g_doc_idx]
-        g_len_bytes = lengths_to_bytes(ab.field_lengths)[g_doc_idx]
-        g_bucket = bucket_for_terms(cfg, g_terms, g_doc_ids)
+        g_len_bytes = lengths_to_bytes(field_lengths)[g_doc_idx]
+
+        # shuffle key: hash once per UNIQUE term, broadcast via codes
+        hash_u = stable_term_hash(uniques)
+        h = hash_u[g_codes]
+        if cfg.heavy_terms:
+            heavy_u = pd.Series(uniques).isin(cfg.heavy_terms).to_numpy()
+            heavy = heavy_u[g_codes]
+            if heavy.any():
+                salt = (
+                    g_doc_ids >> np.uint64(cfg.salt_shift)
+                ) % np.uint64(cfg.salt_k)
+                h = h.copy()
+                h[heavy] = h[heavy] + salt[heavy] * _SALT_PRIME
+        g_bucket = (h % np.uint64(cfg.num_buckets)).astype(np.uint32)
 
         cols = {
             "bucket": pa.array(g_bucket, pa.uint32()),
-            "term": pa.array(g_terms, pa.string()),
+            "term": pa.array(uniques[g_codes], pa.string()),
             "doc_id": pa.array(g_doc_ids, pa.uint64()),
             "tf": pa.array(tf, pa.uint32()),
             "len_byte": pa.array(g_len_bytes, pa.uint8()),
@@ -212,23 +226,34 @@ def encode_bucket_table(tbl: pa.Table, block_size: int, with_positions: bool) ->
     table (count / max id / max weight / min & max len byte) with
     ``np.*.reduceat`` — no per-term Python loop.
     """
-    tbl = tbl.sort_by([("term", "ascending"), ("doc_id", "ascending")])
     n = len(tbl)
-    terms_col = tbl["term"].combine_chunks()
-    dict_arr = pc.dictionary_encode(terms_col)
+    # dictionary-encode terms (C pass), then sort postings by
+    # (lexicographic term rank, doc_id) entirely in numpy — much cheaper
+    # than an Arrow sort over the raw string column.
+    dict_arr = pc.dictionary_encode(tbl["term"].combine_chunks())
     if isinstance(dict_arr, pa.ChunkedArray):
         dict_arr = dict_arr.combine_chunks()
-    codes = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-    uniq_terms = dict_arr.dictionary
+    raw_codes = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    dictionary = np.asarray(dict_arr.dictionary.to_pylist(), dtype=object)
+    dict_order = np.argsort(dictionary, kind="stable")
+    rank = np.empty(len(dictionary), np.int64)
+    rank[dict_order] = np.arange(len(dictionary))
+    sort_key = rank[raw_codes]
 
-    doc_ids = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-    tfs = tbl["tf"].to_numpy(zero_copy_only=False).astype(np.uint64)
-    len_bytes = tbl["len_byte"].to_numpy(zero_copy_only=False).astype(np.uint8)
+    doc_ids_u = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    order = np.lexsort((doc_ids_u, sort_key))
+
+    codes = sort_key[order]
+    doc_ids = doc_ids_u[order]
+    tfs = tbl["tf"].to_numpy(zero_copy_only=False).astype(np.uint64)[order]
+    len_bytes = tbl["len_byte"].to_numpy(zero_copy_only=False).astype(np.uint8)[order]
+    sorted_terms = dictionary[dict_order]
 
     term_change = np.empty(n, dtype=bool)
     term_change[0] = True
     term_change[1:] = codes[1:] != codes[:-1]
     term_starts = np.flatnonzero(term_change)
+    uniq_terms = pa.array(sorted_terms[codes[term_starts]], pa.string())
     n_terms = len(term_starts)
     df = np.diff(np.append(term_starts, n)).astype(np.int64)
 
@@ -309,7 +334,9 @@ def encode_bucket_table(tbl: pa.Table, block_size: int, with_positions: bool) ->
     }
 
     if with_positions and "positions" in tbl.column_names:
-        pos_col = tbl["positions"].combine_chunks()
+        pos_col = pc.take(tbl["positions"].combine_chunks(), pa.array(order))
+        if isinstance(pos_col, pa.ChunkedArray):
+            pos_col = pos_col.combine_chunks()
         pos_counts = np.diff(pos_col.offsets.to_numpy()).astype(np.int64)
         pos_flat = pos_col.values.to_numpy(zero_copy_only=False).astype(np.uint64)
         pos_buf, per_posting_nb = encode_positions(pos_flat, pos_counts)
