@@ -143,6 +143,34 @@ def encode_positions(pos_flat: np.ndarray, counts: np.ndarray) -> tuple[np.ndarr
     return buf, per_posting
 
 
+def decode_positions_flat(buf, tfs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized decode of a positions blob given the per-posting position
+    counts (== tf). Returns (flat positions uint64, counts int64): posting i's
+    positions are ``flat[counts[:i].sum() : counts[:i+1].sum()]``.
+    """
+    counts = np.ascontiguousarray(tfs, dtype=np.int64)
+    n = len(counts)
+    total = int(counts.sum())
+    if n == 0 or total == 0:
+        return np.empty(0, np.uint64), counts
+    vals = varint_decode(buf, n + total)
+    # entry layout per posting: [count, d0..d_{c-1}]; counts sit at
+    # offset cumsum(c+1) boundaries
+    ends = np.cumsum(counts + 1)
+    cnt_pos = ends - (counts + 1)
+    mask = np.ones(n + total, bool)
+    mask[cnt_pos] = False
+    deltas = vals[mask]
+    # segmented cumsum per posting
+    c = np.cumsum(deltas, dtype=np.uint64)
+    seg_start = np.cumsum(counts) - counts
+    nz = counts > 0
+    first = seg_start[nz]
+    corr_vals = c[first] - deltas[first]
+    flat = c - np.repeat(corr_vals, counts[nz])
+    return flat, counts
+
+
 def decode_positions(buf, n_postings: int) -> list[np.ndarray]:
     """Decode ``n_postings`` position lists from a positions-blob slice."""
     out: list[np.ndarray] = []

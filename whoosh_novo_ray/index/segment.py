@@ -125,7 +125,17 @@ class TermRow:
     def decode_all_positions(self) -> list[np.ndarray]:
         if self.pos_blob is None:
             raise ValueError("index built without positions")
-        return decode_positions(self.pos_blob, self.df)
+        flat, counts = self.decode_all_positions_flat()
+        return np.split(flat, np.cumsum(counts)[:-1])
+
+    def decode_all_positions_flat(self) -> tuple[np.ndarray, np.ndarray]:
+        """(flat positions, per-posting counts) — counts equal the tfs."""
+        if self.pos_blob is None:
+            raise ValueError("index built without positions")
+        from whoosh_novo_ray.codec import decode_positions_flat, varint_decode
+
+        tfs = varint_decode(self.tfs_blob, self.df)
+        return decode_positions_flat(self.pos_blob, tfs)
 
 
 def _row_to_termrow(tbl: pa.Table, i: int, with_positions: bool) -> TermRow:

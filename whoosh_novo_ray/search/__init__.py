@@ -1,4 +1,6 @@
 from whoosh_novo_ray.search.query import (
+    NULL,
+    NullQuery,
     And,
     AndMaybe,
     AndNot,
@@ -16,6 +18,8 @@ from whoosh_novo_ray.search.scoring import BM25F, Frequency, TFIDF
 from whoosh_novo_ray.search.searcher import Searcher
 
 __all__ = [
+    "NULL",
+    "NullQuery",
     "Term",
     "And",
     "Or",

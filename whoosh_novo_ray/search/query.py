@@ -187,3 +187,11 @@ class Every(Query):
     """All documents, constant score (query/qcore.py:650)."""
 
     boost: float = 1.0
+
+
+class NullQuery(Query):
+    """Matches nothing (reference _NullQuery, query/qcore.py:593) — e.g. a
+    query string that analyzed away to stop words."""
+
+
+NULL = NullQuery()

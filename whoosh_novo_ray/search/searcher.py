@@ -85,27 +85,40 @@ class Searcher:
 
     def term_postings(
         self, term: str, with_positions: bool = False
-    ) -> tuple[np.ndarray, np.ndarray, np.ndarray, list[np.ndarray] | None]:
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray, tuple[np.ndarray, np.ndarray] | None]:
         """Fully-decoded merged postings for a term:
-        (ids asc, tfs, len_bytes, positions|None)."""
+        (ids asc, tfs, len_bytes, positions). ``positions`` is None unless
+        requested, else a (flat_positions, per_posting_counts) pair — posting
+        i's positions are flat[counts[:i].sum() : counts[:i+1].sum()]."""
         rows = self._rows(term, with_positions)
         if not rows:
             e = np.empty(0, np.uint64)
-            return e, e.astype(np.uint64), np.empty(0, np.uint8), ([] if with_positions else None)
+            pos = (e.copy(), np.empty(0, np.int64)) if with_positions else None
+            return e, e.copy(), np.empty(0, np.uint8), pos
         parts = [r.decode_all() for r in rows]
         ids = np.concatenate([p[0] for p in parts])
         tfs = np.concatenate([p[1] for p in parts])
         lens = np.concatenate([p[2] for p in parts])
-        pos: list[np.ndarray] | None = None
+        pos = None
         if with_positions:
-            pos = []
-            for r in rows:
-                pos.extend(r.decode_all_positions())
+            flats = [r.decode_all_positions_flat() for r in rows]
+            flat = np.concatenate([f[0] for f in flats])
+            counts = np.concatenate([f[1] for f in flats])
         if len(rows) > 1:  # salted term: bucket slices interleave by doc id
             order = np.argsort(ids, kind="stable")
             ids, tfs, lens = ids[order], tfs[order], lens[order]
-            if pos is not None:
-                pos = [pos[i] for i in order]
+            if with_positions:
+                # ragged gather of each posting's position run
+                offs = np.cumsum(counts) - counts
+                sel_off = offs[order]
+                sel_cnt = counts[order]
+                base = np.repeat(sel_off, sel_cnt)
+                run_start = np.cumsum(sel_cnt) - sel_cnt
+                within = np.arange(int(sel_cnt.sum())) - np.repeat(run_start, sel_cnt)
+                flat = flat[base + within]
+                counts = sel_cnt
+        if with_positions:
+            pos = (flat, counts)
         return ids, tfs, lens, pos
 
     def term_stats(self, term: str) -> tuple[int, float, float]:
@@ -135,6 +148,9 @@ class Searcher:
 
     def postings(self, q: Q.Query) -> Posting:
         """Evaluate a query node -> (doc_ids sorted asc, scores)."""
+        if isinstance(q, Q.NullQuery):
+            return _EMPTY
+
         if isinstance(q, Q.Term):
             ids, tfs, lens, _ = self.term_postings(q.text)
             if not len(ids):
@@ -260,46 +276,47 @@ class Searcher:
     def _phrase(self, q: Q.Phrase) -> Posting:
         """Positional adjacency: keep docs where word i+1 occurs at a position
         p+1..p+slop after an occurrence of word i (reference SpanNear2
-        semantics for the common slop=1 phrase case). Scored like the
-        underlying And of the terms."""
+        semantics for the common slop=1 phrase case, query/positional.py:134).
+        Scored like the underlying And of the terms.
+
+        Fully vectorized: candidate docs map to small indices, each term's
+        (doc, position) occurrences become flat uint64 keys
+        (cand_idx << 32 | pos), and the adjacency chain is a sequence of
+        sorted-array membership tests — no per-document Python loop.
+        """
         words = list(q.words)
         if not words:
             return _EMPTY
         per_term = [self.term_postings(w, with_positions=True) for w in words]
         if any(len(p[0]) == 0 for p in per_term):
             return _EMPTY
-        # candidate docs = intersection
         cand = per_term[0][0]
         for ids, *_ in per_term[1:]:
             cand = cand[np.isin(cand, ids)]
-        if not len(cand):
-            return _EMPTY
-        # verify adjacency per candidate doc
-        idx_of = [
-            {int(d): i for i, d in enumerate(ids)} for ids, *_ in per_term
-        ]
-        ok = np.zeros(len(cand), bool)
-        for ci, d in enumerate(cand):
-            d = int(d)
-            allowed = per_term[0][3][idx_of[0][d]].astype(np.int64)
-            for t in range(1, len(words)):
-                nxt = per_term[t][3][idx_of[t][d]].astype(np.int64)
-                # positions in nxt within (allowed, allowed+slop]
-                merged = []
-                for s in range(1, q.slop + 1):
-                    merged.append(nxt[np.isin(nxt, allowed + s)])
-                allowed = np.unique(np.concatenate(merged)) if merged else nxt[:0]
-                if not len(allowed):
-                    break
-            else:
-                ok[ci] = True
-        good = cand[ok]
-        if not len(good):
-            return _EMPTY
-        # score = sum of term scores on the surviving docs
-        ids, scores, counts = _merge_sum(
-            [self.postings(Q.Term(w)) for w in words]
-        )
+            if not len(cand):
+                return _EMPTY
+
+        def flat_keys(ids, pos_pair):
+            flat, counts = pos_pair
+            sel = np.isin(ids, cand)
+            occ_sel = np.repeat(sel, counts)
+            docs = np.repeat(ids, counts)[occ_sel]
+            cand_idx = np.searchsorted(cand, docs).astype(np.uint64)
+            return (cand_idx << np.uint64(32)) | flat[occ_sel]
+
+        allowed = flat_keys(per_term[0][0], per_term[0][3])
+        for t in range(1, len(words)):
+            nxt = np.sort(flat_keys(per_term[t][0], per_term[t][3]))
+            merged = [
+                shifted[np.isin(shifted, nxt)]
+                for s in range(1, q.slop + 1)
+                for shifted in [allowed + np.uint64(s)]
+            ]
+            allowed = np.unique(np.concatenate(merged)) if merged else nxt[:0]
+            if not len(allowed):
+                return _EMPTY
+        good = cand[np.unique((allowed >> np.uint64(32)).astype(np.int64))]
+        ids, scores, _counts = _merge_sum([self.postings(Q.Term(w)) for w in words])
         keep = np.isin(ids, good)
         return ids[keep], scores[keep]
 

@@ -1,0 +1,222 @@
+"""Block-max WAND: exact top-k disjunctive retrieval with block skipping.
+
+Doc-at-a-time port of the reference's quality-pruning machinery:
+* per-term max quality = score(max_weight, min_length) (scoring.py:195-212),
+* per-block quality = score(block_max_weight, block_min_length)
+  (W3LeafMatcher.block_quality / skip_to_quality, whoosh3.py:1085-1098),
+* the collector's minscore threshold loop (collectors.py:376-508).
+
+Cursors advance by whole blocks using the skip table (block_max_ids) without
+decoding; a block is decoded only when the WAND pivot test says documents in
+it could enter the current top-k. Results are EXACTLY the same ranking as the
+exhaustive evaluator (skipping uses strict inequality so boundary ties are
+never dropped); `blocks_skipped` reports the pruning win.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pyarrow as pa
+
+from whoosh_novo_ray.index.segment import TermRow
+from whoosh_novo_ray.search.scoring import TermScorer
+
+_SENTINEL = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+class LeafCursor:
+    """Cursor over one TermRow's posting blocks (lazy block decode)."""
+
+    __slots__ = (
+        "row",
+        "scorer",
+        "max_quality",
+        "block_i",
+        "ids",
+        "scores",
+        "pos",
+        "decoded_blocks",
+        "skipped_blocks",
+    )
+
+    def __init__(self, row: TermRow, scorer: TermScorer):
+        self.row = row
+        self.scorer = scorer
+        self.max_quality = scorer.max_quality(row.max_weight, row.min_len_byte)
+        self.block_i = 0
+        self.ids = None  # type: np.ndarray | None
+        self.scores = None
+        self.pos = 0
+        self.decoded_blocks = 0
+        self.skipped_blocks = 0
+        self._ensure_block()
+
+    # -- block machinery -------------------------------------------------------
+
+    def _ensure_block(self) -> None:
+        if self.block_i < self.row.n_blocks and self.ids is None:
+            ids, tfs, lens = self.row.decode_block(self.block_i)
+            self.ids = ids
+            self.scores = self.scorer.score_arrays(tfs, lens)
+            self.pos = 0
+            self.decoded_blocks += 1
+
+    def is_active(self) -> bool:
+        return self.block_i < self.row.n_blocks
+
+    def doc(self) -> np.uint64:
+        if not self.is_active():
+            return _SENTINEL
+        if self.ids is None:
+            # block not decoded: its first doc is unknown, but it is
+            # > previous block's max id; decode lazily on demand
+            self._ensure_block()
+        return self.ids[self.pos]
+
+    def score(self) -> float:
+        return float(self.scores[self.pos])
+
+    def block_quality(self) -> float:
+        return self.scorer.max_quality(
+            float(self.row.block_max_weights[self.block_i]),
+            int(self.row.block_min_lens[self.block_i]),
+        )
+
+    def block_max_id(self) -> np.uint64:
+        return np.uint64(self.row.block_max_ids[self.block_i])
+
+    def next(self) -> None:
+        self._ensure_block()
+        self.pos += 1
+        if self.pos >= len(self.ids):
+            self.block_i += 1
+            self.ids = None
+
+    def skip_to(self, target: np.uint64) -> None:
+        """Advance to the first doc >= target, skipping whole blocks via the
+        skip table (no decode for skipped blocks)."""
+        if not self.is_active():
+            return
+        # find first block whose max_id >= target
+        bmax = self.row.block_max_ids
+        j = int(np.searchsorted(bmax[self.block_i :], target) + self.block_i)
+        if j >= self.row.n_blocks:
+            self.skipped_blocks += self.row.n_blocks - self.block_i - (
+                1 if self.ids is not None else 0
+            )
+            self.block_i = self.row.n_blocks
+            self.ids = None
+            return
+        if j != self.block_i:
+            self.skipped_blocks += j - self.block_i - (0 if self.ids is None else 0)
+            self.block_i = j
+            self.ids = None
+        self._ensure_block()
+        self.pos = int(np.searchsorted(self.ids, target, side="left"))
+        if self.pos >= len(self.ids):  # can't happen if skip table is right
+            self.block_i += 1
+            self.ids = None
+            self._ensure_block()
+            self.pos = 0
+
+    def skip_past_block(self) -> None:
+        """Jump past the current block without decoding it (block-max skip)."""
+        self.block_i += 1
+        self.skipped_blocks += 1
+        self.ids = None
+
+
+def wand_topk(
+    rows_and_scorers: list[tuple[TermRow, TermScorer]], k: int
+) -> tuple[pa.Table, dict]:
+    """Exact top-k for the disjunction (summed scores) of the given terms.
+
+    Returns (arrow table (doc_id, score) ranked by (score desc, doc_id asc),
+    stats dict with decoded/skipped block counts).
+    """
+    cursors = [LeafCursor(r, s) for r, s in rows_and_scorers]
+    cursors = [c for c in cursors if c.is_active()]
+    heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap of size k
+
+    def threshold() -> float:
+        return heap[0][0] if len(heap) >= k else float("-inf")
+
+    while True:
+        active = [c for c in cursors if c.is_active()]
+        if not active:
+            break
+        active.sort(key=lambda c: int(c.doc()))
+        # WAND pivot: smallest prefix whose max-quality sum can beat threshold
+        t = threshold()
+        acc = 0.0
+        pivot_idx = None
+        for i, c in enumerate(active):
+            acc += c.max_quality
+            if acc > t:
+                pivot_idx = i
+                break
+        if pivot_idx is None:
+            break  # even all terms together cannot beat the threshold
+        pivot_doc = active[pivot_idx].doc()
+
+        if active[0].doc() == pivot_doc:
+            # Block-max refinement: within the doc range covered only by the
+            # contributors' CURRENT blocks (bounded by the next cursor's
+            # position), the reachable score is the sum of current block
+            # qualities. If that cannot beat the threshold, skip the whole
+            # range without per-doc scoring.
+            contributors = [c for c in active if int(c.doc()) <= int(pivot_doc)]
+            others = active[len(contributors) :]
+            bq = sum(c.block_quality() for c in contributors)
+            boundary = min(int(c.block_max_id()) for c in contributors)
+            if others:
+                boundary = min(boundary, min(int(c.doc()) for c in others) - 1)
+            if len(heap) >= k and bq < t and boundary >= int(pivot_doc):
+                for c in contributors:
+                    c.skip_to(np.uint64(boundary + 1))
+                continue
+            # score pivot_doc fully
+            s = 0.0
+            for c in contributors:
+                if c.doc() == pivot_doc:
+                    s += c.score()
+                    c.next()
+            entry = (s, -int(pivot_doc))
+            if len(heap) < k:
+                heapq.heappush(heap, entry)
+            elif entry > heap[0]:
+                heapq.heapreplace(heap, entry)
+        else:
+            # advance all cursors before the pivot up to it
+            for c in active[:pivot_idx]:
+                c.skip_to(pivot_doc)
+
+    ranked = sorted(heap, key=lambda e: (-e[0], -e[1]))
+    stats = {
+        "decoded_blocks": sum(c.decoded_blocks for c in cursors),
+        "skipped_blocks": sum(c.skipped_blocks for c in cursors),
+        "total_blocks": sum(c.row.n_blocks for c in cursors),
+    }
+    return (
+        pa.table(
+            {
+                "doc_id": pa.array([-e[1] for e in ranked], pa.uint64()),
+                "score": pa.array([e[0] for e in ranked], pa.float64()),
+            }
+        ),
+        stats,
+    )
+
+
+def searcher_wand_topk(searcher, terms: list[str], k: int = 10):
+    """Convenience: run block-max WAND for a bag-of-terms OR query through a
+    Searcher (same results as ``searcher.search(Or(*terms), limit=k)``)."""
+    searcher.prefetch_terms(terms)
+    pairs = []
+    for t in terms:
+        scorer = searcher.scorer_for(t)
+        for row in searcher._rows(t):
+            pairs.append((row, scorer))
+    return wand_topk(pairs, k)
