@@ -52,6 +52,9 @@ from whoosh_novo_ray.lengths import lengths_to_bytes
 
 MANIFEST_NAME = "manifest.json"
 _SALT_PRIME = np.uint64(2654435761)
+# no analyzer token can contain NUL, so this term marks per-doc metadata rows
+# that ride the same shuffle as postings (doc length + length byte)
+DOCMETA_TERM = "\x00doc"
 
 
 def stable_term_hash(terms) -> np.ndarray:
@@ -139,7 +142,8 @@ class TokenizePostings:
             cfg.analyzer.analyze_batch_coded(texts)
         )
         if len(doc_idx) == 0:
-            return _empty_postings_table(cfg.with_positions)
+            # no tokens in this batch — still emit the per-doc metadata rows
+            return _docmeta_only_table(cfg, doc_ids, field_lengths)
 
         # group the flat token stream into per-(doc, term) postings
         order = np.lexsort((codes, doc_idx))
@@ -174,19 +178,62 @@ class TokenizePostings:
                 h[heavy] = h[heavy] + salt[heavy] * _SALT_PRIME
         g_bucket = (h % np.uint64(cfg.num_buckets)).astype(np.uint32)
 
+        # per-document metadata rows (one per input doc, including token-less
+        # docs): term=DOCMETA_TERM, tf=true field length; spread by doc hash
+        n_docs = len(texts)
+        dm_bucket = (
+            pd.util.hash_array(doc_ids.astype(np.uint64))
+            % np.uint64(cfg.num_buckets)
+        ).astype(np.uint32)
+        dm_terms = np.full(n_docs, DOCMETA_TERM, dtype=object)
+
+        all_bucket = np.concatenate([g_bucket, dm_bucket])
+        all_terms = np.concatenate([uniques[g_codes], dm_terms])
+        all_ids = np.concatenate([g_doc_ids, doc_ids.astype(np.uint64)])
+        all_tf = np.concatenate(
+            [tf, np.minimum(field_lengths, 2**32 - 1).astype(np.uint32)]
+        )
+        all_lb = np.concatenate([g_len_bytes, lengths_to_bytes(field_lengths)])
+
         cols = {
-            "bucket": pa.array(g_bucket, pa.uint32()),
-            "term": pa.array(uniques[g_codes], pa.string()),
-            "doc_id": pa.array(g_doc_ids, pa.uint64()),
-            "tf": pa.array(tf, pa.uint32()),
-            "len_byte": pa.array(g_len_bytes, pa.uint8()),
+            "bucket": pa.array(all_bucket, pa.uint32()),
+            "term": pa.array(all_terms, pa.string()),
+            "doc_id": pa.array(all_ids, pa.uint64()),
+            "tf": pa.array(all_tf, pa.uint32()),
+            "len_byte": pa.array(all_lb, pa.uint8()),
         }
         if cfg.with_positions:
             offsets = np.append(starts, len(s_doc)).astype(np.int32)
-            cols["positions"] = pa.ListArray.from_arrays(
+            pos_list = pa.ListArray.from_arrays(
                 pa.array(offsets, pa.int32()), pa.array(s_pos, pa.int32())
             )
+            empty = pa.ListArray.from_arrays(
+                pa.array(np.zeros(n_docs + 1, np.int32)),
+                pa.array([], pa.int32()),
+            )
+            cols["positions"] = pa.concat_arrays([pos_list, empty])
         return pa.table(cols)
+
+
+def _docmeta_only_table(cfg: IndexConfig, doc_ids: np.ndarray, field_lengths: np.ndarray) -> pa.Table:
+    n_docs = len(doc_ids)
+    dm_bucket = (
+        pd.util.hash_array(doc_ids.astype(np.uint64)) % np.uint64(cfg.num_buckets)
+    ).astype(np.uint32)
+    cols = {
+        "bucket": pa.array(dm_bucket, pa.uint32()),
+        "term": pa.array(np.full(n_docs, DOCMETA_TERM, dtype=object), pa.string()),
+        "doc_id": pa.array(doc_ids.astype(np.uint64), pa.uint64()),
+        "tf": pa.array(
+            np.minimum(field_lengths, 2**32 - 1).astype(np.uint32), pa.uint32()
+        ),
+        "len_byte": pa.array(lengths_to_bytes(field_lengths), pa.uint8()),
+    }
+    if cfg.with_positions:
+        cols["positions"] = pa.ListArray.from_arrays(
+            pa.array(np.zeros(n_docs + 1, np.int32)), pa.array([], pa.int32())
+        )
+    return pa.table(cols)
 
 
 def _empty_postings_table(with_positions: bool) -> pa.Table:
@@ -368,6 +415,26 @@ class BucketEncoder:
         if len(group) == 0:
             return _empty_manifest_table()
         bucket = int(group["bucket"][0].as_py())
+        is_meta = pc.equal(group["term"], DOCMETA_TERM)
+        meta_rows = group.filter(is_meta)
+        group = group.filter(pc.invert(is_meta))
+        n_meta = len(meta_rows)
+        if n_meta:
+            dm = pa.table(
+                {
+                    "doc_id": meta_rows["doc_id"],
+                    "length": meta_rows["tf"],
+                    "len_byte": meta_rows["len_byte"],
+                }
+            ).sort_by("doc_id")
+            dm_dir = os.path.join(self.out_dir, "docmeta")
+            os.makedirs(dm_dir, exist_ok=True)
+            dm_final = os.path.join(dm_dir, f"bucket={bucket:05d}.parquet")
+            dm_tmp = dm_final + f".tmp.{os.getpid()}"
+            pq.write_table(dm, dm_tmp, compression="zstd")
+            os.replace(dm_tmp, dm_final)
+        if len(group) == 0:
+            return _empty_manifest_table()
         seg = encode_bucket_table(
             group.drop_columns(["bucket"]), self.cfg.block_size, self.cfg.with_positions
         )
@@ -389,6 +456,7 @@ class BucketEncoder:
                 "n_terms": pa.array([len(seg)], pa.uint64()),
                 "n_postings": pa.array([len(group)], pa.uint64()),
                 "sum_tf": pa.array([float(pc.sum(group["tf"]).as_py() or 0)], pa.float64()),
+                "n_docs_meta": pa.array([n_meta], pa.uint64()),
                 "min_term": pa.array([seg["term"][0].as_py()]),
                 "max_term": pa.array([seg["term"][-1].as_py()]),
                 "lineage": pa.array([self.lineage]),
@@ -404,6 +472,7 @@ def _empty_manifest_table() -> pa.Table:
             "n_terms": pa.array([], pa.uint64()),
             "n_postings": pa.array([], pa.uint64()),
             "sum_tf": pa.array([], pa.float64()),
+            "n_docs_meta": pa.array([], pa.uint64()),
             "min_term": pa.array([], pa.string()),
             "max_term": pa.array([], pa.string()),
             "lineage": pa.array([], pa.string()),
@@ -411,21 +480,38 @@ def _empty_manifest_table() -> pa.Table:
     )
 
 
-def build_index(
-    docs: "ray.data.Dataset",
-    out_dir: str,
-    cfg: IndexConfig | None = None,
-    lineage: str = "",
-    resume: bool = False,
-) -> dict:
-    """Build an inverted index at ``out_dir`` from a docs Dataset.
+def _bucketize_postings(cfg: IndexConfig):
+    """map_batches fn adding the shuffle key to bare posting rows (used by the
+    merge job, which re-creates posting rows from existing segments)."""
 
-    Returns the manifest dict (also written to ``out_dir/manifest.json``).
-    ``lineage`` should fingerprint the input (paths + row counts + config);
-    with ``resume=True``, buckets already on disk whose manifest lineage
-    matches are skipped (the shuffle is filtered down to missing buckets).
-    """
-    cfg = cfg or IndexConfig()
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        terms = np.asarray(batch["term"].to_pylist(), dtype=object)
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        is_meta = terms == DOCMETA_TERM
+        h = stable_term_hash(terms)
+        if cfg.heavy_terms:
+            heavy = pd.Series(terms).isin(cfg.heavy_terms).to_numpy()
+            if heavy.any():
+                salt = (doc_ids >> np.uint64(cfg.salt_shift)) % np.uint64(cfg.salt_k)
+                h = h.copy()
+                h[heavy] = h[heavy] + salt[heavy] * _SALT_PRIME
+        if is_meta.any():
+            h[is_meta] = pd.util.hash_array(doc_ids[is_meta])
+        bucket = (h % np.uint64(cfg.num_buckets)).astype(np.uint32)
+        return batch.add_column(0, "bucket", pa.array(bucket, pa.uint32()))
+
+    return add_bucket
+
+
+def _run_bucket_shuffle(
+    postings: "ray.data.Dataset",
+    out_dir: str,
+    cfg: IndexConfig,
+    lineage: str,
+    resume: bool,
+    doc_count: int | None,
+) -> dict:
+    """The shared tail of every build: bucket shuffle -> encode -> manifest."""
     os.makedirs(out_dir, exist_ok=True)
 
     done_buckets: dict[int, dict] = {}
@@ -440,14 +526,7 @@ def build_index(
                 ):
                     done_buckets[b["bucket"]] = b
 
-    doc_count = docs.count()
     t0 = time.perf_counter()
-
-    postings = docs.map_batches(
-        TokenizePostings(cfg),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
     if done_buckets:
         missing = sorted(set(range(cfg.num_buckets)) - set(done_buckets))
         if not missing:
@@ -480,6 +559,7 @@ def build_index(
             "n_terms": int(r["n_terms"]),
             "n_postings": int(r["n_postings"]),
             "sum_tf": float(r["sum_tf"]),
+            "n_docs_meta": int(r.get("n_docs_meta", 0)),
             "min_term": r["min_term"],
             "max_term": r["max_term"],
             "lineage": r["lineage"],
@@ -487,10 +567,13 @@ def build_index(
         for r in rows
     ]
     buckets.sort(key=lambda b: b["bucket"])
+    n_meta = int(sum(b.get("n_docs_meta", 0) for b in buckets))
     manifest = {
         "format_version": 1,
         "generation": int(time.time()),
-        "doc_count": int(doc_count),
+        "doc_count": int(doc_count) if doc_count is not None else n_meta,
+        # sum_tf is computed AFTER the encoder splits out docmeta rows, so it
+        # is exactly the total field length (sum of posting tfs)
         "total_field_length": float(sum(b["sum_tf"] for b in buckets)),
         "n_postings": int(sum(b["n_postings"] for b in buckets)),
         "build_secs": build_secs,
@@ -503,3 +586,42 @@ def build_index(
         json.dump(manifest, f, indent=1)
     os.replace(tmp, man_path)
     return manifest
+
+
+def build_index(
+    docs: "ray.data.Dataset",
+    out_dir: str,
+    cfg: IndexConfig | None = None,
+    lineage: str = "",
+    resume: bool = False,
+) -> dict:
+    """Build an inverted index at ``out_dir`` from a docs Dataset.
+
+    Returns the manifest dict (also written to ``out_dir/manifest.json``).
+    ``lineage`` should fingerprint the input (paths + row counts + config);
+    with ``resume=True``, buckets already on disk whose manifest lineage
+    matches are skipped (the shuffle is filtered down to missing buckets).
+    """
+    cfg = cfg or IndexConfig()
+    doc_count = docs.count()
+    postings = docs.map_batches(
+        TokenizePostings(cfg),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return _run_bucket_shuffle(postings, out_dir, cfg, lineage, resume, doc_count)
+
+
+def build_index_from_postings(
+    postings: "ray.data.Dataset",
+    out_dir: str,
+    cfg: IndexConfig,
+    lineage: str = "",
+    resume: bool = False,
+) -> dict:
+    """Build an index from bare posting rows (term, doc_id, tf, len_byte
+    [, positions]) that include DOCMETA_TERM rows — the merge-job entry."""
+    bucketed = postings.map_batches(
+        _bucketize_postings(cfg), batch_format="pyarrow", zero_copy_batch=True
+    )
+    return _run_bucket_shuffle(bucketed, out_dir, cfg, lineage, resume, None)

@@ -233,6 +233,37 @@ class Index:
             )
         return tbl
 
+    def doc_meta(self) -> pa.Table:
+        """The per-document metadata table (doc_id, length, len_byte) written
+        alongside the segments, concatenated across buckets and sorted."""
+        import glob as _glob
+
+        files = sorted(_glob.glob(os.path.join(self.path, "docmeta", "*.parquet")))
+        if not files:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.uint64()),
+                    "length": pa.array([], pa.uint32()),
+                    "len_byte": pa.array([], pa.uint8()),
+                }
+            )
+        return pa.concat_tables([pq.read_table(f) for f in files]).sort_by("doc_id")
+
+    def all_doc_ids(self) -> np.ndarray:
+        """Sorted array of every indexed document id (the Every universe)."""
+        import glob as _glob
+
+        files = sorted(_glob.glob(os.path.join(self.path, "docmeta", "*.parquet")))
+        parts = [
+            pq.read_table(f, columns=["doc_id"])["doc_id"].to_numpy(
+                zero_copy_only=False
+            )
+            for f in files
+        ]
+        if not parts:
+            return np.empty(0, np.uint64)
+        return np.sort(np.concatenate(parts).astype(np.uint64))
+
     def expand_terms(self, predicate) -> list[str]:
         """Scan the term dictionary with an Arrow compute predicate on the
         `term` column; returns matching terms sorted lexicographically.

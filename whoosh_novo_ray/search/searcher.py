@@ -233,7 +233,7 @@ class Searcher:
 
         if isinstance(q, Q.Every):
             if self._universe is None:
-                raise ValueError("Every requires Searcher(doc_ids=...)")
+                self._universe = self.index.all_doc_ids()
             return self._universe, np.full(len(self._universe), float(q.boost))
 
         raise TypeError(f"unsupported query node: {type(q).__name__}")
