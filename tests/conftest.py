@@ -59,8 +59,8 @@ def built_index(ray_session, pages_table, tmp_path_factory):
 
 
 @pytest.fixture(scope="session")
-def reference_searcher(pages_table, tmp_path_factory):
-    """A reference whoosh searcher over the same corpus (oracle)."""
+def reference_index(pages_table, tmp_path_factory):
+    """A reference whoosh index over the same corpus (oracle)."""
     if not HAVE_REFERENCE:
         pytest.skip("reference repo not available")
     from whoosh import index as windex
@@ -73,6 +73,11 @@ def reference_searcher(pages_table, tmp_path_factory):
     for r in pages_table.select(["doc_id", "text"]).to_pylist():
         w.add_document(doc_id=r["doc_id"], text=r["text"])
     w.commit()
-    s = ix.searcher()
+    return ix
+
+
+@pytest.fixture(scope="session")
+def reference_searcher(reference_index):
+    s = reference_index.searcher()
     yield s
     s.close()

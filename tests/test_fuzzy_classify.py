@@ -1,0 +1,101 @@
+"""Fuzzy term search, spelling suggestions, key-term expansion models."""
+
+import math
+
+import numpy as np
+import pytest
+
+from tests.conftest import HAVE_REFERENCE
+from whoosh_novo_ray.search import Searcher, Term
+from whoosh_novo_ray.search.classify import (
+    Bo1Model,
+    Bo2Model,
+    KLModel,
+    key_terms_from_text,
+    more_like,
+)
+from whoosh_novo_ray.search.fuzzy import (
+    FuzzyTerm,
+    edit_distance,
+    suggest,
+    terms_within,
+)
+
+
+def test_edit_distance():
+    assert edit_distance("kitten", "sitting", 3) == 3
+    assert edit_distance("abc", "abc", 1) == 0
+    assert edit_distance("abc", "abd", 1) == 1
+    assert edit_distance("abc", "xyz", 2) is None
+    assert edit_distance("abc", "ab", 1) == 1
+    assert edit_distance("a", "abcd", 2) is None
+
+
+def test_terms_within(built_index):
+    # "searc" within 1 edit of "search"
+    got = dict(terms_within(built_index, "searc", maxdist=1))
+    assert "search" in got and got["search"] == 1
+
+
+def test_fuzzy_search_matches_term(built_index):
+    s = Searcher(built_index)
+    exact_ids, exact_scores = s.postings(Term("search"))
+    # single-term expansion -> scored exactly like the plain Term (reference
+    # MultiTerm.matcher single-expansion path)
+    fz_ids, fz_scores = s.postings(FuzzyTerm("searhc", maxdist=2, prefixlength=4))
+    assert fz_ids.tolist() == exact_ids.tolist()
+    assert fz_scores.tolist() == exact_scores.tolist()
+    # multi-term expansion -> constant score
+    expansion = [t for t, _ in terms_within(built_index, "page", maxdist=2)]
+    assert len(expansion) > 1  # e.g. page/pages/long-tail neighbors
+    fz2_ids, fz2_scores = s.postings(FuzzyTerm("page", maxdist=2, prefixlength=0))
+    assert set(fz2_scores.tolist()) == {1.0}
+    union = set()
+    for t in expansion:
+        union |= set(s.postings(Term(t))[0].tolist())
+    assert set(fz2_ids.tolist()) == union
+
+
+@pytest.mark.skipif(not HAVE_REFERENCE, reason="reference not available")
+def test_fuzzy_docset_parity(built_index, reference_searcher):
+    from whoosh import query as wq
+
+    s = Searcher(built_index)
+    mine = s.search(FuzzyTerm("searh", maxdist=1, prefixlength=1), limit=None)
+    r = reference_searcher.search(
+        wq.FuzzyTerm("text", "searh", maxdist=1, prefixlength=1), limit=None
+    )
+    assert sorted(mine["doc_id"].to_pylist()) == sorted(h["doc_id"] for h in r)
+
+
+def test_suggest(built_index):
+    sugs = suggest(built_index, "serch", limit=3, maxdist=2)
+    assert "search" in sugs
+
+
+@pytest.mark.skipif(not HAVE_REFERENCE, reason="reference not available")
+def test_expansion_model_formula_parity():
+    import whoosh.classify as wc
+
+    for mine_cls, ref_cls in [
+        (Bo1Model, wc.Bo1Model),
+        (Bo2Model, wc.Bo2Model),
+        (KLModel, wc.KLModel),
+    ]:
+        m, r = mine_cls(1000, 50000.0), ref_cls(1000, 50000.0)
+        for wit, wic, tt in [(3, 40, 120), (1, 1, 10), (7, 300, 500)]:
+            assert m.score(wit, wic, tt) == pytest.approx(r.score(wit, wic, tt))
+        assert m.normalizer(12.0, 120.0) == pytest.approx(r.normalizer(12.0, 120.0))
+
+
+def test_key_terms_and_more_like(built_index, pages_table):
+    s = Searcher(built_index)
+    text = pages_table["text"][0].as_py()
+    kt = key_terms_from_text(s, [text], numterms=5)
+    assert 1 <= len(kt) <= 5
+    assert all(isinstance(t, str) and sc > 0 for t, sc in kt)
+    # normalized: top score == 1-ish scale (<= ~1)
+    r = more_like(s, text, numterms=5, limit=10)
+    assert len(r) > 0
+    # the source document itself should be among the most similar
+    assert 0 in r["doc_id"].to_pylist()

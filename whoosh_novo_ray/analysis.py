@@ -54,12 +54,15 @@ class AnalyzedBatch:
 
 @dataclass(frozen=True)
 class StandardAnalyzer:
-    """Vectorized equivalent of the reference StandardAnalyzer chain."""
+    """Vectorized equivalent of the reference StandardAnalyzer chain; with
+    ``stem=True`` it matches the reference StemmingAnalyzer (Regex | Lower |
+    Stop | StemFilter-with-Porter, analyzers.py:220-254)."""
 
     pattern: str = DEFAULT_PATTERN
     stoplist: frozenset | None = STOP_WORDS
     minsize: int = 2
     maxsize: int | None = None
+    stem: bool = False
     _rx: re.Pattern = field(init=False, repr=False, compare=False, default=None)
 
     def __post_init__(self):
@@ -69,15 +72,20 @@ class StandardAnalyzer:
 
     def __call__(self, text: str) -> list[str]:
         toks = self._rx.findall(text.lower())
-        if self.stoplist is None and self.minsize <= 1 and self.maxsize is None:
+        if self.stoplist is None and self.minsize <= 1 and self.maxsize is None and not self.stem:
             return toks
         stops = self.stoplist or frozenset()
         mx = self.maxsize
-        return [
+        out = [
             t
             for t in toks
             if len(t) >= self.minsize and (mx is None or len(t) <= mx) and t not in stops
         ]
+        if self.stem:
+            from whoosh_novo_ray.porter import stem as _stem
+
+            out = [_stem(t) for t in out]
+        return out
 
     # -- batch path (map_batches hot loop) ------------------------------------
 
@@ -140,6 +148,16 @@ class StandardAnalyzer:
         orig_pos = orig_pos[keep]
         field_lengths = np.bincount(doc_idx, minlength=len(texts)).astype(np.int64)
 
+        if self.stem:
+            # stem once per unique term, then re-factorize (distinct surface
+            # forms can collapse to one stem and must share a code)
+            from whoosh_novo_ray.porter import stem as _stem
+
+            stemmed = np.array([_stem(u) for u in uniques], dtype=object)
+            new_codes_of_old, uniques = pd.factorize(stemmed, sort=False)
+            uniques = np.asarray(uniques, dtype=object)
+            codes = new_codes_of_old[codes]
+
         # Renumbered positions, matching the reference StopFilter(renumber=True)
         # (src/whoosh/analysis/filters.py:422-447): the FIRST surviving token
         # keeps its original position; later ones increment by 1 from there.
@@ -158,6 +176,81 @@ class StandardAnalyzer:
 def simple_analyzer() -> StandardAnalyzer:
     """Regex tokenize + lowercase, no stop filter (reference SimpleAnalyzer)."""
     return StandardAnalyzer(stoplist=None, minsize=1)
+
+
+def stemming_analyzer(
+    stoplist: frozenset | None = STOP_WORDS, minsize: int = 2
+) -> StandardAnalyzer:
+    """Regex | Lower | Stop | Porter stem (reference StemmingAnalyzer,
+    analyzers.py:220-254)."""
+    return StandardAnalyzer(stoplist=stoplist, minsize=minsize, stem=True)
+
+
+def keyword_analyzer(lowercase: bool = False, commas: bool = False) -> StandardAnalyzer:
+    """Whitespace (or comma) separated keywords (reference KeywordAnalyzer,
+    analyzers.py:144-162)."""
+    pattern = r"[^,\s][^,]*" if commas else r"\S+"
+    return StandardAnalyzer(
+        pattern=pattern, stoplist=None, minsize=1
+    ) if lowercase else _NoLowerAnalyzer(pattern=pattern, stoplist=None, minsize=1)
+
+
+@dataclass(frozen=True)
+class _NoLowerAnalyzer(StandardAnalyzer):
+    """Tokenize without lowercasing (ID/keyword fields)."""
+
+    def __call__(self, text: str) -> list[str]:
+        toks = self._rx.findall(text)
+        stops = self.stoplist or frozenset()
+        mx = self.maxsize
+        return [
+            t
+            for t in toks
+            if len(t) >= self.minsize and (mx is None or len(t) <= mx) and t not in stops
+        ]
+
+    def analyze_batch_coded(self, texts):
+        # delegate via a marker: uppercase-preserving tokenization
+        import numpy as _np
+        import pandas as _pd
+
+        rx = self._rx
+        per_doc = [rx.findall(t) if t else [] for t in texts]
+        counts = _np.fromiter((len(p) for p in per_doc), _np.int64, len(per_doc))
+        n = int(counts.sum())
+        doc_idx = _np.repeat(_np.arange(len(per_doc), dtype=_np.int64), counts)
+        tokens = _np.empty(n, dtype=object)
+        i = 0
+        for pdoc in per_doc:
+            tokens[i : i + len(pdoc)] = pdoc
+            i += len(pdoc)
+        if n == 0:
+            e = _np.empty(0, _np.int64)
+            return e, e.copy(), _np.empty(0, object), e.astype(_np.int32), _np.zeros(len(texts), _np.int64)
+        codes, uniques = _pd.factorize(tokens, sort=False)
+        pos = _np.zeros(n, _np.int32)
+        run_start = _np.flatnonzero(_np.diff(doc_idx, prepend=-1))
+        run_len = _np.diff(_np.append(run_start, n))
+        pos = (_np.arange(n) - _np.repeat(run_start, run_len)).astype(_np.int32)
+        fl = _np.bincount(doc_idx, minlength=len(texts)).astype(_np.int64)
+        return doc_idx, codes, _np.asarray(uniques, object), pos, fl
+
+
+def id_analyzer() -> _NoLowerAnalyzer:
+    """Whole value = one token (reference IDAnalyzer, analyzers.py:133)."""
+    return _NoLowerAnalyzer(pattern=r"(?s)\A.+\Z", stoplist=None, minsize=1)
+
+
+def accent_fold(text: str) -> str:
+    """Fold accented characters to ASCII equivalents (reference
+    CharsetFilter + accent_map, filters.py:450-501)."""
+    import unicodedata
+
+    return "".join(
+        c
+        for c in unicodedata.normalize("NFKD", text)
+        if not unicodedata.combining(c)
+    )
 
 
 def ngram_tokens(text: str, minsize: int, maxsize: int | None = None) -> list[str]:

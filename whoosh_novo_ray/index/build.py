@@ -84,6 +84,7 @@ class IndexConfig:
             "stoplist": sorted(self.analyzer.stoplist) if self.analyzer.stoplist else None,
             "minsize": self.analyzer.minsize,
             "maxsize": self.analyzer.maxsize,
+            "stem": self.analyzer.stem,
         }
         return d
 
@@ -95,6 +96,7 @@ class IndexConfig:
             stoplist=frozenset(a["stoplist"]) if a["stoplist"] is not None else None,
             minsize=a["minsize"],
             maxsize=a["maxsize"],
+            stem=a.get("stem", False),
         )
         d["heavy_terms"] = tuple(d.get("heavy_terms", ()))
         return IndexConfig(analyzer=ana, **d)

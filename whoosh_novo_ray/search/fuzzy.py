@@ -1,0 +1,116 @@
+"""Fuzzy term expansion + spelling suggestions.
+
+Replaces the reference's Levenshtein-automaton machinery (de-odex/whoosh-novo
+``src/whoosh/automata/lev.py``, ``query/terms.py:436-519`` FuzzyTerm,
+``spelling.py:89-116`` ReaderCorrector) with a scan of the sorted term
+dictionary: candidates are pre-filtered vectorized (shared prefix + length
+band — the same candidate set a Lev automaton accepts is a subset), then
+checked with a banded edit-distance DP.
+
+ReaderCorrector ranking quirk preserved: suggestions rank by frequency
+(desc) then alphabetically — the reference scores every candidate
+``-(maxdist + 0.5/freq)`` with the *requested* maxdist, so distance does not
+differentiate candidates (spelling.py:126-133).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from whoosh_novo_ray.search import query as Q
+
+
+def edit_distance(a: str, b: str, maxdist: int) -> int | None:
+    """Banded Levenshtein distance; None if > maxdist."""
+    if abs(len(a) - len(b)) > maxdist:
+        return None
+    if a == b:
+        return 0
+    big = maxdist + 1
+    prev = [v if v <= maxdist else big for v in range(len(b) + 1)]
+    for i, ca in enumerate(a, 1):
+        cur = [big] * (len(b) + 1)
+        if i <= maxdist:
+            cur[0] = i
+        lo = max(1, i - maxdist)
+        hi = min(len(b), i + maxdist)
+        for j in range(lo, hi + 1):
+            cost = 0 if ca == b[j - 1] else 1
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost, big)
+        if min(cur[lo : hi + 1]) > maxdist:
+            return None
+        prev = cur
+    return prev[-1] if prev[-1] <= maxdist else None
+
+
+def terms_within(
+    index, text: str, maxdist: int = 1, prefix: int = 0
+) -> list[tuple[str, int]]:
+    """All indexed terms within ``maxdist`` edits of ``text`` (sharing the
+    first ``prefix`` characters), as (term, distance) pairs.
+
+    Candidate pruning is vectorized over the term dictionary: prefix match
+    and a +-maxdist length band; the DP runs only on survivors.
+    """
+    out: list[tuple[str, int]] = []
+    pre = text[:prefix]
+    lo, hi = len(text) - maxdist, len(text) + maxdist
+
+    def predicate(col: pa.ChunkedArray):
+        lens = pc.utf8_length(col)
+        mask = pc.and_(pc.greater_equal(lens, lo), pc.less_equal(lens, hi))
+        if pre:
+            mask = pc.and_(mask, pc.starts_with(col, pattern=pre))
+        return mask
+
+    for cand in index.expand_terms(predicate):
+        d = edit_distance(text, cand, maxdist)
+        if d is not None:
+            out.append((cand, d))
+    return out
+
+
+@dataclass(frozen=True)
+class FuzzyTerm(Q.Query):
+    """Terms within ``maxdist`` edits (reference query/terms.py:436-519);
+    multi-term expansions are constant-score by default like the reference."""
+
+    text: str
+    maxdist: int = 1
+    prefixlength: int = 1
+    boost: float = 1.0
+    constantscore: bool = True
+
+
+def evaluate_fuzzy(searcher, q: FuzzyTerm):
+    """Expansion hook used by Searcher.postings."""
+    expanded = [
+        t for t, _d in terms_within(searcher.index, q.text, q.maxdist, q.prefixlength)
+    ]
+    if not expanded:
+        return None
+    if len(expanded) == 1:
+        return Q.Term(expanded[0], boost=q.boost)
+    if q.constantscore:
+        return ("constant", expanded, q.boost)
+    return Q.Or(*[Q.Term(t, boost=q.boost) for t in expanded])
+
+
+def suggest(
+    index, text: str, limit: int = 5, maxdist: int = 2, prefix: int = 0
+) -> list[str]:
+    """Spelling suggestions from the index lexicon (ReaderCorrector
+    semantics: frequency desc, then alphabetical)."""
+    cands = terms_within(index, text, maxdist=maxdist, prefix=prefix)
+    if not cands:
+        return []
+    stats = index.iter_term_stats(("term", "weight"))
+    freq = dict(zip(stats["term"].to_pylist(), stats["weight"].to_pylist()))
+    scored = sorted(
+        ((maxdist + 0.5 / (freq.get(t, 1) or 1), t) for t, _d in cands),
+    )
+    return [t for _s, t in scored[:limit]]

@@ -96,3 +96,119 @@ class Frequency(WeightingModel):
                 return np.asarray(tfs, np.float64)
 
         return _S()
+
+
+@dataclass(frozen=True)
+class DFree(WeightingModel):
+    """Terrier DFree divergence-from-randomness model (reference
+    scoring.py:334-383); cf = collection term weight, fl = total field
+    length."""
+
+    def scorer(self, doc_count: int, avgfl: float, df: int, term_weight: float):
+        cf = term_weight or 1.0
+        fl = avgfl * doc_count
+
+        class _S(TermScorer):
+            def score_arrays(self, tfs, len_bytes):
+                tf = np.asarray(tfs, np.float64)
+                dl = bytes_to_lengths(len_bytes).astype(np.float64)
+                prior = tf / dl
+                post = (tf + 1.0) / (dl + 1.0)
+                invpriorcol = fl / cf
+                norm = tf * np.log(post / prior)
+                return norm * (
+                    tf * np.log(prior * invpriorcol)
+                    + (tf + 1.0) * np.log(post * invpriorcol)
+                    + 0.5 * np.log(post / prior)
+                )
+
+        return _S()
+
+
+@dataclass(frozen=True)
+class PL2(WeightingModel):
+    """Terrier PL2 model (reference scoring.py:392-446)."""
+
+    c: float = 1.0
+
+    def scorer(self, doc_count: int, avgfl: float, df: int, term_weight: float):
+        cf = term_weight or 1.0
+        dc = doc_count or 1
+        c = self.c
+        avg = avgfl or 1.0
+        rec_log2_of_e = 1.0 / math.log(2)
+
+        class _S(TermScorer):
+            def score_arrays(self, tfs, len_bytes):
+                tf = np.asarray(tfs, np.float64)
+                fl = bytes_to_lengths(len_bytes).astype(np.float64)
+                TF = tf * np.log(1.0 + (c * avg) / fl)
+                norm = 1.0 / (TF + 1.0)
+                f = cf / dc
+                return norm * (
+                    TF * math.log(1.0 / f)
+                    + f * rec_log2_of_e
+                    + 0.5 * np.log(2 * math.pi * TF)
+                    + TF * (np.log(TF) - rec_log2_of_e)
+                )
+
+        return _S()
+
+
+@dataclass(frozen=True)
+class ReverseWeighting(WeightingModel):
+    """Negates the wrapped model's scores (reference scoring.py:585-610)."""
+
+    weighting: WeightingModel
+
+    def scorer(self, doc_count: int, avgfl: float, df: int, term_weight: float):
+        sub = self.weighting.scorer(doc_count, avgfl, df, term_weight)
+
+        class _S(TermScorer):
+            def score_arrays(self, tfs, len_bytes):
+                return 0.0 - sub.score_arrays(tfs, len_bytes)
+
+            def max_quality(self, max_weight, min_len_byte):
+                return 0.0 - sub.max_quality(max_weight, min_len_byte)
+
+        return _S()
+
+
+class FunctionWeighting(WeightingModel):
+    """Score with a user function ``fn(tfs, len_bytes, stats) -> scores``
+    where stats is a dict(doc_count, avgfl, df, term_weight) — the vectorized
+    analog of the reference FunctionWeighting (scoring.py:514-555)."""
+
+    def __init__(self, fn):
+        self.fn = fn
+
+    def scorer(self, doc_count: int, avgfl: float, df: int, term_weight: float):
+        stats = {
+            "doc_count": doc_count,
+            "avgfl": avgfl,
+            "df": df,
+            "term_weight": term_weight,
+        }
+        fn = self.fn
+
+        class _S(TermScorer):
+            def score_arrays(self, tfs, len_bytes):
+                return np.asarray(fn(tfs, len_bytes, stats), np.float64)
+
+        return _S()
+
+
+class MultiWeighting(WeightingModel):
+    """Per-field model selection (reference scoring.py:558-582). This engine
+    indexes a single text field, so the default always applies unless a
+    Searcher is constructed per field."""
+
+    def __init__(self, default: WeightingModel, **per_field: WeightingModel):
+        self.default = default
+        self.per_field = per_field
+
+    def for_field(self, fieldname: str) -> WeightingModel:
+        return self.per_field.get(fieldname, self.default)
+
+    def scorer(self, doc_count: int, avgfl: float, df: int, term_weight: float):
+        return self.default.scorer(doc_count, avgfl, df, term_weight)

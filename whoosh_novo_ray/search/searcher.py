@@ -213,6 +213,18 @@ class Searcher:
         if isinstance(q, Q.Phrase):
             return self._phrase(q)
 
+        from whoosh_novo_ray.search.fuzzy import FuzzyTerm, evaluate_fuzzy
+
+        if isinstance(q, FuzzyTerm):
+            expanded = evaluate_fuzzy(self, q)
+            if expanded is None:
+                return _EMPTY
+            if isinstance(expanded, tuple):  # constant-score multi-term
+                _tag, terms, boost = expanded
+                ids, _, _ = _merge_sum([self.postings(Q.Term(t)) for t in terms])
+                return ids, np.full(len(ids), float(boost))
+            return self.postings(expanded)
+
         if isinstance(q, (Q.Prefix, Q.Wildcard, Q.Regex, Q.TermRange)):
             expanded = self.expand(q)
             if not expanded:
