@@ -1,0 +1,96 @@
+"""Multimodal actor-pool stages (stubbed decode, real plumbing) + highlighting."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from whoosh_novo_ray.ops.multimodal import (
+    AudioFeatures,
+    ImageDecodeFeatures,
+    audio_features,
+    image_features,
+    video_frames,
+)
+from whoosh_novo_ray.search.highlight import (
+    ContextFragmenter,
+    HtmlFormatter,
+    UppercaseFormatter,
+    WholeFragmenter,
+    highlight,
+)
+
+
+@pytest.fixture(scope="module")
+def binary_ds(ray_session):
+    import ray.data
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(20), pa.int64()),
+            "payload": pa.array(
+                [bytes([i]) * (100 + i * 37) for i in range(20)], pa.binary()
+            ),
+        }
+    )
+    return ray.data.from_arrow(tbl)
+
+
+def test_image_stage_schema_and_determinism(binary_ds):
+    out = image_features(binary_ds, dim=8).take_all()
+    assert len(out) == 20
+    r0 = next(r for r in out if r["doc_id"] == 0)
+    assert r0["channels"] == 3 and r0["width"] >= 64 and len(r0["embedding"]) == 8
+    # deterministic: same payload -> same features
+    again = next(
+        r for r in image_features(binary_ds, dim=8).take_all() if r["doc_id"] == 0
+    )
+    assert np.allclose(r0["embedding"], again["embedding"])
+
+
+def test_real_decode_is_clearly_stubbed():
+    with pytest.raises(NotImplementedError):
+        ImageDecodeFeatures(fake=False)
+    with pytest.raises(NotImplementedError):
+        AudioFeatures(fake=False)
+
+
+def test_audio_and_video_stages(binary_ds):
+    a = audio_features(binary_ds).take_all()
+    assert len(a) == 20 and all(len(r["mfcc"]) == 13 for r in a)
+    v = video_frames(binary_ds, frames_per_doc=3).take_all()
+    assert len(v) == 60
+    assert {r["frame_idx"] for r in v} == {0, 1, 2}
+
+
+def test_highlight_uppercase():
+    text = "The search engine indexes search results quickly."
+    out = highlight(text, ["search"], fragmenter=WholeFragmenter())
+    assert out == "The SEARCH engine indexes SEARCH results quickly."
+
+
+def test_highlight_html_escapes():
+    text = "a <b> search term"
+    out = highlight(
+        text, ["search"], fragmenter=WholeFragmenter(), formatter=HtmlFormatter()
+    )
+    assert '<strong class="match">search</strong>' in out
+    assert "&lt;b&gt;" in out
+
+
+def test_context_fragmenter_windows():
+    text = ("xyz " * 50) + "needle" + (" pad" * 50) + " needle end"
+    out = highlight(
+        text,
+        ["needle"],
+        fragmenter=ContextFragmenter(maxchars=60, surround=15),
+    )
+    assert "NEEDLE" in out
+    assert len(out) < len(text)
+
+
+def test_highlight_with_stemmed_terms():
+    from whoosh_novo_ray.analysis import stemming_analyzer
+
+    text = "Jumping jumps jumped over"
+    out = highlight(text, ["jump"], analyzer=stemming_analyzer(), fragmenter=WholeFragmenter())
+    assert out == "JUMPING JUMPS JUMPED over"

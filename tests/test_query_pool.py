@@ -1,0 +1,38 @@
+"""Actor-pool query serving: identical results to the local Searcher."""
+
+import pytest
+
+from whoosh_novo_ray.search import And, Or, Phrase, Searcher, Term
+from whoosh_novo_ray.state import QueryPool
+
+
+@pytest.fixture(scope="module")
+def pool(ray_session, built_index):
+    p = QueryPool(built_index.path, num_actors=2)
+    yield p
+    p.shutdown()
+
+
+@pytest.mark.parametrize(
+    "q",
+    [
+        Term("search"),
+        Or(Term("search"), Term("data"), Term("index")),
+        And(Term("search"), Term("data")),
+        Phrase(["search", "data"]),
+        Term("zzzznope"),
+    ],
+    ids=["term", "or3", "and2", "phrase", "absent"],
+)
+def test_pool_matches_local(pool, built_index, q):
+    local = Searcher(built_index).search(q, limit=10).to_pydict()
+    remote = pool.search(q, limit=10).to_pydict()
+    assert remote == local
+
+
+def test_pool_caches_terms(pool):
+    s = pool.searcher()
+    s.search(Term("search"), limit=5)
+    assert ("search", False) in s._term_cache
+    # second search on the same searcher shouldn't need actor round-trips
+    s.search(Term("search"), limit=5)

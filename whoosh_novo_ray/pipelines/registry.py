@@ -303,6 +303,100 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def bm25_or_wand(sf_dir):
+        from whoosh_novo_ray.search.wand import searcher_wand_topk
+
+        t, _stats = searcher_wand_topk(_searcher_for(sf_dir), [_T_MID, _T_MID2], 10)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "score": pa.array(np.round(t["score"].to_numpy(), 6), pa.float64()),
+            }
+        )
+
+    def fuzzy_docs(sf_dir):
+        from whoosh_novo_ray.search.fuzzy import FuzzyTerm
+
+        s = _searcher_for(sf_dir)
+        ids, scores = s.postings(FuzzyTerm(_T_MID, maxdist=1, prefixlength=1))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids.astype(np.int64), pa.int64()),
+                "score": pa.array(scores, pa.float64()),
+            }
+        )
+
+    def suggest_terms(sf_dir):
+        from whoosh_novo_ray.search.fuzzy import suggest
+
+        sugs = suggest(_index_for(sf_dir), "quey", limit=5, maxdist=2)
+        return pa.table(
+            {
+                "rank": pa.array(range(len(sugs)), pa.int64()),
+                "term": pa.array(sugs, pa.string()),
+            }
+        )
+
+    def latest_event_per_user(sf_dir):
+        import ray.data
+        from whoosh_novo_ray.ops.upsert import latest_by_key
+
+        ev = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_id", "user_id", "ts", "event_type"],
+        )
+        out = latest_by_key(ev, key="user_id", ts="ts", tiebreak="event_id")
+        t = pa.concat_tables(_collect(out))
+        return pa.table(
+            {
+                "user_id": t["user_id"].cast(pa.int64()),
+                "event_id": t["event_id"].cast(pa.int64()),
+                "event_type": t["event_type"],
+            }
+        ).sort_by("user_id")
+
+    def key_terms_doc0(sf_dir):
+        from whoosh_novo_ray.search.classify import key_terms_from_text
+
+        text = (
+            pq.read_table(
+                os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+            )
+            .filter(pc.field("doc_id") == 0)["text"][0]
+            .as_py()
+        )
+        kt = key_terms_from_text(
+            _searcher_for(sf_dir), [text], numterms=5, normalize=False
+        )
+        return pa.table(
+            {
+                "term": pa.array([t for t, _ in kt], pa.string()),
+                "score": pa.array([round(x, 6) for _, x in kt], pa.float64()),
+            }
+        )
+
+    def phrase_slop2(sf_dir):
+        return _search_table(sf_dir, Phrase([_T_MID, _T_MID2], slop=2), 10)
+
+    def image_features_q(sf_dir):
+        import ray.data
+        from whoosh_novo_ray.ops.multimodal import image_features
+
+        docs = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        tbl = pa.table(
+            {
+                "doc_id": docs["doc_id"].cast(pa.int64()),
+                "payload": pa.array(
+                    [t.encode("utf-8") for t in docs["text"].to_pylist()],
+                    pa.binary(),
+                ),
+            }
+        )
+        out = pa.concat_tables(_collect(image_features(ray.data.from_arrow(tbl))))
+        return out.drop_columns(["embedding"]).sort_by("doc_id")
+
     return {
         # --- inverted index + BM25 core ---
         "term_stats": term_stats,
@@ -312,11 +406,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_top100_mid": lambda sf: _search_table(sf, Term(_T_MID), 100),
         "bm25_absent": lambda sf: _search_table(sf, Term(_T_ABSENT), 10),
         "bm25_or_top10": lambda sf: _search_table(sf, Or(Term(_T_MID), Term(_T_MID2)), 10),
+        "bm25_or_top10_wand": bm25_or_wand,
         "bm25_and_top10": lambda sf: _search_table(sf, And(Term(_T_MID), Term(_T_MID2)), 10),
         "bm25_andnot_top10": lambda sf: _search_table(
             sf, AndNot(Term(_T_MID), Term(_T_MID2)), 10
         ),
         "phrase_top10": lambda sf: _search_table(sf, Phrase([_T_MID, _T_MID2]), 10),
+        "phrase_slop2_top10": phrase_slop2,
+        "fuzzy_docs": fuzzy_docs,
+        "suggest_terms": suggest_terms,
         "prefix_docs": lambda sf: _search_table(sf, Prefix("s"), 10**9),
         "facet_lang": facet_lang,
         "collapse_source": collapse_source,
@@ -332,6 +430,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh_top10": knn_lsh,  # rows-only (approximate by design)
         "near_dup_cosine": near_dup_cosine,
         "numeric_range": numeric_range,
+        "latest_event_per_user": latest_event_per_user,
+        "key_terms_doc0": key_terms_doc0,
+        "image_features_meta": image_features_q,  # rows-only (stubbed decode)
     }
 
 
@@ -381,6 +482,65 @@ SELECT doc_id::BIGINT AS doc_id, round(sum(score), 6) AS score
 FROM bm WHERE term IN ({_terms_sql([_T_MID, _T_MID2])})
   AND doc_id IN (SELECT doc_id FROM pdocs)
 GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""",
+        "bm25_or_top10_wand": _topk_sql(f"term IN ({_terms_sql([_T_MID, _T_MID2])})", 10),
+        "phrase_slop2_top10": f"""WITH {_BASE_CTES},
+pos AS (
+  SELECT doc_id, term,
+         row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1 AS p
+  FROM filt
+),
+pdocs AS (
+  SELECT DISTINCT a.doc_id FROM pos a
+  JOIN pos b ON b.doc_id = a.doc_id AND b.p BETWEEN a.p + 1 AND a.p + 2
+  WHERE a.term = '{_T_MID}' AND b.term = '{_T_MID2}'
+)
+SELECT doc_id::BIGINT AS doc_id, round(sum(score), 6) AS score
+FROM bm WHERE term IN ({_terms_sql([_T_MID, _T_MID2])})
+  AND doc_id IN (SELECT doc_id FROM pdocs)
+GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""",
+        "fuzzy_docs": f"""WITH {_BASE_CTES},
+fterms AS (
+  SELECT DISTINCT term FROM dfs
+  WHERE levenshtein(term, '{_T_MID}') <= 1
+    AND substr(term, 1, 1) = substr('{_T_MID}', 1, 1)
+),
+nmatch AS (SELECT count(*) AS n FROM fterms)
+SELECT DISTINCT t.doc_id::BIGINT AS doc_id,
+       CASE WHEN (SELECT n FROM nmatch) > 1 THEN 1.0
+            ELSE (SELECT round(sum(b.score), 6) FROM bm b
+                  WHERE b.doc_id = t.doc_id
+                    AND b.term IN (SELECT term FROM fterms)) END AS score
+FROM tfs t WHERE t.term IN (SELECT term FROM fterms)""",
+        "suggest_terms": f"""WITH {_BASE_CTES},
+w AS (SELECT term, sum(tf) AS weight FROM tfs GROUP BY term),
+cand AS (
+  SELECT term, weight FROM w
+  WHERE levenshtein(term, 'quey') <= 2
+)
+SELECT (row_number() OVER (ORDER BY (2 + 0.5 / weight), term) - 1)::BIGINT AS rank,
+       term
+FROM cand
+ORDER BY rank LIMIT 5""",
+        "latest_event_per_user": """WITH ranked AS (
+  SELECT user_id, event_id, event_type,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY ts DESC, event_id
+         ) AS rn
+  FROM events
+)
+SELECT user_id::BIGINT AS user_id, event_id::BIGINT AS event_id, event_type
+FROM ranked WHERE rn = 1 ORDER BY user_id""",
+        "key_terms_doc0": f"""WITH {_BASE_CTES},
+doc0 AS (SELECT term, tf AS wit FROM tfs WHERE doc_id = 0),
+cf AS (SELECT term, sum(tf) AS cf FROM tfs GROUP BY term),
+scored AS (
+  SELECT d.term,
+         d.wit * log2((1 + c.cf / s.N) / (c.cf / s.N))
+           + log2(1 + c.cf / s.N) AS score
+  FROM doc0 d JOIN cf c USING (term) CROSS JOIN stats s
+)
+SELECT term, round(score, 6) AS score
+FROM scored ORDER BY score DESC, term LIMIT 5""",
         "prefix_docs": f"""WITH {_BASE_CTES}
 SELECT DISTINCT doc_id::BIGINT AS doc_id, 1.0 AS score
 FROM tfs WHERE term LIKE 's%'""",

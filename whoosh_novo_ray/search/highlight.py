@@ -1,0 +1,138 @@
+"""Search-result highlighting: fragmenters + formatters.
+
+Query-time port of the reference highlight pipeline (de-odex/whoosh-novo
+``src/whoosh/highlight.py``): re-tokenize the stored text with character
+offsets, pick fragments around matched terms (Whole / Context fragmenters),
+score fragments by matched-term count (BasicFragmentScorer), format with
+uppercase or HTML markers.
+"""
+
+from __future__ import annotations
+
+import html as _html
+import re
+from dataclasses import dataclass
+
+from whoosh_novo_ray.analysis import DEFAULT_PATTERN, StandardAnalyzer
+
+
+@dataclass(frozen=True)
+class Span:
+    start: int
+    end: int
+    text: str
+
+
+def _matched_spans(text: str, terms: set[str], analyzer: StandardAnalyzer) -> list[Span]:
+    rx = re.compile(analyzer.pattern if analyzer else DEFAULT_PATTERN)
+    out = []
+    for m in rx.finditer(text):
+        tok = m.group(0).lower()
+        if analyzer and analyzer.stem:
+            from whoosh_novo_ray.porter import stem
+
+            tok = stem(tok)
+        if tok in terms:
+            out.append(Span(m.start(), m.end(), m.group(0)))
+    return out
+
+
+@dataclass(frozen=True)
+class Fragment:
+    start: int
+    end: int
+    matches: tuple
+
+
+class WholeFragmenter:
+    """The entire text as one fragment (reference WholeFragmenter)."""
+
+    def fragments(self, text: str, spans: list[Span]) -> list[Fragment]:
+        return [Fragment(0, len(text), tuple(spans))]
+
+
+@dataclass
+class ContextFragmenter:
+    """Fragments of ~maxchars around match clusters (reference
+    ContextFragmenter, highlight.py:436-515)."""
+
+    maxchars: int = 200
+    surround: int = 40
+
+    def fragments(self, text: str, spans: list[Span]) -> list[Fragment]:
+        if not spans:
+            return []
+        frags: list[Fragment] = []
+        cur: list[Span] = [spans[0]]
+        start = max(0, spans[0].start - self.surround)
+        end = min(len(text), spans[0].end + self.surround)
+        for sp in spans[1:]:
+            if sp.start - end <= self.surround and (
+                min(len(text), sp.end + self.surround) - start
+            ) <= self.maxchars:
+                cur.append(sp)
+                end = min(len(text), sp.end + self.surround)
+            else:
+                frags.append(Fragment(start, end, tuple(cur)))
+                cur = [sp]
+                start = max(0, sp.start - self.surround)
+                end = min(len(text), sp.end + self.surround)
+        frags.append(Fragment(start, end, tuple(cur)))
+        return frags
+
+
+def basic_fragment_score(f: Fragment) -> float:
+    """Matched-term count + distinct bonus (reference BasicFragmentScorer)."""
+    return len(f.matches) + len({m.text.lower() for m in f.matches}) * 0.5
+
+
+class UppercaseFormatter:
+    def format_fragment(self, text: str, f: Fragment) -> str:
+        out = []
+        pos = f.start
+        for m in f.matches:
+            out.append(text[pos : m.start])
+            out.append(text[m.start : m.end].upper())
+            pos = m.end
+        out.append(text[pos : f.end])
+        return "".join(out)
+
+
+@dataclass
+class HtmlFormatter:
+    tagname: str = "strong"
+    classname: str = "match"
+
+    def format_fragment(self, text: str, f: Fragment) -> str:
+        out = []
+        pos = f.start
+        for m in f.matches:
+            out.append(_html.escape(text[pos : m.start]))
+            out.append(
+                f'<{self.tagname} class="{self.classname}">'
+                f"{_html.escape(text[m.start:m.end])}</{self.tagname}>"
+            )
+            pos = m.end
+        out.append(_html.escape(text[pos : f.end]))
+        return "".join(out)
+
+
+def highlight(
+    text: str,
+    terms,
+    analyzer: StandardAnalyzer | None = None,
+    fragmenter=None,
+    formatter=None,
+    top: int = 3,
+    sep: str = "...",
+) -> str:
+    """Highlight occurrences of ``terms`` in ``text`` (reference
+    ``highlight.highlight`` / Hit.highlights)."""
+    analyzer = analyzer or StandardAnalyzer()
+    fragmenter = fragmenter or ContextFragmenter()
+    formatter = formatter or UppercaseFormatter()
+    spans = _matched_spans(text, {t.lower() for t in terms}, analyzer)
+    frags = fragmenter.fragments(text, spans)
+    frags = sorted(frags, key=basic_fragment_score, reverse=True)[:top]
+    frags.sort(key=lambda f: f.start)
+    return sep.join(formatter.format_fragment(text, f) for f in frags)
