@@ -1,0 +1,123 @@
+"""Multi-field indexing: rank-identical to the reference's fielded schema."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from tests.conftest import HAVE_REFERENCE
+from whoosh_novo_ray.index.build import IndexConfig
+from whoosh_novo_ray.index.multifield import (
+    MultiFieldIndex,
+    MultiFieldSearcher,
+    build_multifield_index,
+)
+from whoosh_novo_ray.search import And, Or, Term
+
+
+@pytest.fixture(scope="module")
+def mf_env(ray_session, tmp_path_factory):
+    import ray.data
+
+    from whoosh_novo_ray.testing.pages import synth_pages
+
+    pages = synth_pages(n=300, seed=21)
+    # derive a short "title" from the first words of the text
+    titles = [" ".join(t.split()[:5]) for t in pages["text"].to_pylist()]
+    tbl = pa.table(
+        {
+            "doc_id": pages["doc_id"],
+            "title": pa.array(titles, pa.string()),
+            "body": pages["text"],
+        }
+    )
+    out = str(tmp_path_factory.mktemp("mf") / "idx")
+    build_multifield_index(
+        ray.data.from_arrow(tbl),
+        out,
+        fields={
+            "title": IndexConfig(text_col="title", num_buckets=2),
+            "body": IndexConfig(text_col="body", num_buckets=4),
+        },
+        lineage="mf",
+    )
+    return MultiFieldIndex(out), tbl
+
+
+@pytest.fixture(scope="module")
+def ref_mf(mf_env, tmp_path_factory):
+    if not HAVE_REFERENCE:
+        pytest.skip("reference not available")
+    from whoosh import index as windex
+    from whoosh.fields import NUMERIC, TEXT, Schema
+
+    _idx, tbl = mf_env
+    wdir = str(tmp_path_factory.mktemp("wmf"))
+    schema = Schema(
+        doc_id=NUMERIC(stored=True, bits=64), title=TEXT, body=TEXT
+    )
+    ix = windex.create_in(wdir, schema)
+    w = ix.writer(limitmb=256)
+    for r in tbl.to_pylist():
+        w.add_document(doc_id=r["doc_id"], title=r["title"], body=r["body"])
+    w.commit()
+    return ix
+
+
+def _ref(ix, q, limit=10):
+    with ix.searcher() as s:
+        r = s.search(q, limit=limit)
+        return [(h["doc_id"], r.score(i)) for i, h in enumerate(r)]
+
+
+def _mine(searcher, q, limit=10):
+    t = searcher.search(q, limit=limit)
+    return list(zip(t["doc_id"].to_pylist(), t["score"].to_pylist()))
+
+
+@pytest.mark.skipif(not HAVE_REFERENCE, reason="reference not available")
+def test_per_field_term_parity(mf_env, ref_mf):
+    from whoosh import query as wq
+
+    idx, _ = mf_env
+    s = MultiFieldSearcher(idx, default_field="body")
+    for field in ("title", "body"):
+        mine = _mine(s, Term("search", field=field))
+        ref = _ref(ref_mf, wq.Term(field, "search"))
+        assert [d for d, _ in mine] == [d for d, _ in ref], field
+        assert [x for _, x in mine] == pytest.approx([x for _, x in ref], rel=1e-9)
+
+
+@pytest.mark.skipif(not HAVE_REFERENCE, reason="reference not available")
+def test_cross_field_or_parity(mf_env, ref_mf):
+    from whoosh import query as wq
+
+    idx, _ = mf_env
+    s = MultiFieldSearcher(idx, default_field="body")
+    mine = _mine(s, Or(Term("search", field="title"), Term("search", field="body")))
+    ref = _ref(
+        ref_mf, wq.Or([wq.Term("title", "search"), wq.Term("body", "search")])
+    )
+    assert [d for d, _ in mine] == [d for d, _ in ref]
+    assert [x for _, x in mine] == pytest.approx([x for _, x in ref], rel=1e-9)
+
+
+@pytest.mark.skipif(not HAVE_REFERENCE, reason="reference not available")
+def test_cross_field_and_parity(mf_env, ref_mf):
+    from whoosh import query as wq
+
+    idx, _ = mf_env
+    s = MultiFieldSearcher(idx, default_field="body")
+    mine = _mine(s, And(Term("search", field="title"), Term("data", field="body")))
+    ref = _ref(
+        ref_mf, wq.And([wq.Term("title", "search"), wq.Term("body", "data")])
+    )
+    assert [d for d, _ in mine] == [d for d, _ in ref]
+    assert [x for _, x in mine] == pytest.approx([x for _, x in ref], rel=1e-9)
+
+
+def test_default_field_routing(mf_env):
+    idx, _ = mf_env
+    s = MultiFieldSearcher(idx, default_field="body")
+    a = s.search(Term("search"))
+    b = s.search(Term("search", field="body"))
+    assert a.to_pydict() == b.to_pydict()

@@ -114,3 +114,44 @@ def suggest(
         ((maxdist + 0.5 / (freq.get(t, 1) or 1), t) for t, _d in cands),
     )
     return [t for _s, t in scored[:limit]]
+
+
+def correct_query(searcher, q, maxdist: int = 2, prefix: int = 0):
+    """Did-you-mean: replace query terms absent from the lexicon with their
+    top spelling suggestion (reference Searcher.correct_query,
+    searching.py:861-975). Returns (corrected query, changed?)."""
+    changed = False
+
+    def fix(node):
+        nonlocal changed
+        if isinstance(node, Q.Term):
+            df, _, _ = searcher.term_stats(node.text)
+            if df == 0:
+                sugs = suggest(
+                    searcher.index, node.text, limit=1, maxdist=maxdist, prefix=prefix
+                )
+                if sugs:
+                    changed = True
+                    return Q.Term(sugs[0], boost=node.boost, field=node.field)
+            return node
+        if isinstance(node, (Q.And, Q.Or, Q.DisMax)):
+            return type(node)(*[fix(c) for c in node.children])
+        if isinstance(node, (Q.AndNot, Q.Require, Q.AndMaybe)):
+            return type(node)(fix(node.a), fix(node.b))
+        if isinstance(node, Q.Phrase):
+            words = []
+            for w in node.words:
+                df, _, _ = searcher.term_stats(w)
+                if df == 0:
+                    sugs = suggest(
+                        searcher.index, w, limit=1, maxdist=maxdist, prefix=prefix
+                    )
+                    if sugs:
+                        changed = True
+                        words.append(sugs[0])
+                        continue
+                words.append(w)
+            return Q.Phrase(words, slop=node.slop, field=node.field)
+        return node
+
+    return fix(q), changed

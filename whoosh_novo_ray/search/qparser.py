@@ -166,6 +166,10 @@ class QueryParser:
         m = re.match(r"^(.*)\^(\d+(\.\d+)?)$", w)
         if m:
             w, boost = m.group(1), float(m.group(2))
+        field = None
+        fm = re.match(r"^([A-Za-z_][A-Za-z0-9_]*):(.+)$", w)
+        if fm:
+            field, w = fm.group(1), fm.group(2)
         if w == "*":
             return Q.Every(boost=boost)
         if "*" in w or "?" in w:
@@ -184,9 +188,9 @@ class QueryParser:
         if not toks:
             return NULL
         if len(toks) == 1:
-            return Q.Term(toks[0], boost=boost)
+            return Q.Term(toks[0], boost=boost, field=field)
         # one input word analyzing to several tokens (e.g. "big-time")
-        return Q.And(*[Q.Term(t, boost=boost) for t in toks])
+        return Q.And(*[Q.Term(t, boost=boost, field=field) for t in toks])
 
     def _simplify(self, q: Q.Query) -> Q.Query:
         return q

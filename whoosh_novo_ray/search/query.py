@@ -35,10 +35,12 @@ class Query:
 
 @dataclass(frozen=True)
 class Term(Query):
-    """Match documents containing the term (reference query/terms.py:39)."""
+    """Match documents containing the term (reference query/terms.py:39).
+    ``field=None`` means the searcher's default field."""
 
     text: str
     boost: float = 1.0
+    field: str | None = None
 
 
 @dataclass(frozen=True)
@@ -112,10 +114,12 @@ class Phrase(Query):
 
     words: tuple
     slop: int = 1
+    field: str | None = None
 
-    def __init__(self, words, slop: int = 1):
+    def __init__(self, words, slop: int = 1, field: str | None = None):
         object.__setattr__(self, "words", tuple(words))
         object.__setattr__(self, "slop", slop)
+        object.__setattr__(self, "field", field)
 
 
 @dataclass(frozen=True)
