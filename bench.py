@@ -140,6 +140,41 @@ def query_latencies(index_dir: str, repeats: int = 20) -> dict:
     return out
 
 
+def pool_latencies(index_dir: str, repeats: int = 20) -> dict:
+    from whoosh_novo_ray.search import And, Or, Term
+    from whoosh_novo_ray.search.wand import searcher_wand_topk
+    from whoosh_novo_ray.search.searcher import Searcher
+    from whoosh_novo_ray.index import Index
+    from whoosh_novo_ray.state import QueryPool
+
+    pool = QueryPool(index_dir, num_actors=4)
+    out = {}
+    qset = {
+        "pool_term": Term("search"),
+        "pool_or3": Or(Term("search"), Term("index"), Term("data")),
+        "pool_and2": And(Term("search"), Term("data")),
+    }
+    for name, q in qset.items():
+        pool.search(q, limit=10)  # warm actor caches
+        samples = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            pool.search(q, limit=10)
+            samples.append(time.perf_counter() - t0)
+        out[name] = round(statistics.median(samples), 5)
+    pool.shutdown()
+
+    idx = Index(index_dir)
+    samples = []
+    for _ in range(repeats):
+        s = Searcher(idx)
+        t0 = time.perf_counter()
+        searcher_wand_topk(s, ["search", "index", "data"], 10)
+        samples.append(time.perf_counter() - t0)
+    out["wand_or3"] = round(statistics.median(samples), 5)
+    return out
+
+
 def run_ops(sf_dir: str) -> dict:
     import ray.data
 
@@ -244,8 +279,11 @@ def main_bench() -> None:
     queries["build_pages_index"] = round(build_pages, 3)
     queries["pages_docs_per_sec"] = round(man["doc_count"] / build_pages, 1)
 
-    # 3) query latency p50 on the pages index
+    # 3) query latency p50 on the pages index (cold driver-side path)
     queries.update(query_latencies(out_pages))
+
+    # 3b) actor-pool serving p50 (buckets pinned in actor memory) + WAND
+    queries.update(pool_latencies(out_pages))
 
     # 4) ops over the sf tables
     queries.update(run_ops(SF_DIR))

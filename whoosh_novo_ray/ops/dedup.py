@@ -163,16 +163,18 @@ def ngram_jaccard_pairs(
 class _MinHashSig:
     """Per-doc MinHash signature over word n-gram shingles.
 
-    k universal hash functions h_i(x) = (a_i*x + b_i) mod p over a stable
-    64-bit base hash of each shingle. Coefficients are seeded — deterministic
-    across workers. Pure map_batches: no shuffle, no state beyond __init__.
+    k seeded xorshift-multiply "permutations" over a stable 64-bit base hash
+    of each shingle (uint64 wraparound arithmetic — fully vectorized, no
+    bignum math); deterministic across workers. Pure map_batches: no shuffle,
+    no state beyond __init__.
     """
+
+    _MIX = np.uint64(0x9E3779B97F4A7C15)
 
     def __init__(self, n: int = 3, num_perm: int = 64, seed: int = 7):
         self.n = n
         rng = np.random.default_rng(seed)
-        self.a = rng.integers(1, _MERSENNE, num_perm, dtype=np.int64).astype(object)
-        self.b = rng.integers(0, _MERSENNE, num_perm, dtype=np.int64).astype(object)
+        self.seeds = rng.integers(1, 2**63, num_perm, dtype=np.uint64)
         self.num_perm = num_perm
 
     def signature(self, text: str) -> np.ndarray | None:
@@ -182,14 +184,11 @@ class _MinHashSig:
         sh = list(
             {" ".join(toks[i : i + self.n]) for i in range(len(toks) - self.n + 1)}
         )
-        base = _stable_hash_strings(np.array(sh, object)).astype(object)  # python ints
-        base = np.array([int(x) % _MERSENNE for x in base], dtype=object)
-        # (num_perm, n_shingles) matrix of permuted hashes; min over shingles
-        sig = np.empty(self.num_perm, dtype=np.uint64)
-        for i in range(self.num_perm):
-            vals = (int(self.a[i]) * base + int(self.b[i])) % _MERSENNE
-            sig[i] = np.uint64(min(vals))
-        return sig
+        base = _stable_hash_strings(np.array(sh, object))  # uint64
+        # (n_shingles, num_perm) permuted hashes; min over shingles
+        m = (base[:, None] ^ self.seeds[None, :]) * self._MIX
+        m ^= m >> np.uint64(29)
+        return m.min(axis=0)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, sigs = [], []

@@ -33,6 +33,7 @@ class LeafCursor:
         "row",
         "scorer",
         "max_quality",
+        "block_qualities",
         "block_i",
         "ids",
         "scores",
@@ -45,6 +46,10 @@ class LeafCursor:
         self.row = row
         self.scorer = scorer
         self.max_quality = scorer.max_quality(row.max_weight, row.min_len_byte)
+        # all block quality bounds in one vectorized pass
+        self.block_qualities = scorer.score_arrays(
+            row.block_max_weights, row.block_min_lens
+        )
         self.block_i = 0
         self.ids = None  # type: np.ndarray | None
         self.scores = None
@@ -79,10 +84,7 @@ class LeafCursor:
         return float(self.scores[self.pos])
 
     def block_quality(self) -> float:
-        return self.scorer.max_quality(
-            float(self.row.block_max_weights[self.block_i]),
-            int(self.row.block_min_lens[self.block_i]),
-        )
+        return float(self.block_qualities[self.block_i])
 
     def block_max_id(self) -> np.uint64:
         return np.uint64(self.row.block_max_ids[self.block_i])
@@ -162,22 +164,61 @@ def wand_topk(
         pivot_doc = active[pivot_idx].doc()
 
         if active[0].doc() == pivot_doc:
-            # Block-max refinement: within the doc range covered only by the
+            # The doc range [pivot, boundary] is covered only by the
             # contributors' CURRENT blocks (bounded by the next cursor's
-            # position), the reachable score is the sum of current block
-            # qualities. If that cannot beat the threshold, skip the whole
-            # range without per-doc scoring.
+            # position and their block ends).
             contributors = [c for c in active if int(c.doc()) <= int(pivot_doc)]
             others = active[len(contributors) :]
-            bq = sum(c.block_quality() for c in contributors)
             boundary = min(int(c.block_max_id()) for c in contributors)
             if others:
                 boundary = min(boundary, min(int(c.doc()) for c in others) - 1)
-            if len(heap) >= k and bq < t and boundary >= int(pivot_doc):
+            if boundary >= int(pivot_doc):
+                bq = sum(c.block_quality() for c in contributors)
+                if len(heap) >= k and bq < t:
+                    # block-max skip: nothing in the range can reach top-k
+                    for c in contributors:
+                        c.skip_to(np.uint64(boundary + 1))
+                    continue
+                # bulk-score the whole run vectorized (one merge per block
+                # range instead of a Python loop per doc)
+                parts_ids = []
+                parts_sc = []
                 for c in contributors:
-                    c.skip_to(np.uint64(boundary + 1))
+                    lo = c.pos
+                    hi = int(
+                        np.searchsorted(c.ids, np.uint64(boundary), side="right")
+                    )
+                    parts_ids.append(c.ids[lo:hi])
+                    parts_sc.append(c.scores[lo:hi])
+                    c.pos = hi
+                    if c.pos >= len(c.ids):
+                        c.block_i += 1
+                        c.ids = None
+                ids_cat = np.concatenate(parts_ids)
+                sc_cat = np.concatenate(parts_sc)
+                order = np.argsort(ids_cat, kind="stable")
+                ids_s = ids_cat[order]
+                sc_s = sc_cat[order]
+                change = np.empty(len(ids_s), bool)
+                change[0] = True
+                change[1:] = ids_s[1:] != ids_s[:-1]
+                starts = np.flatnonzero(change)
+                run_ids = ids_s[starts]
+                run_scores = np.add.reduceat(sc_s, starts)
+                if len(heap) >= k:
+                    # vectorized pre-filter: only candidates that can enter
+                    # the heap reach the Python loop
+                    cand = np.flatnonzero(run_scores >= heap[0][0])
+                else:
+                    cand = np.arange(len(run_ids))
+                for i in cand.tolist():
+                    entry = (float(run_scores[i]), -int(run_ids[i]))
+                    if len(heap) < k:
+                        heapq.heappush(heap, entry)
+                    elif entry > heap[0]:
+                        heapq.heapreplace(heap, entry)
                 continue
-            # score pivot_doc fully
+            # degenerate range: score just the pivot doc
             s = 0.0
             for c in contributors:
                 if c.doc() == pivot_doc:
