@@ -61,7 +61,16 @@ class And(_Compound):
 
 
 class Or(_Compound):
-    """Docs matching any child; score = sum (query/compound.py:269)."""
+    """Docs matching any child; score = sum (query/compound.py:269).
+
+    ``scale`` (0..1) applies the reference's coordination bonus: documents
+    matching more children are boosted via the SQR function
+    (CoordMatcher, matching/wrappers.py:521-572).
+    """
+
+    def __init__(self, *children, scale: float | None = None):
+        super().__init__(*children)
+        object.__setattr__(self, "scale", scale)
 
 
 class DisMax(_Compound):
@@ -184,6 +193,48 @@ class TermRange(Query):
     endexcl: bool = False
     boost: float = 1.0
     constantscore: bool = True
+
+
+@dataclass(frozen=True)
+class ColumnQuery(Query):
+    """Predicate over a per-document attribute table (reference
+    query/qcolumns.py:32-99): matches docs whose ``column`` value in
+    ``attrs`` (a pyarrow table with a doc_id column) satisfies
+    ``predicate`` (a vectorized fn over a numpy array -> bool mask).
+    Constant score 1.0."""
+
+    attrs: object  # pa.Table
+    column: str
+    predicate: object  # callable
+
+    def __hash__(self):
+        return id(self)
+
+
+def NumericRange(attrs, column, start=None, end=None, startexcl=False, endexcl=False):
+    """Numeric range over a doc attribute (reference query/ranges.py:244-394;
+    native numeric columns replace the reference's tiered shift terms)."""
+
+    def pred(vals):
+        import numpy as _np
+
+        mask = _np.ones(len(vals), bool)
+        if start is not None:
+            mask &= (vals > start) if startexcl else (vals >= start)
+        if end is not None:
+            mask &= (vals < end) if endexcl else (vals <= end)
+        return mask
+
+    return ColumnQuery(attrs, column, pred)
+
+
+def DateRange(attrs, column, start=None, end=None, startexcl=False, endexcl=False):
+    """Datetime range sugar (reference query/ranges.py:396-434)."""
+    import numpy as _np
+
+    s64 = _np.datetime64(start) if start is not None else None
+    e64 = _np.datetime64(end) if end is not None else None
+    return NumericRange(attrs, column, s64, e64, startexcl, endexcl)
 
 
 @dataclass(frozen=True)

@@ -159,7 +159,16 @@ class Searcher:
             return ids, scorer.score_arrays(tfs, lens) * q.boost
 
         if isinstance(q, Q.Or):
-            ids, scores, _ = _merge_sum([self.postings(c) for c in q.children])
+            ids, scores, counts = _merge_sum([self.postings(c) for c in q.children])
+            scale = getattr(q, "scale", None)
+            if scale:
+                # reference SQR coordination bonus (CoordMatcher._sqr,
+                # matching/wrappers.py:537-556): termcount = leaves in tree
+                tc = float(len(q.terms()) or len(q.children))
+                if tc and tc != scale:
+                    scores = (scores + (counts - 1) / (tc - scale) ** 2) * (
+                        (tc - 1) / tc
+                    )
             return ids, scores
 
         if isinstance(q, Q.And):
@@ -242,6 +251,18 @@ class Searcher:
             return self.postings(
                 Q.Or(*[Q.Term(t, boost=q.boost) for t in expanded])
             )
+
+        if isinstance(q, Q.ColumnQuery):
+            import pyarrow as _pa
+
+            attrs = q.attrs
+            vals = attrs[q.column].to_numpy(zero_copy_only=False)
+            mask = np.asarray(q.predicate(vals), bool)
+            ids = (
+                attrs["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)[mask]
+            )
+            ids = np.sort(ids)
+            return ids, np.ones(len(ids), np.float64)
 
         if isinstance(q, Q.Every):
             if self._universe is None:
