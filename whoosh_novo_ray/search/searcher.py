@@ -222,6 +222,11 @@ class Searcher:
         if isinstance(q, Q.Phrase):
             return self._phrase(q)
 
+        from whoosh_novo_ray.search.spans import _SpanQuery, evaluate_spans
+
+        if isinstance(q, _SpanQuery):
+            return evaluate_spans(self, q)
+
         from whoosh_novo_ray.search.fuzzy import FuzzyTerm, evaluate_fuzzy
 
         if isinstance(q, FuzzyTerm):
