@@ -9,9 +9,11 @@ the combined stream goes through the SAME bucket shuffle + block encoder as a
 fresh build — producing one merged generation with its own manifest.
 
 Doc-id spaces of the inputs must be disjoint (the caller offsets them, as the
-reference does with per-segment doc offsets, reading.py:1012-1016) unless
-``assume_disjoint=False`` — then later indexes win on duplicate ids (upsert
-semantics: the reference's update_document, writing.py:439-502).
+reference does with per-segment doc offsets, reading.py:1012-1016). For
+replace-by-id upserts use GenerationalIndex.update_documents
+(index/incremental.py), which trims the replaced ids from the old generation
+before merging — the reference's update_document semantics
+(writing.py:439-502).
 """
 
 from __future__ import annotations
@@ -21,7 +23,6 @@ import os
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import pyarrow.compute as pc
 
 import ray
 import ray.data

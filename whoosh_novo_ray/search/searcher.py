@@ -21,7 +21,6 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
-import re as _re
 
 from whoosh_novo_ray.index.segment import Index, TermRow
 from whoosh_novo_ray.search import query as Q
