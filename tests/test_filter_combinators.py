@@ -1,0 +1,61 @@
+"""CompoundWordFilter / MultiFilter / TeeFilter analog combinators."""
+
+import pytest
+
+from tests.conftest import HAVE_REFERENCE
+from whoosh_novo_ray.analysis import (
+    MultiAnalyzer,
+    StandardAnalyzer,
+    compound_word_split,
+    stemming_analyzer,
+    tee_tokens,
+)
+
+WORDSET = {"green", "eggs", "ham", "apple", "script", "turbo", "squid"}
+
+
+@pytest.mark.skipif(not HAVE_REFERENCE, reason="reference not available")
+@pytest.mark.parametrize("keep", [True, False])
+def test_compound_differential(keep):
+    from whoosh.analysis import RegexTokenizer
+    from whoosh.analysis.intraword import CompoundWordFilter
+
+    rt = RegexTokenizer(r"\S+")
+    for text in [
+        "I do not like greeneggs and ham",
+        "turbosquid applescript plain greenappleeggs hamhamham",
+    ]:
+        cwf = CompoundWordFilter(WORDSET, keep_compound=keep)
+        ref = [t.text for t in cwf(rt(text))]
+        memo = {}
+        mine = [
+            x
+            for tok in text.split()
+            for x in compound_word_split(tok, WORDSET, memo, keep)
+        ]
+        assert mine == ref, (text, keep)
+
+
+@pytest.mark.skipif(not HAVE_REFERENCE, reason="reference not available")
+def test_tee_differential():
+    from whoosh.analysis import RegexTokenizer
+    from whoosh.analysis.filters import LowercaseFilter, ReverseTextFilter, TeeFilter
+
+    rt = RegexTokenizer(r"\S+")
+    ref = [
+        t.text
+        for t in (rt | TeeFilter(LowercaseFilter(), ReverseTextFilter()))(
+            "ALFA BRAVO CHARLIE"
+        )
+    ]
+    mine = tee_tokens(
+        "ALFA BRAVO CHARLIE".split(), lambda t: t.lower(), lambda t: t[::-1]
+    )
+    assert mine == ref
+
+
+def test_multi_analyzer_mode_dispatch():
+    ma = MultiAnalyzer(StandardAnalyzer(), index=stemming_analyzer())
+    assert ma("Jumping runners", mode="index") == ["jump", "runner"]
+    assert ma("Jumping runners", mode="query") == ["jumping", "runners"]
+    assert ma("Jumping runners") == ["jumping", "runners"]

@@ -271,3 +271,71 @@ def shingle_tokens(tokens: list[str], size: int = 2, sep: str = "-") -> list[str
     if len(tokens) < size:
         return []
     return [sep.join(tokens[i : i + size]) for i in range(len(tokens) - size + 1)]
+
+
+def compound_word_split(
+    token: str, wordset, memo: dict | None = None, keep_compound: bool = True
+) -> list[str]:
+    """Break a run-together token into dictionary words (reference
+    CompoundWordFilter, intraword.py:42-108): greedy prefix recursion with
+    memoization; the original compound is kept first when it splits and
+    ``keep_compound`` is set."""
+    memo = {} if memo is None else memo
+
+    def subwords(w: str):
+        if w in wordset:
+            return [w]
+        if w in memo:
+            return memo[w]
+        for i in range(1, len(w)):
+            if w[:i] in wordset:
+                rest = subwords(w[i:])
+                if rest:
+                    memo[w] = [w[:i]] + rest
+                    return memo[w]
+        return None
+
+    subs = subwords(token)
+    if not subs:
+        return [token]
+    if len(subs) > 1 and keep_compound:
+        return [token] + subs
+    return subs
+
+
+class MultiAnalyzer:
+    """Mode-dispatching analyzer (reference MultiFilter, filters.py:223-254):
+    pick a different analyzer for indexing vs querying — e.g. merge intra-word
+    variants at index time but not at query time."""
+
+    def __init__(self, default, **by_mode):
+        self.default = default
+        self.by_mode = by_mode
+
+    def for_mode(self, mode: str):
+        return self.by_mode.get(mode, self.default)
+
+    def __call__(self, text: str, mode: str = "query") -> list[str]:
+        return self.for_mode(mode)(text)
+
+
+def tee_tokens(tokens: list[str], *branch_fns) -> list[str]:
+    """Interleave the outputs of several per-token transforms (reference
+    TeeFilter, filters.py:257-311): for each input token, each branch
+    contributes its transformed token(s) in branch order."""
+    out: list[str] = []
+    branches = [[x for t in tokens for x in _as_list(fn(t))] for fn in branch_fns]
+    idx = [0] * len(branches)
+    running = True
+    while running:
+        running = False
+        for bi, b in enumerate(branches):
+            if idx[bi] < len(b):
+                out.append(b[idx[bi]])
+                idx[bi] += 1
+                running = True
+    return out
+
+
+def _as_list(x):
+    return x if isinstance(x, list) else [x]
