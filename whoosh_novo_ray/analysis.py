@@ -253,6 +253,69 @@ def accent_fold(text: str) -> str:
     )
 
 
+@dataclass(frozen=True)
+class NgramAnalyzer:
+    """Char-n-gram analyzer (reference NGRAM field / NgramAnalyzer,
+    ngrams.py:42-130,248-256): grams over the WHOLE lowercased value incl.
+    whitespace, ordered by (start, size); position == start offset. Plugs
+    into IndexConfig like StandardAnalyzer for substring-search indexes."""
+
+    minsize: int = 2
+    maxsize: int = 4
+    # duck-type fields other code may probe
+    stem: bool = False
+    stoplist = None
+
+    def __call__(self, text: str) -> list[str]:
+        v = text.lower()
+        n = len(v)
+        out = []
+        for start in range(0, n - self.minsize + 1):
+            for size in range(self.minsize, self.maxsize + 1):
+                if start + size <= n:
+                    out.append(v[start : start + size])
+        return out
+
+    def query_tokens(self, text: str) -> list[str]:
+        """Query-mode grams (reference NgramTokenizer mode=='query': one gram
+        size = min(maxsize, len))."""
+        v = text.lower()
+        size = min(self.maxsize, len(v))
+        return [v[i : i + size] for i in range(0, len(v) - size + 1)]
+
+    def analyze_batch_coded(self, texts):
+        per_doc = [self(t) if t else [] for t in texts]
+        counts = np.fromiter((len(p) for p in per_doc), np.int64, len(per_doc))
+        n = int(counts.sum())
+        doc_idx = np.repeat(np.arange(len(per_doc), dtype=np.int64), counts)
+        tokens = np.empty(n, dtype=object)
+        i = 0
+        for pdoc in per_doc:
+            tokens[i : i + len(pdoc)] = pdoc
+            i += len(pdoc)
+        if n == 0:
+            e = np.empty(0, np.int64)
+            return e, e.copy(), np.empty(0, object), e.astype(np.int32), np.zeros(len(texts), np.int64)
+        codes, uniques = pd.factorize(tokens, sort=False)
+        # position == start offset: per doc, grams are emitted grouped by
+        # start with (max-min+1) grams per start (fewer near the end)
+        pos_parts = []
+        for pdoc, text in zip(per_doc, texts):
+            if not pdoc:
+                continue
+            v = (text or "").lower()
+            ln = len(v)
+            ps = []
+            for start in range(0, ln - self.minsize + 1):
+                for size in range(self.minsize, self.maxsize + 1):
+                    if start + size <= ln:
+                        ps.append(start)
+            pos_parts.append(np.asarray(ps, np.int32))
+        pos = np.concatenate(pos_parts) if pos_parts else np.empty(0, np.int32)
+        fl = counts.astype(np.int64)
+        return doc_idx, codes, np.asarray(uniques, object), pos, fl
+
+
 def ngram_tokens(text: str, minsize: int, maxsize: int | None = None) -> list[str]:
     """Character n-grams of the raw (lowercased) text, reference NgramTokenizer
     semantics (``src/whoosh/analysis/ngrams.py:42``): all grams of sizes

@@ -79,25 +79,40 @@ class IndexConfig:
     def to_json(self) -> dict:
         d = asdict(self)
         d["heavy_terms"] = sorted(self.heavy_terms)
-        d["analyzer"] = {
-            "pattern": self.analyzer.pattern,
-            "stoplist": sorted(self.analyzer.stoplist) if self.analyzer.stoplist else None,
-            "minsize": self.analyzer.minsize,
-            "maxsize": self.analyzer.maxsize,
-            "stem": self.analyzer.stem,
-        }
+        from whoosh_novo_ray.analysis import NgramAnalyzer
+
+        if isinstance(self.analyzer, NgramAnalyzer):
+            d["analyzer"] = {
+                "type": "ngram",
+                "minsize": self.analyzer.minsize,
+                "maxsize": self.analyzer.maxsize,
+            }
+        else:
+            d["analyzer"] = {
+                "type": "standard",
+                "pattern": self.analyzer.pattern,
+                "stoplist": sorted(self.analyzer.stoplist) if self.analyzer.stoplist else None,
+                "minsize": self.analyzer.minsize,
+                "maxsize": self.analyzer.maxsize,
+                "stem": self.analyzer.stem,
+            }
         return d
 
     @staticmethod
     def from_json(d: dict) -> "IndexConfig":
         a = d.pop("analyzer")
-        ana = StandardAnalyzer(
-            pattern=a["pattern"],
-            stoplist=frozenset(a["stoplist"]) if a["stoplist"] is not None else None,
-            minsize=a["minsize"],
-            maxsize=a["maxsize"],
-            stem=a.get("stem", False),
-        )
+        if a.get("type") == "ngram":
+            from whoosh_novo_ray.analysis import NgramAnalyzer
+
+            ana = NgramAnalyzer(minsize=a["minsize"], maxsize=a["maxsize"])
+        else:
+            ana = StandardAnalyzer(
+                pattern=a["pattern"],
+                stoplist=frozenset(a["stoplist"]) if a["stoplist"] is not None else None,
+                minsize=a["minsize"],
+                maxsize=a["maxsize"],
+                stem=a.get("stem", False),
+            )
         d["heavy_terms"] = tuple(d.get("heavy_terms", ()))
         return IndexConfig(analyzer=ana, **d)
 
