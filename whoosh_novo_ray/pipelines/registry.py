@@ -397,6 +397,75 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = pa.concat_tables(_collect(image_features(ray.data.from_arrow(tbl))))
         return out.drop_columns(["embedding"]).sort_by("doc_id")
 
+    def fielded_and(sf_dir):
+        from whoosh_novo_ray.index.build import IndexConfig as _IC
+        from whoosh_novo_ray.index.multifield import (
+            MultiFieldIndex,
+            MultiFieldSearcher,
+            build_multifield_index,
+        )
+        from whoosh_novo_ray.search import And as _And
+        from whoosh_novo_ray.search import Term as _Term
+
+        out = os.path.join(
+            "/tmp/wnr_indexes",
+            sf_dir.strip("/").replace("/", "_") + "_mf",
+        )
+        if not os.path.exists(os.path.join(out, "multifield.json")):
+            build_multifield_index(
+                _docs_ds(sf_dir, ("doc_id", "text", "source")),
+                out,
+                fields={
+                    "text": _IC(text_col="text", num_buckets=8),
+                    "source": _IC(text_col="source", num_buckets=2),
+                },
+                lineage=f"mf:{sf_dir}",
+            )
+        s = MultiFieldSearcher(MultiFieldIndex(out), default_field="text")
+        t = s.search(
+            _And(_Term(_T_MID), _Term("src5", field="source")), limit=10**9
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "score": pa.array(np.round(t["score"].to_numpy(), 6), pa.float64()),
+            }
+        )
+
+    def window_agg(sf_dir):
+        import ray.data
+        from whoosh_novo_ray.ops.windows import tumbling_window_agg
+
+        ev = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["ts", "event_type", "value"],
+        )
+        t = pa.concat_tables(_collect(tumbling_window_agg(ev, width_s=86400)))
+        import pyarrow.compute as _pc
+
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "window_start": t["window_start"],
+                "n": t["n"],
+                "sum_value": _pc.round(t["sum_value"], ndigits=6),
+                "mean_value": _pc.round(t["mean_value"], ndigits=6),
+                "min_value": _pc.round(t["min_value"], ndigits=6),
+                "max_value": _pc.round(t["max_value"], ndigits=6),
+            }
+        ).sort_by([("event_type", "ascending"), ("window_start", "ascending")])
+
+    def sessions(sf_dir):
+        import ray.data
+        from whoosh_novo_ray.ops.windows import sessionize
+
+        ev = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_id", "user_id", "ts"],
+        )
+        t = pa.concat_tables(_collect(sessionize(ev, gap_s=1800)))
+        return t.sort_by([("event_id", "ascending")])
+
     return {
         # --- inverted index + BM25 core ---
         "term_stats": term_stats,
@@ -433,6 +502,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_event_per_user": latest_event_per_user,
         "key_terms_doc0": key_terms_doc0,
         "image_features_meta": image_features_q,  # rows-only (stubbed decode)
+        "window_agg_daily": window_agg,
+        "sessionize": sessions,
+        "fielded_and": fielded_and,
     }
 
 
@@ -640,4 +712,52 @@ ORDER BY vec_a, vec_b""",
         "numeric_range": """
 SELECT doc_id::BIGINT AS doc_id, n_chars::BIGINT AS n_chars
 FROM documents WHERE n_chars BETWEEN 500 AND 900 ORDER BY doc_id""",
+        "fielded_and": f"""WITH {_BASE_CTES},
+src AS (SELECT doc_id FROM documents WHERE lower(source) = 'src5'),
+srcstats AS (
+  SELECT (SELECT count(*) FROM src)::DOUBLE AS df,
+         (SELECT count(*) FROM documents)::DOUBLE AS N
+)
+SELECT b.doc_id::BIGINT AS doc_id,
+       round(b.score + ln(ss.N / (ss.df + 1)) + 1, 6) AS score
+FROM bm b JOIN src USING (doc_id) CROSS JOIN srcstats ss
+WHERE b.term = '{_T_MID}'""",
+        "window_agg_daily": """
+WITH w AS (
+  SELECT event_type,
+         (epoch_us(ts) // 86400000000) * 86400000000 AS window_start,
+         value
+  FROM events
+)
+SELECT event_type, window_start::BIGINT AS window_start,
+       count(*)::BIGINT AS n,
+       round(sum(value), 6) AS sum_value,
+       round(avg(value), 6) AS mean_value,
+       round(min(value), 6) AS min_value,
+       round(max(value), 6) AS max_value
+FROM w GROUP BY event_type, window_start
+ORDER BY event_type, window_start""",
+        "sessionize": """
+WITH o AS (
+  SELECT event_id, user_id, epoch_us(ts) AS tus,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+marked AS (
+  SELECT event_id, user_id, tus,
+         CASE WHEN prev IS NULL OR tus - prev > 1800000000 THEN 1 ELSE 0 END AS is_new
+  FROM o
+),
+numbered AS (
+  SELECT event_id, user_id, tus,
+         sum(is_new) OVER (
+           PARTITION BY user_id ORDER BY tus, event_id
+           ROWS UNBOUNDED PRECEDING
+         ) - 1 AS session_idx
+  FROM marked
+)
+SELECT n.event_id::BIGINT AS event_id, n.user_id::BIGINT AS user_id,
+       n.session_idx::BIGINT AS session_idx,
+       min(n.tus) OVER (PARTITION BY n.user_id, n.session_idx)::BIGINT AS session_start
+FROM numbered n ORDER BY event_id""",
     }
