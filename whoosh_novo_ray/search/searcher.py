@@ -363,6 +363,11 @@ class Searcher:
         """Run a query; return Arrow table (doc_id, score) sorted by
         (score desc, doc_id asc) — the reference tie-break
         (collectors.py:466-508) — truncated to `limit`."""
+        # batch-fetch every term the query needs up front: one segment read
+        # per BUCKET instead of one per term
+        terms = q.terms()
+        if terms:
+            self.prefetch_terms(terms, with_positions=q.needs_positions())
         ids, scores = self.postings(q)
         order = np.lexsort((ids, -scores))
         if limit is not None:

@@ -75,6 +75,8 @@ class QueryPool:
 
     def __init__(self, index_path: str, num_actors: int = 4):
         self.index = Index(index_path)
+        # pool-level term-row cache shared across queries/searchers
+        self._cache: dict[tuple[str, bool], list] = {}
         all_buckets = sorted(self.index._bucket_paths)
         self._owner: dict[int, int] = {}
         assignments: list[list[int]] = [[] for _ in range(num_actors)]
@@ -93,6 +95,11 @@ class QueryPool:
         pool = self
 
         def prefetch(terms, with_positions=False):
+            # serve from the pool cache first
+            for t in set(terms):
+                key = (t, with_positions)
+                if key not in s._term_cache and key in pool._cache:
+                    s._term_cache[key] = pool._cache[key]
             missing = [
                 t for t in set(terms) if (t, with_positions) not in s._term_cache
             ]
@@ -115,7 +122,9 @@ class QueryPool:
                     for row in rows:
                         merged[term].append(_dict_to_termrow(row, with_positions))
             for t in missing:
-                s._term_cache[(t, with_positions)] = merged.get(t, [])
+                rows = merged.get(t, [])
+                s._term_cache[(t, with_positions)] = rows
+                pool._cache[(t, with_positions)] = rows
 
         s.prefetch_terms = prefetch  # type: ignore[method-assign]
         return s
