@@ -327,8 +327,14 @@ def main_scaling() -> None:
         globals()["PAGES_N"] = 300000
         globals()["PAGES_PARQUET"] = f"/tmp/wnr_bench_pages_{PAGES_N}"
     ensure_pages_corpus()
+    # N and 4N; override with GRAFT_SCALING_NS="4,16" etc. NB: above ~24
+    # total vCPUs this host shows 10-20% hypervisor steal (vCPUs oversell the
+    # physical share), which caps apparent efficiency — see BASELINE.md.
+    ns = tuple(
+        int(x) for x in os.environ.get("GRAFT_SCALING_NS", "8,32").split(",")
+    )
     results = {}
-    for n in (8, 32):
+    for n in ns:
         cp = subprocess.run(
             [sys.executable, __file__, "--_build-only", str(n)],
             capture_output=True,
@@ -338,23 +344,24 @@ def main_scaling() -> None:
         )
         line = [l for l in cp.stdout.splitlines() if l.startswith("{")][-1]
         results[n] = json.loads(line)
-    t8, t32 = results[8]["docs_per_sec"], results[32]["docs_per_sec"]
-    eff = t32 / (4 * t8)
+    lo, hi = ns
+    t8, t32 = results[lo]["docs_per_sec"], results[hi]["docs_per_sec"]
+    eff = t32 / ((hi / lo) * t8)
     print(
         json.dumps(
             {
-                "metric": "scaling efficiency 8->32 cpus (N->4N proxy)",
+                "metric": f"scaling efficiency {lo}->{hi} cpus (N->4N proxy)",
                 "value": round(eff, 3),
                 "unit": "efficiency",
                 "queries": {
-                    "docs_per_sec_8cpu": t8,
-                    "docs_per_sec_32cpu": t32,
-                    "build_sec_8cpu": results[8]["build_sec"],
-                    "build_sec_32cpu": results[32]["build_sec"],
-                    "build_secs_all_8cpu": results[8]["build_secs_all"],
-                    "build_secs_all_32cpu": results[32]["build_secs_all"],
-                    "steal_pct_8cpu": results[8]["steal_pct_all"],
-                    "steal_pct_32cpu": results[32]["steal_pct_all"],
+                    f"docs_per_sec_{lo}cpu": t8,
+                    f"docs_per_sec_{hi}cpu": t32,
+                    f"build_sec_{lo}cpu": results[lo]["build_sec"],
+                    f"build_sec_{hi}cpu": results[hi]["build_sec"],
+                    f"build_secs_all_{lo}cpu": results[lo]["build_secs_all"],
+                    f"build_secs_all_{hi}cpu": results[hi]["build_secs_all"],
+                    f"steal_pct_{lo}cpu": results[lo]["steal_pct_all"],
+                    f"steal_pct_{hi}cpu": results[hi]["steal_pct_all"],
                 },
                 "sf": PAGES_PARQUET,
                 "num_cpus": 32,
