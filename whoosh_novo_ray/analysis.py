@@ -95,16 +95,36 @@ class StandardAnalyzer:
         return AnalyzedBatch(doc_idx, uniques[codes], pos, field_lengths)
 
     def analyze_batch_coded(
-        self, texts: list[str]
-    ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        self, texts: list[str], with_chars: bool = False
+    ):
         """Like analyze_batch but dictionary-coded: returns
-        (doc_idx, term_codes, unique_terms, pos, field_lengths).
+        (doc_idx, term_codes, unique_terms, pos, field_lengths) — plus
+        (startchars, endchars) int32 arrays when ``with_chars`` (the
+        reference Characters format's per-occurrence offsets,
+        formats.py:273-343; spans refer to the ORIGINAL text).
 
         Length/stopword filtering and (downstream) hashing run once per
         UNIQUE term, not per token — the fused fast path for indexing.
         """
         rx = self._rx
-        per_doc: list[list[str]] = [rx.findall(t.lower()) if t else [] for t in texts]
+        if with_chars:
+            per_doc = []
+            span_parts = []
+            for t in texts:
+                if not t:
+                    per_doc.append([])
+                    continue
+                ms = list(rx.finditer(t.lower()))
+                per_doc.append([m.group(0) for m in ms])
+                span_parts.extend((m.start(), m.end()) for m in ms)
+            spans = (
+                np.asarray(span_parts, np.int32).reshape(-1, 2)
+                if span_parts
+                else np.empty((0, 2), np.int32)
+            )
+        else:
+            per_doc = [rx.findall(t.lower()) if t else [] for t in texts]
+            spans = None
         counts = np.fromiter((len(p) for p in per_doc), dtype=np.int64, count=len(per_doc))
         n = int(counts.sum())
         doc_idx = np.repeat(np.arange(len(per_doc), dtype=np.int64), counts)
@@ -116,13 +136,17 @@ class StandardAnalyzer:
 
         if n == 0:
             empty = np.empty(0, dtype=np.int64)
-            return (
+            base = (
                 empty,
                 empty.copy(),
                 np.empty(0, dtype=object),
                 empty.astype(np.int32),
                 np.zeros(len(texts), np.int64),
             )
+            if with_chars:
+                e32 = np.empty(0, np.int32)
+                return base + (e32, e32.copy())
+            return base
 
         # original (pre-filter) position of each token within its doc
         pre_start = np.flatnonzero(np.diff(doc_idx, prepend=-1))
@@ -146,6 +170,8 @@ class StandardAnalyzer:
         doc_idx = doc_idx[keep]
         codes = codes[keep]
         orig_pos = orig_pos[keep]
+        if spans is not None:
+            spans = spans[keep]
         field_lengths = np.bincount(doc_idx, minlength=len(texts)).astype(np.int64)
 
         if self.stem:
@@ -170,6 +196,8 @@ class StandardAnalyzer:
         else:
             pos = np.empty(0, dtype=np.int32)
 
+        if with_chars:
+            return doc_idx, codes, uniques, pos, field_lengths, spans[:, 0], spans[:, 1]
         return doc_idx, codes, uniques, pos, field_lengths
 
 

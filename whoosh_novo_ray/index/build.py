@@ -70,6 +70,7 @@ class IndexConfig:
     num_buckets: int = 32
     block_size: int = 128
     with_positions: bool = True
+    with_chars: bool = False  # store per-occurrence char offsets (Characters format)
     # terms whose postings are split over `salt_k` shuffle keys by doc-id range
     heavy_terms: tuple = ()
     salt_k: int = 8
@@ -155,9 +156,15 @@ class TokenizePostings:
         cfg = self.cfg
         texts = batch[cfg.text_col].to_pylist()
         doc_ids = batch[cfg.id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
-        doc_idx, codes, uniques, pos, field_lengths = (
-            cfg.analyzer.analyze_batch_coded(texts)
-        )
+        if cfg.with_chars:
+            doc_idx, codes, uniques, pos, field_lengths, s_char, e_char = (
+                cfg.analyzer.analyze_batch_coded(texts, with_chars=True)
+            )
+        else:
+            doc_idx, codes, uniques, pos, field_lengths = (
+                cfg.analyzer.analyze_batch_coded(texts)
+            )
+            s_char = e_char = None
         if len(doc_idx) == 0:
             # no tokens in this batch — still emit the per-doc metadata rows
             return _docmeta_only_table(cfg, doc_ids, field_lengths)
@@ -167,6 +174,9 @@ class TokenizePostings:
         s_doc = doc_idx[order]
         s_code = codes[order]
         s_pos = pos[order]
+        if s_char is not None:
+            s_sc = s_char[order]
+            s_ec = e_char[order]
 
         key_change = np.empty(len(s_doc), dtype=bool)
         key_change[0] = True
@@ -229,6 +239,20 @@ class TokenizePostings:
                 pa.array([], pa.int32()),
             )
             cols["positions"] = pa.concat_arrays([pos_list, empty])
+        if cfg.with_chars and s_char is not None:
+            # interleave (start, end) pairs per occurrence, grouped like
+            # positions: per posting 2*tf values, non-decreasing
+            inter = np.empty(2 * len(s_doc), np.int32)
+            inter[0::2] = s_sc
+            inter[1::2] = s_ec
+            offsets2 = (2 * np.append(starts, len(s_doc))).astype(np.int32)
+            ch_list = pa.ListArray.from_arrays(
+                pa.array(offsets2, pa.int32()), pa.array(inter, pa.int32())
+            )
+            empty2 = pa.ListArray.from_arrays(
+                pa.array(np.zeros(n_docs + 1, np.int32)), pa.array([], pa.int32())
+            )
+            cols["chars"] = pa.concat_arrays([ch_list, empty2])
         return pa.table(cols)
 
 
@@ -248,6 +272,10 @@ def _docmeta_only_table(cfg: IndexConfig, doc_ids: np.ndarray, field_lengths: np
     }
     if cfg.with_positions:
         cols["positions"] = pa.ListArray.from_arrays(
+            pa.array(np.zeros(n_docs + 1, np.int32)), pa.array([], pa.int32())
+        )
+    if cfg.with_chars:
+        cols["chars"] = pa.ListArray.from_arrays(
             pa.array(np.zeros(n_docs + 1, np.int32)), pa.array([], pa.int32())
         )
     return pa.table(cols)
@@ -396,6 +424,27 @@ def encode_bucket_table(tbl: pa.Table, block_size: int, with_positions: bool) ->
             len_bytes, np.append(term_starts, n).astype(np.int64)
         ),
     }
+
+    if "chars" in tbl.column_names:
+        ch_col = pc.take(tbl["chars"].combine_chunks(), pa.array(order))
+        if isinstance(ch_col, pa.ChunkedArray):
+            ch_col = ch_col.combine_chunks()
+        ch_counts = np.diff(ch_col.offsets.to_numpy()).astype(np.int64)
+        ch_flat = ch_col.values.to_numpy(zero_copy_only=False).astype(np.uint64)
+        ch_buf, per_posting_ch = encode_positions(ch_flat, ch_counts)
+        ch_byte_end = np.cumsum(per_posting_ch)
+        ch_byte_start = ch_byte_end - per_posting_ch
+        t_ch_off = ch_byte_start[term_starts]
+        t_ch_end = np.append(t_ch_off[1:], ch_byte_end[-1] if n else 0)
+        blk_ch_off = (
+            ch_byte_start[block_starts] - np.repeat(t_ch_off, nblocks_per_term)
+        ).astype(np.uint64)
+        cols["block_chars_off"] = _list_array(
+            pa.array(blk_ch_off, pa.uint64()), nblocks_per_term
+        )
+        cols["chars_blob"] = _large_binary_from_slices(
+            ch_buf, np.append(t_ch_off, t_ch_end[-1:])
+        )
 
     if with_positions and "positions" in tbl.column_names:
         pos_col = pc.take(tbl["positions"].combine_chunks(), pa.array(order))

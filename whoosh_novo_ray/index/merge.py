@@ -47,10 +47,12 @@ class DecodeSegmentRows:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         wp = self.with_positions and "pos_blob" in batch.column_names
+        wc = "chars_blob" in batch.column_names
         terms, ids, tfs, lens = [], [], [], []
         pos_flats, pos_counts = [], []
+        ch_flats, ch_counts = [], []
         for i in range(len(batch)):
-            tr = _row_to_termrow(batch, i, with_positions=wp)
+            tr = _row_to_termrow(batch, i, with_positions=wp, with_chars=wc)
             t_ids, t_tfs, t_lens = tr.decode_all()
             keep = None
             if self.delete_ids is not None and len(self.delete_ids):
@@ -62,6 +64,15 @@ class DecodeSegmentRows:
                     flat, counts = flat[occ_keep], counts[keep]
                 pos_flats.append(flat)
                 pos_counts.append(counts)
+            if wc:
+                ch, ccounts = tr.decode_all_chars()
+                flat2 = ch.reshape(-1).astype(np.uint64)
+                c2 = (ccounts * 2).astype(np.int64)
+                if keep is not None:
+                    occ_keep2 = np.repeat(keep, c2)
+                    flat2, c2 = flat2[occ_keep2], c2[keep]
+                ch_flats.append(flat2)
+                ch_counts.append(c2)
             if keep is not None:
                 t_ids, t_tfs, t_lens = t_ids[keep], t_tfs[keep], t_lens[keep]
             terms.append(np.full(len(t_ids), tr.term, dtype=object))
@@ -77,6 +88,8 @@ class DecodeSegmentRows:
             }
             if wp:
                 cols["positions"] = pa.array([], pa.list_(pa.int32()))
+            if wc:
+                cols["chars"] = pa.array([], pa.list_(pa.int32()))
             return pa.table(cols)
         cols = {
             "term": pa.array(np.concatenate(terms), pa.string()),
@@ -91,6 +104,14 @@ class DecodeSegmentRows:
             cols["positions"] = pa.ListArray.from_arrays(
                 pa.array(offsets, pa.int32()),
                 pa.array(np.concatenate(pos_flats).astype(np.int32), pa.int32()),
+            )
+        if wc:
+            c2 = np.concatenate(ch_counts).astype(np.int64)
+            off2 = np.zeros(len(c2) + 1, np.int32)
+            np.cumsum(c2, out=off2[1:])
+            cols["chars"] = pa.ListArray.from_arrays(
+                pa.array(off2, pa.int32()),
+                pa.array(np.concatenate(ch_flats).astype(np.int32), pa.int32()),
             )
         return pa.table(cols)
 
@@ -110,6 +131,9 @@ def merge_indexes(
     idxs = [Index(d) for d in index_dirs]
     cfg = cfg or idxs[0].cfg
     wp = cfg.with_positions and all(i.cfg.with_positions for i in idxs)
+    wc = getattr(cfg, "with_chars", False) and all(
+        getattr(i.cfg, "with_chars", False) for i in idxs
+    )
 
     seg_files = [
         os.path.join(d, b["path"]) for d, i in zip(index_dirs, idxs) for b in i.manifest["buckets"]
@@ -149,6 +173,10 @@ def merge_indexes(
         }
         if wp:
             cols["positions"] = pa.ListArray.from_arrays(
+                pa.array(np.zeros(n + 1, np.int32)), pa.array([], pa.int32())
+            )
+        if wc:
+            cols["chars"] = pa.ListArray.from_arrays(
                 pa.array(np.zeros(n + 1, np.int32)), pa.array([], pa.int32())
             )
         return pa.table(cols)

@@ -71,6 +71,8 @@ class TermRow:
     lens_blob: bytes
     block_pos_off: np.ndarray | None = None
     pos_blob: bytes | None = None
+    block_chars_off: np.ndarray | None = None
+    chars_blob: bytes | None = None
 
     @property
     def n_blocks(self) -> int:
@@ -135,8 +137,22 @@ class TermRow:
         tfs = varint_decode(self.tfs_blob, self.df)
         return decode_positions_flat(self.pos_blob, tfs)
 
+    def decode_all_chars(self) -> tuple[np.ndarray, np.ndarray]:
+        """Per-occurrence character offsets (the Characters format):
+        returns (spans (total_occurrences, 2) int64 [start, end), counts
+        per posting)."""
+        if self.chars_blob is None:
+            raise ValueError("index built without char offsets (with_chars)")
+        from whoosh_novo_ray.codec import decode_positions_flat, varint_decode
 
-def _row_to_termrow(tbl: pa.Table, i: int, with_positions: bool) -> TermRow:
+        tfs = varint_decode(self.tfs_blob, self.df)
+        flat, counts2 = decode_positions_flat(self.chars_blob, tfs * np.uint64(2))
+        return flat.astype(np.int64).reshape(-1, 2), (counts2 // 2)
+
+
+def _row_to_termrow(
+    tbl: pa.Table, i: int, with_positions: bool, with_chars: bool = False
+) -> TermRow:
     get = lambda name: tbl[name][i].as_py()
 
     def nplist(name, dtype):
@@ -163,6 +179,9 @@ def _row_to_termrow(tbl: pa.Table, i: int, with_positions: bool) -> TermRow:
     if with_positions and "pos_blob" in tbl.column_names:
         tr.block_pos_off = nplist("block_pos_off", np.int64)
         tr.pos_blob = get("pos_blob")
+    if with_chars and "chars_blob" in tbl.column_names:
+        tr.block_chars_off = nplist("block_chars_off", np.int64)
+        tr.chars_blob = get("chars_blob")
     return tr
 
 
@@ -188,7 +207,10 @@ class Index:
     # -- term dictionary lookups ---------------------------------------------
 
     def term_rows(
-        self, terms: list[str], with_positions: bool = False
+        self,
+        terms: list[str],
+        with_positions: bool = False,
+        with_chars: bool = False,
     ) -> dict[str, list[TermRow]]:
         """Fetch posting-list rows for the given terms (predicate-pushdown
         reads of only the buckets that can contain them). A term maps to >1
@@ -201,6 +223,8 @@ class Index:
         cols = list(_SCORING_COLUMNS)
         if with_positions and self.cfg.with_positions:
             cols += ["block_pos_off", "pos_blob"]
+        if with_chars and getattr(self.cfg, "with_chars", False):
+            cols += ["block_chars_off", "chars_blob"]
         for bk, tset in sorted(by_bucket.items()):
             p = self._bucket_paths.get(bk)
             if p is None:
@@ -211,7 +235,7 @@ class Index:
                 filters=pc.field("term").isin(sorted(tset)),
             )
             for i in range(len(tbl)):
-                tr = _row_to_termrow(tbl, i, with_positions)
+                tr = _row_to_termrow(tbl, i, with_positions, with_chars)
                 out[tr.term].append(tr)
         return out
 

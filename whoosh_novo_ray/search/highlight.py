@@ -13,6 +13,8 @@ import html as _html
 import re
 from dataclasses import dataclass
 
+import numpy as np
+
 from whoosh_novo_ray.analysis import DEFAULT_PATTERN, StandardAnalyzer
 
 
@@ -115,6 +117,43 @@ class HtmlFormatter:
             pos = m.end
         out.append(_html.escape(text[pos : f.end]))
         return "".join(out)
+
+
+def highlight_from_index(
+    searcher,
+    doc_id: int,
+    text: str,
+    terms,
+    fragmenter=None,
+    formatter=None,
+    top: int = 3,
+    sep: str = "...",
+) -> str:
+    """Highlight using the INDEX-STORED character offsets (Characters
+    format, requires IndexConfig(with_chars=True)) — no re-tokenization of
+    the document at query time (reference highlight-from-stored-chars path,
+    highlight.py set_matched_chars)."""
+    fragmenter = fragmenter or ContextFragmenter()
+    formatter = formatter or UppercaseFormatter()
+    rows = searcher.index.term_rows(list(terms), with_chars=True)
+    spans = []
+    for t, rl in rows.items():
+        for r in rl:
+            ids, _tfs, _ = r.decode_all()
+            hit = np.flatnonzero(ids == np.uint64(doc_id))
+            if not len(hit):
+                continue
+            ch, counts = r.decode_all_chars()
+            offs = np.cumsum(counts) - counts
+            i = int(hit[0])
+            seg = ch[int(offs[i]) : int(offs[i] + counts[i])]
+            for sc, ec in seg.tolist():
+                spans.append(Span(int(sc), int(ec), text[int(sc) : int(ec)]))
+    spans.sort(key=lambda sp: sp.start)
+    frags = fragmenter.fragments(text, spans)
+    frags = sorted(frags, key=basic_fragment_score, reverse=True)[:top]
+    frags.sort(key=lambda f: f.start)
+    return sep.join(formatter.format_fragment(text, f) for f in frags)
 
 
 def highlight(
