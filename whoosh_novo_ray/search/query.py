@@ -244,6 +244,40 @@ class Every(Query):
     boost: float = 1.0
 
 
+@dataclass(frozen=True)
+class NestedParent(Query):
+    """Hierarchical doc-block join (reference query/nested.py:33-150):
+    parent docs are the block starts (contiguous ascending doc ids own the
+    children until the next parent). For each child match of ``subq``, the
+    owning parent matches; child scores combine per parent with ``score_fn``
+    ('sum' | 'max' | 'avg' — reference default sum)."""
+
+    parents: Query
+    subq: Query
+    score_fn: str = "sum"
+
+    def leaves(self):
+        yield self
+        yield from self.parents.leaves()
+        yield from self.subq.leaves()
+
+
+@dataclass(frozen=True)
+class NestedChildren(Query):
+    """Inverse join (reference query/nested.py:237-320): matches the CHILD
+    documents belonging to parents that match ``parents_q``. Children score
+    constant 1.0 (the reference scores them via the wrapped uncorrelated
+    matcher)."""
+
+    parents: Query
+    parents_q: Query
+
+    def leaves(self):
+        yield self
+        yield from self.parents.leaves()
+        yield from self.parents_q.leaves()
+
+
 class NullQuery(Query):
     """Matches nothing (reference _NullQuery, query/qcore.py:593) — e.g. a
     query string that analyzed away to stop words."""

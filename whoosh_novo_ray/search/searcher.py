@@ -256,6 +256,52 @@ class Searcher:
                 Q.Or(*[Q.Term(t, boost=q.boost) for t in expanded])
             )
 
+        if isinstance(q, Q.NestedParent):
+            p_ids, _ = self.postings(q.parents)
+            c_ids, c_sc = self.postings(q.subq)
+            if not len(p_ids) or not len(c_ids):
+                return _EMPTY
+            # owner parent = greatest parent id <= child id
+            pos = np.searchsorted(p_ids, c_ids, side="right") - 1
+            valid = pos >= 0
+            owners = p_ids[pos[valid]]
+            sc = c_sc[valid]
+            order = np.argsort(owners, kind="stable")
+            owners, sc = owners[order], sc[order]
+            change = np.empty(len(owners), bool)
+            change[0] = True
+            change[1:] = owners[1:] != owners[:-1]
+            starts = np.flatnonzero(change)
+            out_ids = owners[starts]
+            if q.score_fn == "max":
+                out_sc = np.maximum.reduceat(sc, starts)
+            elif q.score_fn == "avg":
+                sums = np.add.reduceat(sc, starts)
+                counts = np.diff(np.append(starts, len(sc)))
+                out_sc = sums / counts
+            else:
+                out_sc = np.add.reduceat(sc, starts)
+            return out_ids, out_sc
+
+        if isinstance(q, Q.NestedChildren):
+            p_ids, _ = self.postings(q.parents)
+            m_ids, _ = self.postings(q.parents_q)
+            if self._universe is None:
+                self._universe = self.index.all_doc_ids()
+            uni = self._universe
+            if not len(p_ids) or not len(m_ids) or not len(uni):
+                return _EMPTY
+            # children of matching parents: docs in the universe whose owner
+            # parent is in m_ids, excluding the parents themselves
+            pos = np.searchsorted(p_ids, uni, side="right") - 1
+            valid = pos >= 0
+            owners = np.full(len(uni), np.uint64(0))
+            owners[valid] = p_ids[pos[valid]]
+            is_parent = np.isin(uni, p_ids)
+            keep = valid & ~is_parent & np.isin(owners, m_ids)
+            ids = uni[keep]
+            return ids, np.ones(len(ids), np.float64)
+
         if isinstance(q, Q.ColumnQuery):
             import pyarrow as _pa
 
