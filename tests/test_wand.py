@@ -59,3 +59,20 @@ def test_wand_actually_skips(big_index):
     assert stats["total_blocks"] > 10
     assert stats["skipped_blocks"] > 0, stats
     assert stats["decoded_blocks"] < stats["total_blocks"], stats
+
+
+def test_time_limit_partial_results(big_index):
+    import pytest as _pytest
+
+    from whoosh_novo_ray.search.wand import TimeLimit
+
+    s = Searcher(big_index)
+    with _pytest.raises(TimeLimit) as ei:
+        searcher_wand_topk(s, ["search", "data", "index", "page"], 10, timelimit=0.0)
+    assert ei.value.partial is not None
+    assert ei.value.stats["total_blocks"] > 0
+    # generous limit completes normally
+    got, _stats = searcher_wand_topk(
+        Searcher(big_index), ["search", "data"], 10, timelimit=30.0
+    )
+    assert len(got) == 10

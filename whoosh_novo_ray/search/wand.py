@@ -26,6 +26,17 @@ from whoosh_novo_ray.search.scoring import TermScorer
 _SENTINEL = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
+class TimeLimit(Exception):
+    """Raised when a deadline expires mid-search (reference
+    TimeLimitCollector, collectors.py:1012-1107). Carries the partial
+    results accumulated so far in ``partial`` (arrow table) and stats."""
+
+    def __init__(self, partial, stats):
+        super().__init__("search time limit exceeded")
+        self.partial = partial
+        self.stats = stats
+
+
 class LeafCursor:
     """Cursor over one TermRow's posting blocks (lazy block decode)."""
 
@@ -131,13 +142,21 @@ class LeafCursor:
 
 
 def wand_topk(
-    rows_and_scorers: list[tuple[TermRow, TermScorer]], k: int
+    rows_and_scorers: list[tuple[TermRow, TermScorer]],
+    k: int,
+    timelimit: float | None = None,
 ) -> tuple[pa.Table, dict]:
     """Exact top-k for the disjunction (summed scores) of the given terms.
 
     Returns (arrow table (doc_id, score) ranked by (score desc, doc_id asc),
-    stats dict with decoded/skipped block counts).
+    stats dict with decoded/skipped block counts). With ``timelimit``
+    (seconds), raises :class:`TimeLimit` carrying the partial top-k if the
+    deadline passes mid-iteration (the reference TimeLimitCollector
+    semantics: partial results remain available).
     """
+    import time as _time
+
+    deadline = (_time.perf_counter() + timelimit) if timelimit is not None else None
     cursors = [LeafCursor(r, s) for r, s in rows_and_scorers]
     cursors = [c for c in cursors if c.is_active()]
     heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap of size k
@@ -146,6 +165,22 @@ def wand_topk(
         return heap[0][0] if len(heap) >= k else float("-inf")
 
     while True:
+        if deadline is not None and _time.perf_counter() > deadline:
+            ranked = sorted(heap, key=lambda e: (-e[0], -e[1]))
+            partial = pa.table(
+                {
+                    "doc_id": pa.array([-e[1] for e in ranked], pa.uint64()),
+                    "score": pa.array([e[0] for e in ranked], pa.float64()),
+                }
+            )
+            raise TimeLimit(
+                partial,
+                {
+                    "decoded_blocks": sum(c.decoded_blocks for c in cursors),
+                    "skipped_blocks": sum(c.skipped_blocks for c in cursors),
+                    "total_blocks": sum(c.row.n_blocks for c in cursors),
+                },
+            )
         active = [c for c in cursors if c.is_active()]
         if not active:
             break
@@ -251,7 +286,9 @@ def wand_topk(
     )
 
 
-def searcher_wand_topk(searcher, terms: list[str], k: int = 10):
+def searcher_wand_topk(
+    searcher, terms: list[str], k: int = 10, timelimit: float | None = None
+):
     """Convenience: run block-max WAND for a bag-of-terms OR query through a
     Searcher (same results as ``searcher.search(Or(*terms), limit=k)``)."""
     searcher.prefetch_terms(terms)
@@ -260,4 +297,4 @@ def searcher_wand_topk(searcher, terms: list[str], k: int = 10):
         scorer = searcher.scorer_for(t)
         for row in searcher._rows(t):
             pairs.append((row, scorer))
-    return wand_topk(pairs, k)
+    return wand_topk(pairs, k, timelimit=timelimit)
