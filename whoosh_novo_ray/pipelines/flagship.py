@@ -19,17 +19,37 @@ from whoosh_novo_ray.pipelines.registry import _index_for, _searcher_for
 
 def run_flagship(sf_dir: str = "/root/testdata/sf0.001") -> pa.Table:
     from whoosh_novo_ray.search import And, Or, Phrase, Term
+    from whoosh_novo_ray.search.fuzzy import FuzzyTerm
+    from whoosh_novo_ray.search.qparser import QueryParser
 
     _index_for(sf_dir)  # build (or resume) the index
     s = _searcher_for(sf_dir)
+    qp = QueryParser()
     qset = {
         "term:query": Term("query"),
         "term:table": Term("table"),
         "or:query|window": Or(Term("query"), Term("window")),
         "and:query&window": And(Term("query"), Term("window")),
         "phrase:'query window'": Phrase(["query", "window"]),
+        "fuzzy:quer~1": FuzzyTerm("quer", maxdist=1),
+        "parsed:'scan AND (merge OR sort)'": qp.parse("scan AND (merge OR sort)"),
     }
     out = []
+    # the WAND path produces identical results to the evaluator for ORs —
+    # include one so the smoke covers the pruned path too
+    from whoosh_novo_ray.search.wand import searcher_wand_topk
+
+    wt, _stats = searcher_wand_topk(s, ["query", "window", "scan"], 10)
+    out.append(
+        pa.table(
+            {
+                "query": pa.array(["wand:query|window|scan"] * len(wt), pa.string()),
+                "rank": pa.array(np.arange(len(wt), dtype=np.int64)),
+                "doc_id": wt["doc_id"].cast(pa.int64()),
+                "score": pa.array(np.round(wt["score"].to_numpy(), 6), pa.float64()),
+            }
+        )
+    )
     for name, q in qset.items():
         t = s.search(q, limit=10)
         n = len(t)
