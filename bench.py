@@ -143,6 +143,8 @@ def query_latencies(index_dir: str, repeats: int = 20) -> dict:
         "q_phrase": Phrase(["search", "index"]),
     }
     out = {}
+    total = 0.0
+    nq = 0
     for name, q in qset.items():
         samples = []
         for _ in range(repeats):
@@ -151,6 +153,9 @@ def query_latencies(index_dir: str, repeats: int = 20) -> dict:
             s.search(q, limit=10)
             samples.append(time.perf_counter() - t0)
         out[name] = round(statistics.median(samples), 5)
+        total += sum(samples)
+        nq += repeats
+    out["mixed_queries_per_sec"] = round(nq / total, 1)
     return out
 
 
@@ -292,6 +297,42 @@ def main_bench() -> None:
     build_pages = time.perf_counter() - t0
     queries["build_pages_index"] = round(build_pages, 3)
     queries["pages_docs_per_sec"] = round(man["doc_count"] / build_pages, 1)
+
+    # 2b) salted build: the skew-handling path (top vocabulary words split
+    # over salt_k doc-id-range shuffle keys)
+    from whoosh_novo_ray.index import Index as _Index
+    from whoosh_novo_ray.search import Or as _Or
+    from whoosh_novo_ray.search import Searcher as _Searcher
+    from whoosh_novo_ray.search import Term as _Term
+
+    stats_tbl = (
+        _Index(out_pages).iter_term_stats(("term", "df")).to_pandas()
+        .sort_values("df", ascending=False)
+    )
+    heavy = tuple(stats_tbl["term"].head(10))
+    out_salted = "/tmp/wnr_bench_idx_pages_salted"
+    shutil.rmtree(out_salted, ignore_errors=True)
+    pages2 = ray.data.read_parquet(
+        PAGES_PARQUET, columns=["doc_id", "text"], override_num_blocks=NUM_CPUS
+    )
+    t0 = time.perf_counter()
+    build_index(
+        pages2,
+        out_salted,
+        IndexConfig(
+            num_buckets=max(16, NUM_CPUS), heavy_terms=heavy, salt_k=8, salt_shift=10
+        ),
+        lineage="bench-pages-salted",
+    )
+    queries["build_pages_index_salted"] = round(time.perf_counter() - t0, 3)
+    # sanity: salted query results match the unsalted index
+    a = _Searcher(_Index(out_pages)).search(
+        _Or(_Term(heavy[0]), _Term(heavy[1])), limit=10
+    )
+    b = _Searcher(_Index(out_salted)).search(
+        _Or(_Term(heavy[0]), _Term(heavy[1])), limit=10
+    )
+    queries["salted_results_match"] = int(a.to_pydict() == b.to_pydict())
 
     # 3) query latency p50 on the pages index (cold driver-side path)
     queries.update(query_latencies(out_pages))
