@@ -59,3 +59,15 @@ def test_multi_analyzer_mode_dispatch():
     assert ma("Jumping runners", mode="index") == ["jump", "runner"]
     assert ma("Jumping runners", mode="query") == ["jumping", "runners"]
     assert ma("Jumping runners") == ["jumping", "runners"]
+
+
+@pytest.mark.skipif(not HAVE_REFERENCE, reason="reference not available")
+@pytest.mark.parametrize("at", [None, "start", "end"])
+def test_ngram_words_differential(at):
+    from whoosh.analysis.ngrams import NgramWordAnalyzer
+
+    from whoosh_novo_ray.analysis import ngram_words
+
+    ref = NgramWordAnalyzer(3, 5, at=at)
+    for text in ["Hello there World", "ab hi longishword", "Pre-fix under_score"]:
+        assert ngram_words(text, 3, 5, at=at) == [t.text for t in ref(text)], (at, text)

@@ -356,6 +356,45 @@ def ngram_tokens(text: str, minsize: int, maxsize: int | None = None) -> list[st
     return out
 
 
+def ngram_filter_tokens(
+    tokens: list[str],
+    minsize: int,
+    maxsize: int | None = None,
+    at: str | None = None,
+) -> list[str]:
+    """Word-level n-gram expansion (reference NgramFilter,
+    ngrams.py:134-242): grams within each token; ``at='start'`` keeps only
+    prefixes, ``at='end'`` only suffixes. Words shorter than minsize drop."""
+    maxsize = maxsize or minsize
+    out: list[str] = []
+    for text in tokens:
+        n = len(text)
+        if n < minsize:
+            continue
+        if at == "start":
+            for size in range(minsize, min(maxsize, n) + 1):
+                out.append(text[:size])
+        elif at == "end":
+            start = max(0, n - maxsize)
+            for i in range(start, n - minsize + 1):
+                out.append(text[i:])
+        else:
+            for start in range(0, n - minsize + 1):
+                for size in range(minsize, maxsize + 1):
+                    if start + size <= n:
+                        out.append(text[start : start + size])
+    return out
+
+
+def ngram_words(
+    text: str, minsize: int, maxsize: int | None = None, at: str | None = None
+) -> list[str]:
+    """The reference NgramWordAnalyzer chain (ngrams.py:259-267):
+    RegexTokenizer | Lowercase | NgramFilter."""
+    toks = simple_analyzer()(text)
+    return ngram_filter_tokens(toks, minsize, maxsize, at)
+
+
 def shingle_tokens(tokens: list[str], size: int = 2, sep: str = "-") -> list[str]:
     """Adjacent-token shingles (reference ShingleFilter,
     ``src/whoosh/analysis/intraword.py:181``)."""
