@@ -71,3 +71,14 @@ def test_ngram_words_differential(at):
     ref = NgramWordAnalyzer(3, 5, at=at)
     for text in ["Hello there World", "ab hi longishword", "Pre-fix under_score"]:
         assert ngram_words(text, 3, 5, at=at) == [t.text for t in ref(text)], (at, text)
+
+
+@pytest.mark.skipif(not HAVE_REFERENCE, reason="reference not available")
+def test_path_tokens_differential():
+    from whoosh.analysis.tokenizers import PathTokenizer
+
+    from whoosh_novo_ray.analysis import path_tokens
+
+    pt = PathTokenizer()
+    for v in ["/a/b/c", "a/b", "/x", "usr/local/lib/python"]:
+        assert path_tokens(v) == [t.text for t in pt(v)], v

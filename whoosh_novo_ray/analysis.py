@@ -395,6 +395,13 @@ def ngram_words(
     return ngram_filter_tokens(toks, minsize, maxsize, at)
 
 
+def path_tokens(value: str, expression: str = "[^/]+") -> list[str]:
+    """Hierarchical path tokens (reference PathTokenizer,
+    tokenizers.py:379-398): "/a/b/c" -> ["/a", "/a/b", "/a/b/c"]."""
+    rx = re.compile(expression)
+    return [value[: m.end()] for m in rx.finditer(value)]
+
+
 def shingle_tokens(tokens: list[str], size: int = 2, sep: str = "-") -> list[str]:
     """Adjacent-token shingles (reference ShingleFilter,
     ``src/whoosh/analysis/intraword.py:181``)."""
