@@ -82,6 +82,39 @@ def test_merge_with_deletes(split_indexes, tmp_path):
         assert not np.isin(dels, ids).any()
 
 
+def test_merge_docmeta_only_buckets(ray_session, tmp_path):
+    """Regression (ADVICE r01, high): with a tiny vocab most buckets hold
+    ONLY docmeta rows; their n_docs_meta must survive into the manifest or a
+    merge (doc_count derived from sum(n_docs_meta)) undercounts doc_count,
+    corrupting idf / avg_field_length on the merged generation."""
+    import ray.data
+
+    cfg = IndexConfig(num_buckets=8)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(40, dtype=np.uint64)),
+            "text": ["zebra"] * 40,  # 1-term vocab -> 1 segment bucket
+        }
+    )
+    base = tmp_path
+    a = str(base / "a")
+    b = str(base / "b")
+    build_index(ray.data.from_arrow(tbl.slice(0, 20)), a, cfg, lineage="a")
+    build_index(ray.data.from_arrow(tbl.slice(20)), b, cfg, lineage="b")
+    # the direct build records n_docs_meta in stats-only rows too
+    ia = Index(a)
+    assert sum(bk["n_docs_meta"] for bk in ia.manifest["buckets"]) == 20
+    merged = str(base / "m")
+    man = merge_indexes([a, b], merged, lineage="m")
+    assert man["doc_count"] == 40
+    mi = Index(merged)
+    assert mi.doc_count == 40
+    assert len(mi.doc_meta()) == 40
+    s = Searcher(mi)
+    r = s.search(Term("zebra"), limit=None)
+    assert len(r) == 40
+
+
 def test_latest_by_key(ray_session):
     import ray.data
 

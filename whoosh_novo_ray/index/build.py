@@ -500,7 +500,26 @@ class BucketEncoder:
             pq.write_table(dm, dm_tmp, compression="zstd")
             os.replace(dm_tmp, dm_final)
         if len(group) == 0:
-            return _empty_manifest_table()
+            if n_meta == 0:
+                return _empty_manifest_table()
+            # docmeta-only bucket: no segment file, but the n_docs_meta count
+            # MUST survive into the manifest — the merge path derives
+            # doc_count from sum(n_docs_meta), and dropping these rows
+            # undercounts doc_count (corrupting idf / avg_field_length on
+            # merged generations). path="" marks "no segment" for readers.
+            return pa.table(
+                {
+                    "bucket": pa.array([bucket], pa.uint32()),
+                    "path": pa.array([""]),
+                    "n_terms": pa.array([0], pa.uint64()),
+                    "n_postings": pa.array([0], pa.uint64()),
+                    "sum_tf": pa.array([0.0], pa.float64()),
+                    "n_docs_meta": pa.array([n_meta], pa.uint64()),
+                    "min_term": pa.array([""]),
+                    "max_term": pa.array([""]),
+                    "lineage": pa.array([self.lineage]),
+                }
+            )
         seg = encode_bucket_table(
             group.drop_columns(["bucket"]), self.cfg.block_size, self.cfg.with_positions
         )
@@ -587,8 +606,13 @@ def _run_bucket_shuffle(
             old = json.load(f)
         if old.get("config") == cfg.to_json():
             for b in old.get("buckets", []):
+                # docmeta-only buckets have path="" (no segment file); their
+                # durable artifact is the docmeta parquet
+                artifact = b["path"] or os.path.join(
+                    "docmeta", f"bucket={b['bucket']:05d}.parquet"
+                )
                 if b.get("lineage") == lineage and os.path.exists(
-                    os.path.join(out_dir, b["path"])
+                    os.path.join(out_dir, artifact)
                 ):
                     done_buckets[b["bucket"]] = b
 

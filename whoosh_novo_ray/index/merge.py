@@ -136,7 +136,10 @@ def merge_indexes(
     )
 
     seg_files = [
-        os.path.join(d, b["path"]) for d, i in zip(index_dirs, idxs) for b in i.manifest["buckets"]
+        os.path.join(d, b["path"])
+        for d, i in zip(index_dirs, idxs)
+        for b in i.manifest["buckets"]
+        if b["path"]  # skip docmeta-only (segment-less) bucket rows
     ]
     postings = ray.data.read_parquet(seg_files).map_batches(
         DecodeSegmentRows(wp, delete_doc_ids),

@@ -196,7 +196,9 @@ class Index:
         self.doc_count: int = self.manifest["doc_count"]
         self.total_field_length: float = self.manifest["total_field_length"]
         self._bucket_paths = {
-            b["bucket"]: os.path.join(path, b["path"]) for b in self.manifest["buckets"]
+            b["bucket"]: os.path.join(path, b["path"])
+            for b in self.manifest["buckets"]
+            if b["path"]  # docmeta-only buckets carry path="" (no segment)
         }
 
     @property
