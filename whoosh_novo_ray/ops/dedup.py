@@ -17,7 +17,6 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -27,12 +26,6 @@ from ray.data.aggregate import Min
 from whoosh_novo_ray.analysis import simple_analyzer
 
 _RAW = simple_analyzer()
-
-_MERSENNE = (1 << 61) - 1
-
-
-def _stable_hash_strings(arr: np.ndarray) -> np.ndarray:
-    return pd.util.hash_array(np.asarray(arr, dtype=object), categorize=False)
 
 
 # -- exact dedup --------------------------------------------------------------
@@ -163,44 +156,92 @@ def ngram_jaccard_pairs(
 class _MinHashSig:
     """Per-doc MinHash signature over word n-gram shingles.
 
-    k seeded xorshift-multiply "permutations" over a stable 64-bit base hash
-    of each shingle (uint64 wraparound arithmetic — fully vectorized, no
-    bignum math); deterministic across workers. Pure map_batches: no shuffle,
-    no state beyond __init__.
+    Base hash = md5-derived uint64 per shingle (DuckDB ``md5_number_lower``),
+    permutations = affine maps (a*x + b) mod (2^61-1) with md5-seeded (a, b)
+    — fully reproducible by an ANSI-SQL oracle. Batch-vectorized: shingles of
+    the whole batch are uniqued once, hashed once each, the (U, num_perm)
+    permuted-hash matrix is one broadcasted modmul, and per-doc minima come
+    from one ``np.minimum.reduceat``. Pure map_batches: no shuffle, no state
+    beyond __init__.
     """
 
-    _MIX = np.uint64(0x9E3779B97F4A7C15)
-
     def __init__(self, n: int = 3, num_perm: int = 64, seed: int = 7):
+        from whoosh_novo_ray.ops.hashing import minhash_perm_params
+
         self.n = n
-        rng = np.random.default_rng(seed)
-        self.seeds = rng.integers(1, 2**63, num_perm, dtype=np.uint64)
         self.num_perm = num_perm
+        self.a, self.b = minhash_perm_params(num_perm, seed)
 
     def signature(self, text: str) -> np.ndarray | None:
-        toks = _RAW(text)
-        if len(toks) < self.n:
+        t = self(pa.table({"doc_id": pa.array([0], pa.int64()), "text": [text]}))
+        if not len(t):
             return None
-        sh = list(
-            {" ".join(toks[i : i + self.n]) for i in range(len(toks) - self.n + 1)}
-        )
-        base = _stable_hash_strings(np.array(sh, object))  # uint64
-        # (n_shingles, num_perm) permuted hashes; min over shingles
-        m = (base[:, None] ^ self.seeds[None, :]) * self._MIX
-        m ^= m >> np.uint64(29)
-        return m.min(axis=0)
+        return np.asarray(t["sig"][0].as_py(), np.uint64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, sigs = [], []
+        from whoosh_novo_ray.ops.hashing import P61, affine61, md5_u64_arr
+
+        n = self.n
+        ids: list[int] = []
+        all_sh: list[str] = []
+        counts: list[int] = []
         for did, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            s = self.signature(text)
-            if s is not None:
-                ids.append(did)
-                sigs.append(s)
+            toks = _RAW(text)
+            if len(toks) < n:
+                continue
+            sh = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+            ids.append(did)
+            all_sh.extend(sh)
+            counts.append(len(sh))
+        if not ids:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "sig": pa.array([], pa.list_(pa.uint64())),
+                }
+            )
+        uniq, inv = np.unique(np.asarray(all_sh, object), return_inverse=True)
+        base = md5_u64_arr(uniq) % np.uint64(P61)
+        # (U, num_perm) permuted hashes for the batch's unique shingles
+        hm = affine61(self.a[None, :], base[:, None], self.b[None, :])
+        rows = hm[inv]  # (total_shingles, num_perm), doc-contiguous
+        starts = np.zeros(len(counts), np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        sigs = np.minimum.reduceat(rows, starts, axis=0)
+        flat = pa.array(sigs.reshape(-1), pa.uint64())
+        offsets = pa.array(
+            np.arange(len(ids) + 1, dtype=np.int32) * self.num_perm, pa.int32()
+        )
         return pa.table(
             {
                 "doc_id": pa.array(ids, pa.int64()),
-                "sig": pa.array([s.tolist() for s in sigs], pa.list_(pa.uint64())),
+                "sig": pa.ListArray.from_arrays(offsets, flat),
+            }
+        )
+
+
+class _BandRows:
+    """Explode signatures into (band_key, doc_id) rows; band_key is the md5
+    hex prefix of '<band>:<v1>,<v2>,...' — identical to the SQL oracle's
+    ``substr(md5(bi || ':' || array_to_string(...)), 1, 16)``."""
+
+    def __init__(self, bands: int, r: int):
+        self.bands = bands
+        self.r = r
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_key, out_doc = [], []
+        bands, r = self.bands, self.r
+        for did, sig in zip(batch["doc_id"].to_pylist(), batch["sig"].to_pylist()):
+            for bi in range(bands):
+                chunk = ",".join(str(v) for v in sig[bi * r : (bi + 1) * r])
+                key = hashlib.md5(f"{bi}:{chunk}".encode()).hexdigest()[:16]
+                out_key.append(key)
+                out_doc.append(did)
+        return pa.table(
+            {
+                "band_key": pa.array(out_key, pa.string()),
+                "doc_id": pa.array(out_doc, pa.int64()),
             }
         )
 
@@ -222,25 +263,13 @@ def minhash_lsh_candidates(
     assert num_perm % bands == 0
     r = num_perm // bands
     sigs_ds = docs.map_batches(
-        _MinHashSig(n, num_perm, seed), batch_format="pyarrow", zero_copy_batch=True
+        _MinHashSig(n, num_perm, seed),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=512,  # (batch x shingles x num_perm x 8B) bounds worker heap
     )
 
-    def band_rows(batch: pa.Table) -> pa.Table:
-        out_key, out_doc = [], []
-        for did, sig in zip(batch["doc_id"].to_pylist(), batch["sig"].to_pylist()):
-            for bi in range(bands):
-                chunk = tuple(sig[bi * r : (bi + 1) * r])
-                key = hashlib.md5(repr((bi, chunk)).encode()).hexdigest()[:16]
-                out_key.append(key)
-                out_doc.append(did)
-        return pa.table(
-            {
-                "band_key": pa.array(out_key, pa.string()),
-                "doc_id": pa.array(out_doc, pa.int64()),
-            }
-        )
-
-    banded = sigs_ds.map_batches(band_rows, batch_format="pyarrow")
+    banded = sigs_ds.map_batches(_BandRows(bands, r), batch_format="pyarrow")
 
     def emit_pairs(group: pa.Table) -> pa.Table:
         ids = np.unique(group["doc_id"].to_numpy())
@@ -271,46 +300,90 @@ def minhash_lsh_candidates(
                 "est_jaccard": pa.array([], pa.float64()),
             }
         )
-    # estimate jaccard from full signatures of the candidates
-    sig_map = {
-        r["doc_id"]: np.asarray(r["sig"], np.uint64)
-        for r in sigs_ds.take_all()
-        if r["doc_id"] in set(pairs["doc_a"]) | set(pairs["doc_b"])
-    }
-    est = [
-        float((sig_map[a] == sig_map[b]).mean())
-        for a, b in zip(pairs["doc_a"], pairs["doc_b"])
+    # estimate jaccard from the CANDIDATES' signatures only: broadcast the
+    # (small) candidate-id set into a streaming filter over sigs_ds — the
+    # full signature dataset never reaches the driver (the signature stage
+    # recomputes rather than materializing; at 100 TB recompute is cheaper
+    # than holding every signature in the object store).
+    cand_ids = pa.array(
+        np.unique(np.concatenate([pairs["doc_a"].to_numpy(), pairs["doc_b"].to_numpy()])).astype(
+            np.int64
+        )
+    )
+
+    def keep_candidates(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch["doc_id"], value_set=cand_ids))
+
+    cand_tables = [
+        t
+        for t in ray.get(
+            sigs_ds.map_batches(
+                keep_candidates, batch_format="pyarrow", zero_copy_batch=True
+            ).to_arrow_refs()
+        )
+        if len(t)
     ]
+    cand = pa.concat_tables(cand_tables).combine_chunks()
+    cid = cand["doc_id"].to_numpy()
+    sig_col = cand["sig"].combine_chunks()
+    sig_mat = (
+        sig_col.values.to_numpy(zero_copy_only=False)
+        .astype(np.uint64)
+        .reshape(len(cand), -1)
+    )
+    row_of = {int(d): i for i, d in enumerate(cid)}
+    ai = np.fromiter((row_of[int(d)] for d in pairs["doc_a"]), np.int64, len(pairs))
+    bi = np.fromiter((row_of[int(d)] for d in pairs["doc_b"]), np.int64, len(pairs))
+    est = (sig_mat[ai] == sig_mat[bi]).mean(axis=1)
     return pa.table(
         {
             "doc_a": pa.array(pairs["doc_a"].to_numpy(), pa.int64()),
             "doc_b": pa.array(pairs["doc_b"].to_numpy(), pa.int64()),
             "est_jaccard": pa.array(np.round(est, 6), pa.float64()),
         }
-    )
+    ).sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
 
 
 # -- SimHash -------------------------------------------------------------------
 
 
 class _SimHash:
-    """64-bit SimHash over the token stream (tf-weighted bit voting)."""
+    """64-bit SimHash over the token stream (tf-weighted bit voting).
+
+    Term hash = md5-derived uint64 (``md5_number_lower``) so a SQL oracle
+    reproduces the value bit-for-bit. Vectorized at BATCH level: one token
+    unique per batch, one md5 per unique term, one scatter-add for all
+    (doc, bit) votes.
+    """
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from whoosh_novo_ray.ops.hashing import md5_u64_arr
+
         texts = batch["text"].to_pylist()
-        out = np.zeros(len(texts), np.uint64)
+        n_docs = len(texts)
+        doc_idx: list[int] = []
+        toks_all: list[str] = []
         for i, text in enumerate(texts):
             toks = _RAW(text)
-            if not toks:
-                continue
-            uniq, counts = np.unique(np.array(toks, object), return_counts=True)
-            hs = _stable_hash_strings(uniq)
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
-                np.int64
-            )
-            votes = ((bits * 2 - 1) * counts[:, None]).sum(axis=0)
-            out[i] = np.uint64(
-                sum(1 << b for b in range(64) if votes[b] > 0)
+            doc_idx.extend([i] * len(toks))
+            toks_all.extend(toks)
+        out = np.zeros(n_docs, np.uint64)
+        if toks_all:
+            di = np.asarray(doc_idx, np.int64)
+            uniq, inv = np.unique(np.asarray(toks_all, object), return_inverse=True)
+            # tf per (doc, unique-term) pair
+            pair = di * len(uniq) + inv
+            upair, tf = np.unique(pair, return_counts=True)
+            p_doc = upair // len(uniq)
+            p_code = upair % len(uniq)
+            hs = md5_u64_arr(uniq)
+            shifts = np.arange(64, dtype=np.uint64)
+            bits = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+            signs = bits * 2 - 1  # (U, 64) in {-1, +1}
+            votes = np.zeros((n_docs, 64), np.int64)
+            np.add.at(votes, p_doc, signs[p_code] * tf[:, None])
+            out = (((votes > 0).astype(np.uint64)) << shifts[None, :]).sum(
+                axis=1, dtype=np.uint64
             )
         return pa.table(
             {

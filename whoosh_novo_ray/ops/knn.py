@@ -113,18 +113,23 @@ def brute_force_knn(
 
 
 class _LshBucket:
-    """Random-hyperplane signature (sign bits) per embedding."""
+    """Random-hyperplane signature (sign bits) per embedding.
+
+    Hyperplane entries are md5-derived uniforms in (-0.5, 0.5)
+    (``hashing.lsh_planes``), and all math is float64 — so a DuckDB oracle
+    recomputes the identical bucket ids."""
 
     def __init__(self, dim: int, nbits: int = 12, seed: int = 5):
-        rng = np.random.default_rng(seed)
-        self.planes = rng.standard_normal((dim, nbits)).astype(np.float32)
+        from whoosh_novo_ray.ops.hashing import lsh_planes
+
+        self.planes = lsh_planes(dim, nbits, seed)
 
     def bucket_of(self, mat: np.ndarray) -> np.ndarray:
-        bits = (mat @ self.planes) > 0
+        bits = (np.asarray(mat, np.float64) @ self.planes) > 0
         return (bits * (1 << np.arange(bits.shape[1]))).sum(axis=1).astype(np.int64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        mat = _batch_mat(batch, "embedding", np.float32)
+        mat = _batch_mat(batch, "embedding", np.float64)
         return batch.append_column(
             "lsh_bucket", pa.array(self.bucket_of(mat), pa.int64())
         )
@@ -140,7 +145,7 @@ def lsh_knn(
     """Approximate cosine top-k: score only vectors whose hyperplane-LSH
     bucket matches the query's (single-probe). Same output schema as
     brute_force_knn; recall < 1 by design — the scale path."""
-    q = np.asarray(query, np.float32)
+    q = np.asarray(query, np.float64)
     dim = q.shape[-1]
     h = _LshBucket(dim, nbits, seed)
     qb = int(h.bucket_of(q[None, :])[0])

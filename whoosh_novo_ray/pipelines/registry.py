@@ -395,7 +395,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
         out = pa.concat_tables(_collect(image_features(ray.data.from_arrow(tbl))))
-        return out.drop_columns(["embedding"]).sort_by("doc_id")
+        out = out.drop_columns(["embedding"]).sort_by("doc_id")
+        return pa.table(
+            {
+                "doc_id": out["doc_id"],
+                "width": out["width"].cast(pa.int64()),
+                "height": out["height"].cast(pa.int64()),
+                "channels": out["channels"].cast(pa.int64()),
+            }
+        )
 
     def fielded_and(sf_dir):
         from whoosh_novo_ray.index.build import IndexConfig as _IC
@@ -493,15 +501,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": fingerprint,
         "dedup_exact": dedup_exact,
         "jaccard_pairs": jaccard_pairs,
-        "minhash_candidates": minhash_cands,  # rows-only (no SQL oracle)
-        "simhash": simhash,  # rows-only (no SQL oracle)
+        "minhash_candidates": minhash_cands,
+        "simhash": simhash,
         "knn_cosine_top10": knn,
-        "knn_lsh_top10": knn_lsh,  # rows-only (approximate by design)
+        "knn_lsh_top10": knn_lsh,
         "near_dup_cosine": near_dup_cosine,
         "numeric_range": numeric_range,
         "latest_event_per_user": latest_event_per_user,
         "key_terms_doc0": key_terms_doc0,
-        "image_features_meta": image_features_q,  # rows-only (stubbed decode)
+        "image_features_meta": image_features_q,
         "window_agg_daily": window_agg,
         "sessionize": sessions,
         "fielded_and": fielded_and,
@@ -695,6 +703,119 @@ JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE inter / (sa.n + sb.n - inter) >= 0.2
 ORDER BY doc_a, doc_b""",
+        # MinHash: base = md5_number_lower(shingle) mod p, permutations
+        # (a*x+b) mod p with p = 2^61-1 and md5-seeded (a, b) — exactly the
+        # arithmetic in ops/hashing.py (n=3, num_perm=64, bands=16, seed=7).
+        "minhash_candidates": f"""WITH tokarr AS (
+  SELECT doc_id, {raw_tok} AS arr FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(arr, i + 1, i + 3), ' ') AS shingle
+  FROM (SELECT doc_id, arr, unnest(range(len(arr) - 2)) AS i FROM tokarr
+        WHERE len(arr) >= 3)
+),
+perms AS (
+  SELECT i,
+         (md5_number_lower('mh-a-7-' || i)::HUGEINT % 2305843009213693950 + 1) AS a,
+         (md5_number_lower('mh-b-7-' || i)::HUGEINT % 2305843009213693951) AS b
+  FROM (SELECT unnest(range(64)) AS i)
+),
+shh AS (
+  SELECT doc_id, md5_number_lower(shingle)::HUGEINT % 2305843009213693951 AS x
+  FROM sh
+),
+mins AS (
+  SELECT s.doc_id, p.i, min((p.a * s.x + p.b) % 2305843009213693951) AS h
+  FROM shh s CROSS JOIN perms p GROUP BY 1, 2
+),
+sigs AS (SELECT doc_id, list(h ORDER BY i) AS sig FROM mins GROUP BY doc_id),
+bandkeys AS (
+  SELECT doc_id,
+         substr(md5(bi.bi || ':' ||
+                    array_to_string(list_slice(sig, bi.bi * 4 + 1, bi.bi * 4 + 4), ',')),
+                1, 16) AS band_key
+  FROM sigs CROSS JOIN (SELECT unnest(range(16)) AS bi) bi
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bandkeys a JOIN bandkeys b
+    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a::BIGINT AS doc_a, c.doc_b::BIGINT AS doc_b,
+       round(list_sum(list_transform(range(64),
+             i -> CASE WHEN sa.sig[i + 1] = sb.sig[i + 1] THEN 1 ELSE 0 END)) / 64.0,
+             6) AS est_jaccard
+FROM cand c
+JOIN sigs sa ON sa.doc_id = c.doc_a
+JOIN sigs sb ON sb.doc_id = c.doc_b
+ORDER BY doc_a, doc_b""",
+        # SimHash: term hash = md5_number_lower(term), tf-weighted bit votes,
+        # int64 two's-complement view of the uint64 hash.
+        "simhash": f"""WITH tokarr AS (
+  SELECT doc_id, {raw_tok} AS arr FROM documents
+),
+tok AS (SELECT doc_id, unnest(arr) AS term FROM tokarr),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+th AS (SELECT doc_id, tf, md5_number_lower(term)::HUGEINT AS h FROM tf),
+votes AS (
+  SELECT doc_id, b.bit,
+         sum(CASE WHEN (h // (1::HUGEINT << b.bit)) % 2 = 1 THEN tf ELSE -tf END) AS vote
+  FROM th CROSS JOIN (SELECT unnest(range(64)) AS bit) b
+  GROUP BY 1, 2
+),
+halves AS (
+  SELECT doc_id,
+         sum(CASE WHEN vote > 0 AND bit < 32 THEN (1::BIGINT << bit) ELSE 0 END) AS lo,
+         sum(CASE WHEN vote > 0 AND bit >= 32 THEN (1::BIGINT << (bit - 32)) ELSE 0 END) AS hi
+  FROM votes GROUP BY doc_id
+),
+vals AS (SELECT doc_id, hi::HUGEINT * 4294967296 + lo AS s FROM halves)
+SELECT d.doc_id::BIGINT AS doc_id,
+       coalesce(CASE WHEN v.s >= 9223372036854775808
+                     THEN v.s - 18446744073709551616 ELSE v.s END, 0)::BIGINT AS simhash
+FROM documents d LEFT JOIN vals v USING (doc_id)
+ORDER BY doc_id""",
+        # LSH-bucketed ANN: hyperplane entries md5_u64('lshp-5-<bit>-<dim>')/2^64
+        # - 0.5 (float64 on both sides), single-probe bucket filter, exact
+        # cosine re-rank (nbits=8, seed=5).
+        "knn_lsh_top10": """WITH planes AS (
+  SELECT b.b, j.j,
+         md5_number_lower('lshp-5-' || b.b || '-' || j.j) / 18446744073709551616.0
+           - 0.5 AS w
+  FROM (SELECT unnest(range(8)) AS b) b,
+       (SELECT unnest(range((SELECT len(embedding) FROM embeddings LIMIT 1))) AS j) j
+),
+ev AS (
+  SELECT vec_id, unnest(embedding) AS x, unnest(range(len(embedding))) AS j
+  FROM embeddings
+),
+dots AS (
+  SELECT e.vec_id, p.b, sum(e.x * p.w) AS dp
+  FROM ev e JOIN planes p ON p.j = e.j GROUP BY 1, 2
+),
+buckets AS (
+  SELECT vec_id,
+         sum(CASE WHEN dp > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS bucket
+  FROM dots GROUP BY vec_id
+),
+qb AS (SELECT bucket FROM buckets WHERE vec_id = 0),
+qe AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id::BIGINT AS vec_id,
+       round(list_cosine_similarity(e.embedding, qe.qv), 6) AS cosine
+FROM embeddings e
+JOIN buckets bu ON bu.vec_id = e.vec_id
+CROSS JOIN qb CROSS JOIN qe
+WHERE bu.bucket = qb.bucket
+ORDER BY cosine DESC, vec_id LIMIT 10""",
+        # Stubbed image decode: dims derive from sha256(payload) bytes 0/1
+        # (payload = utf-8 of text, so DuckDB's sha256(text) matches).
+        "image_features_meta": """
+SELECT doc_id::BIGINT AS doc_id,
+       (64 + ('0x' || substr(sha256(text), 1, 2))::INT * 8)::BIGINT AS width,
+       (64 + ('0x' || substr(sha256(text), 3, 2))::INT * 8)::BIGINT AS height,
+       3::BIGINT AS channels
+FROM documents ORDER BY doc_id""",
         "knn_cosine_top10": """WITH q AS (
   SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
 )
