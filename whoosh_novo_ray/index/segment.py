@@ -185,6 +185,17 @@ def _row_to_termrow(
     return tr
 
 
+def _scan_terms_file(path: str, filt, predicate) -> list[str]:
+    """One bucket's term-dictionary scan (also the Ray-task body): range
+    filter pushed into the parquet read (row-group stats pruning), exact
+    predicate applied to the surviving rows."""
+    tbl = pq.read_table(path, columns=["term"], filters=filt)
+    if not len(tbl):
+        return []
+    mask = predicate(tbl["term"])
+    return pc.filter(tbl["term"], mask).to_pylist()
+
+
 class Index:
     """Handle on a built index directory (manifest + bucket segment files)."""
 
@@ -288,13 +299,51 @@ class Index:
             return np.empty(0, np.uint64)
         return np.sort(np.concatenate(parts).astype(np.uint64))
 
-    def expand_terms(self, predicate) -> list[str]:
+    def expand_terms(
+        self,
+        predicate,
+        lo: str | None = None,
+        hi: str | None = None,
+        lo_excl: bool = False,
+        hi_excl: bool = False,
+    ) -> list[str]:
         """Scan the term dictionary with an Arrow compute predicate on the
         `term` column; returns matching terms sorted lexicographically.
-        Used by Prefix/Wildcard/Regex/TermRange expansion."""
+        Used by Prefix/Wildcard/Regex/TermRange expansion.
+
+        ``lo``/``hi`` is an optional lexicographic pre-filter range pushed
+        into the parquet read: segments are term-sorted with 4k row groups,
+        so the range prunes to only the row groups whose [min, max] term
+        stats intersect it. Buckets whose manifest min/max term fall outside
+        the range are skipped without a read. With several buckets and a
+        live Ray session the per-bucket scans fan out as Ray tasks."""
+        filt = None
+        if lo is not None:
+            filt = pc.field("term") > lo if lo_excl else pc.field("term") >= lo
+        if hi is not None:
+            f = pc.field("term") < hi if hi_excl else pc.field("term") <= hi
+            filt = f if filt is None else filt & f
+        paths = []
+        for b in self.manifest["buckets"]:
+            if not b["path"]:
+                continue
+            if lo is not None and (
+                b["max_term"] < lo or (lo_excl and b["max_term"] <= lo)
+            ):
+                continue
+            if hi is not None and (
+                b["min_term"] > hi or (hi_excl and b["min_term"] >= hi)
+            ):
+                continue
+            paths.append(os.path.join(self.path, b["path"]))
         found: set[str] = set()
-        for bk in sorted(self._bucket_paths):
-            tbl = pq.read_table(self._bucket_paths[bk], columns=["term"])
-            mask = predicate(tbl["term"])
-            found.update(pc.filter(tbl["term"], mask).to_pylist())
+        import ray as _ray
+
+        if len(paths) >= 4 and _ray.is_initialized():
+            fn = _ray.remote(num_cpus=1)(_scan_terms_file)
+            for lst in _ray.get([fn.remote(p, filt, predicate) for p in paths]):
+                found.update(lst)
+        else:
+            for p in paths:
+                found.update(_scan_terms_file(p, filt, predicate))
         return sorted(found)

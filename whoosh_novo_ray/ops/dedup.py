@@ -67,7 +67,11 @@ def exact_dedup_keep(docs: "ray.data.Dataset") -> "ray.data.Dataset":
 
 
 class _Shingles:
-    """Explode docs into distinct word n-gram shingles (doc_id, shingle)."""
+    """Explode docs into distinct word n-gram shingles (doc_id, shingle, nsh).
+
+    ``nsh`` (the doc's distinct-shingle count) rides along on every row so the
+    Jaccard union term is available downstream WITHOUT a sizes join or any
+    driver-side lookup table."""
 
     def __init__(self, n: int = 3):
         self.n = n
@@ -76,6 +80,7 @@ class _Shingles:
         n = self.n
         out_doc: list[int] = []
         out_sh: list[str] = []
+        out_n: list[int] = []
         ids = batch["doc_id"].to_pylist()
         for did, text in zip(ids, batch["text"].to_pylist()):
             toks = _RAW(text)
@@ -84,10 +89,12 @@ class _Shingles:
             sh = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
             out_doc.extend([did] * len(sh))
             out_sh.extend(sh)
+            out_n.extend([len(sh)] * len(sh))
         return pa.table(
             {
                 "doc_id": pa.array(out_doc, pa.int64()),
                 "shingle": pa.array(out_sh, pa.string()),
+                "nsh": pa.array(out_n, pa.int64()),
             }
         )
 
@@ -96,38 +103,81 @@ def ngram_jaccard_pairs(
     docs: "ray.data.Dataset",
     n: int = 3,
     threshold: float = 0.2,
-    max_group: int | None = None,
+    max_group: int = 1000,
 ) -> pa.Table:
     """All-pairs word-``n``-gram Jaccard similarity >= threshold.
 
-    Returns Arrow table (doc_a, doc_b, jaccard) with doc_a < doc_b,
-    jaccard rounded to 6 decimals. ``max_group`` skips shingles shared by
-    more than that many docs (cap the quadratic pair blowup at scale; None =
-    exact, matches the SQL oracle).
+    Returns Arrow table (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard
+    rounded to 6 decimals. Fully distributed: per-doc sizes ride the shingle
+    rows, pair counts come from one groupby, and the driver only ever holds
+    the (small) surviving pair set.
+
+    ``max_group`` drops shingles shared by more than that many docs (a
+    shingle shared by s docs emits s*(s-1)/2 pairs — boilerplate shingles are
+    the web-scale skew analog of stopword posting lists). Capped shingles are
+    excluded from the INTERSECTION only; per-doc sizes still count them, so
+    capped similarity is a lower bound. The SQL oracle applies the identical
+    cap. ``max_group=None`` disables the cap (exact, but quadratic on skew).
     """
     sh = docs.map_batches(_Shingles(n), batch_format="pyarrow", zero_copy_batch=True)
 
-    # per-doc shingle-set size (for the union term)
-    sizes_t = sh.groupby("doc_id").count().to_pandas()
-    sizes = dict(zip(sizes_t["doc_id"], sizes_t["count()"]))
-
     def emit_pairs(group: pa.Table) -> pa.Table:
-        ids = np.unique(group["doc_id"].to_numpy())
+        ids = group["doc_id"].to_numpy()
+        nsh = group["nsh"].to_numpy()
+        empty = pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "n_a": pa.array([], pa.int64()),
+                "n_b": pa.array([], pa.int64()),
+            }
+        )
         if len(ids) < 2 or (max_group is not None and len(ids) > max_group):
-            return pa.table(
-                {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
-            )
+            return empty
+        order = np.argsort(ids)
+        ids, nsh = ids[order], nsh[order]
         a, b = np.triu_indices(len(ids), k=1)
         return pa.table(
             {
                 "doc_a": pa.array(ids[a], pa.int64()),
                 "doc_b": pa.array(ids[b], pa.int64()),
+                "n_a": pa.array(nsh[a], pa.int64()),
+                "n_b": pa.array(nsh[b], pa.int64()),
             }
         )
 
-    pairs = sh.groupby("shingle").map_groups(emit_pairs, batch_format="pyarrow")
-    shared = pairs.groupby(["doc_a", "doc_b"]).count().to_pandas()
-    if not len(shared):
+    from ray.data.aggregate import Count, Max
+
+    agg = (
+        sh.groupby("shingle")
+        .map_groups(emit_pairs, batch_format="pyarrow")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Count(), Max("n_a"), Max("n_b"))
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        inter = batch["count()"].to_numpy(zero_copy_only=False).astype(np.float64)
+        na = batch["max(n_a)"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nb = batch["max(n_b)"].to_numpy(zero_copy_only=False).astype(np.float64)
+        jac = inter / (na + nb - inter)
+        keep = jac >= threshold
+        kept = batch.filter(pa.array(keep))
+        return pa.table(
+            {
+                "doc_a": kept["doc_a"].cast(pa.int64()),
+                "doc_b": kept["doc_b"].cast(pa.int64()),
+                "jaccard": pa.array(np.round(jac[keep], 6), pa.float64()),
+            }
+        )
+
+    tables = [
+        t
+        for t in ray.get(
+            agg.map_batches(finalize, batch_format="pyarrow").to_arrow_refs()
+        )
+        if len(t)
+    ]
+    if not tables:
         return pa.table(
             {
                 "doc_a": pa.array([], pa.int64()),
@@ -135,18 +185,8 @@ def ngram_jaccard_pairs(
                 "jaccard": pa.array([], pa.float64()),
             }
         )
-    inter = shared["count()"].to_numpy().astype(np.float64)
-    sa = shared["doc_a"].map(sizes).to_numpy().astype(np.float64)
-    sb = shared["doc_b"].map(sizes).to_numpy().astype(np.float64)
-    jac = inter / (sa + sb - inter)
-    keep = jac >= threshold
-    out = shared[keep]
-    return pa.table(
-        {
-            "doc_a": pa.array(out["doc_a"].to_numpy(), pa.int64()),
-            "doc_b": pa.array(out["doc_b"].to_numpy(), pa.int64()),
-            "jaccard": pa.array(np.round(jac[keep], 6), pa.float64()),
-        }
+    return pa.concat_tables(tables).sort_by(
+        [("doc_a", "ascending"), ("doc_b", "ascending")]
     )
 
 

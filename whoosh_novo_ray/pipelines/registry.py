@@ -264,44 +264,71 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         ).sort_by("doc_id")
 
-    def facet_lang(sf_dir):
-        """FacetCollector analog: matching-doc counts per lang for a term."""
-        ids, _ = _searcher_for(sf_dir).postings(Term(_T_MID))
-        docs = pq.read_table(
-            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]
+    def _matched_attrs(sf_dir, ids: np.ndarray, columns: tuple[str, ...]) -> pa.Table:
+        """Attribute rows for the matched ids only: the matched-id set is
+        broadcast into a streaming filter over the documents Dataset — the
+        full attribute table never reaches the driver."""
+        id_arr = pa.array(ids.astype(np.int64))
+
+        def keep(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.is_in(batch["doc_id"], value_set=id_arr))
+
+        ds = _docs_ds(sf_dir, columns).map_batches(
+            keep, batch_format="pyarrow", zero_copy_batch=True
         )
-        m = docs.filter(pc.is_in(docs["doc_id"], value_set=pa.array(ids.astype(np.int64))))
-        g = m.group_by("lang").aggregate([("doc_id", "count")])
+        tables = _collect(ds)
+        if not tables:
+            import pyarrow.dataset as _pds
+
+            schema = _pds.dataset(
+                os.path.join(sf_dir, "documents.parquet")
+            ).schema
+            return pa.table(
+                {c: pa.array([], schema.field(c).type) for c in columns}
+            )
+        return pa.concat_tables(tables)
+
+    def facet_lang(sf_dir):
+        """FacetCollector analog: matching-doc counts per lang for a term.
+        Distributed: broadcast matched-id filter + Dataset groupby count."""
+        ids, _ = _searcher_for(sf_dir).postings(Term(_T_MID))
+        id_arr = pa.array(ids.astype(np.int64))
+
+        def keep(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.is_in(batch["doc_id"], value_set=id_arr))
+
+        g = (
+            _docs_ds(sf_dir, ("doc_id", "lang"))
+            .map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("lang")
+            .count()
+        )
+        t = pa.concat_tables(_collect(g))
         return pa.table(
             {
-                "lang": g["lang"],
-                "n": g["doc_id_count"].cast(pa.int64()),
+                "lang": t["lang"],
+                "n": t["count()"].cast(pa.int64()),
             }
         ).sort_by("lang")
 
     def collapse_source(sf_dir):
-        """CollapseCollector analog: top-2 hits per source for a term."""
-        t = _search_table(sf_dir, Term(_T_MID), limit=10**9)
-        docs = pq.read_table(
-            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "source"]
-        )
-        src = dict(zip(docs["doc_id"].to_pylist(), docs["source"].to_pylist()))
-        import collections
+        """CollapseCollector via the engine's collapse_search operator; the
+        source attribute comes from a matched-ids-only streamed filter."""
+        from whoosh_novo_ray.search.sorting import FieldFacet, collapse_search
 
-        best: dict[str, list] = collections.defaultdict(list)
-        for d, s in zip(t["doc_id"].to_pylist(), t["score"].to_pylist()):
-            b = best[src[d]]
-            if len(b) < 2:
-                b.append((d, s))
-        rows = [(s, d, sc) for s, lst in best.items() for d, sc in lst]
-        rows.sort()
+        s = _searcher_for(sf_dir)
+        ids, _ = s.postings(Term(_T_MID))
+        attrs = _matched_attrs(sf_dir, ids, ("doc_id", "source"))
+        t = collapse_search(s, Term(_T_MID), FieldFacet(attrs, "source"), per_key=2)
         return pa.table(
             {
-                "source": pa.array([r[0] for r in rows], pa.string()),
-                "doc_id": pa.array([r[1] for r in rows], pa.int64()),
-                "score": pa.array([r[2] for r in rows], pa.float64()),
+                "source": t["key"],
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "score": pa.array(
+                    np.round(t["score"].to_numpy(), 6), pa.float64()
+                ),
             }
-        )
+        ).sort_by([("source", "ascending"), ("doc_id", "ascending")])
 
     def bm25_or_wand(sf_dir):
         from whoosh_novo_ray.search.wand import searcher_wand_topk
@@ -691,9 +718,13 @@ sh AS (
         WHERE len(arr) >= 3)
 ),
 sizes AS (SELECT doc_id, count(*)::DOUBLE AS n FROM sh GROUP BY doc_id),
+-- same boilerplate-shingle cap as ngram_jaccard_pairs(max_group=1000):
+-- capped shingles are excluded from the intersection, sizes keep them
+ok AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::DOUBLE AS inter
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  WHERE a.shingle IN (SELECT shingle FROM ok)
   GROUP BY 1, 2
 )
 SELECT doc_a::BIGINT AS doc_a, doc_b::BIGINT AS doc_b,

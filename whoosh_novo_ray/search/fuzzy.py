@@ -67,7 +67,8 @@ def terms_within(
             mask = pc.and_(mask, pc.starts_with(col, pattern=pre))
         return mask
 
-    for cand in index.expand_terms(predicate):
+    rlo, rhi = (pre, pre + "\U0010ffff") if pre else (None, None)
+    for cand in index.expand_terms(predicate, lo=rlo, hi=rhi):
         d = edit_distance(text, cand, maxdist)
         if d is not None:
             out.append((cand, d))

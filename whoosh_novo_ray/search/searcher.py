@@ -30,6 +30,39 @@ Posting = tuple[np.ndarray, np.ndarray]  # (ids sorted asc, scores)
 
 _EMPTY: Posting = (np.empty(0, np.uint64), np.empty(0, np.float64))
 
+# lexicographic max codepoint; analyzer tokens (\w matches) can never contain
+# it, so `prefix + _MAX_CHAR` is a safe inclusive upper bound for the prefix
+_MAX_CHAR = "\U0010ffff"
+
+# regex metacharacters that end a literal prefix
+_RX_META = set(r"\.^$*+?{}[]|()")
+
+
+def _prefix_range(prefix: str) -> tuple[str | None, str | None]:
+    """[lo, hi] term-dictionary scan range for a literal prefix."""
+    if not prefix:
+        return None, None
+    return prefix, prefix + _MAX_CHAR
+
+
+def _regex_literal_prefix(pattern: str) -> str:
+    """Longest literal prefix implied by an anchored regex (empty if the
+    pattern is unanchored — an unanchored search can match anywhere)."""
+    if not pattern.startswith("^"):
+        return ""
+    out = []
+    i = 1
+    while i < len(pattern):
+        c = pattern[i]
+        if c in _RX_META:
+            break
+        # a literal followed by a quantifier is optional/repeated — stop
+        if i + 1 < len(pattern) and pattern[i + 1] in "*+?{":
+            break
+        out.append(c)
+        i += 1
+    return "".join(out)
+
 
 def _merge_sum(parts: list[Posting]) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Merge sorted (ids, scores) lists -> (unique ids, summed scores, hit counts)."""
@@ -322,19 +355,35 @@ class Searcher:
         raise TypeError(f"unsupported query node: {type(q).__name__}")
 
     def expand(self, q: Q.Query) -> list[str]:
-        """Term-dictionary expansion for multi-term queries."""
+        """Term-dictionary expansion for multi-term queries. Every pattern
+        type derives a lexicographic [lo, hi] range where possible so the
+        term-dict scan prunes parquet row groups instead of reading the full
+        dictionary (see Index.expand_terms)."""
         if isinstance(q, Q.Prefix):
+            lo, hi = _prefix_range(q.text)
             return self.index.expand_terms(
-                lambda col: pc.starts_with(col, pattern=q.text)
+                lambda col: pc.starts_with(col, pattern=q.text), lo=lo, hi=hi
             )
         if isinstance(q, Q.Wildcard):
             rx = q.regex()
+            # literal prefix of the pattern (before the first metachar)
+            # bounds the scan; the anchored regex stays the exact filter
+            i = min(
+                (q.pattern.find(c) for c in "*?[" if q.pattern.find(c) >= 0),
+                default=len(q.pattern),
+            )
+            lo, hi = _prefix_range(q.pattern[:i])
             return self.index.expand_terms(
-                lambda col: pc.match_substring_regex(col, pattern=rx)
+                lambda col: pc.match_substring_regex(col, pattern=rx),
+                lo=lo,
+                hi=hi,
             )
         if isinstance(q, Q.Regex):
+            lo, hi = _prefix_range(_regex_literal_prefix(q.pattern))
             return self.index.expand_terms(
-                lambda col: pc.match_substring_regex(col, pattern=q.pattern)
+                lambda col: pc.match_substring_regex(col, pattern=q.pattern),
+                lo=lo,
+                hi=hi,
             )
         if isinstance(q, Q.TermRange):
             def pred(col):
@@ -353,7 +402,13 @@ class Searcher:
                     mask = pc.equal(col, col)
                 return mask
 
-            return self.index.expand_terms(pred)
+            return self.index.expand_terms(
+                pred,
+                lo=q.start,
+                hi=q.end,
+                lo_excl=q.startexcl,
+                hi_excl=q.endexcl,
+            )
         raise TypeError(type(q))
 
     def _phrase(self, q: Q.Phrase) -> Posting:
