@@ -68,3 +68,37 @@ def test_differential_vs_reference():
         b = ANA.analyze_batch([t])
         got = list(zip(b.tokens.tolist(), b.pos.tolist()))
         assert got == expected, t
+
+
+@pytest.mark.skipif(not HAVE_REFERENCE, reason="reference repo not available")
+def test_differential_length_changing_lower():
+    """Regression (ADVICE r01): tokenize-then-lowercase order. For 'İ'
+    str.lower() grows the string ('i' + combining dot), so lowering the
+    whole text first would split the \\w+ match and diverge."""
+    from whoosh.analysis import StandardAnalyzer as RefSA
+
+    ref = RefSA()
+    cases = [
+        "İstanbul is big",
+        "the İİ doubled",
+        "mixİed İn middle",
+        "ẞharp and İ and ǅigraph",
+    ]
+    for t in cases:
+        expected = [(tok.text, tok.pos) for tok in ref(t, positions=True)]
+        b = ANA.analyze_batch([t])
+        got = list(zip(b.tokens.tolist(), b.pos.tolist()))
+        assert got == expected, t
+        assert b.field_lengths.tolist() == [len(expected)]
+
+
+def test_chars_spans_index_original_text():
+    """with_chars offsets must index the ORIGINAL text even when lowering
+    changes token length."""
+    t = "İstanbul CITY"
+    di, codes, uniq, pos, fl, sc, ec = ANA.analyze_batch_coded(
+        [t], with_chars=True
+    )
+    toks = uniq[codes].tolist()
+    for tok, s, e in zip(toks, sc.tolist(), ec.tolist()):
+        assert t[s:e].lower() == tok

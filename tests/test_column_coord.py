@@ -110,3 +110,32 @@ def test_or_scale_parity_with_reference(built_index, reference_searcher):
     got = list(zip(mine["doc_id"].to_pylist(), mine["score"].to_pylist()))
     assert [d for d, _ in got] == [d for d, _ in ref]
     assert [x for _, x in got] == pytest.approx([x for _, x in ref], rel=1e-9)
+
+
+@pytest.mark.skipif(not HAVE_REFERENCE, reason="reference not available")
+def test_or_scale_with_dead_term_parity(built_index, reference_searcher):
+    """Regression (ADVICE r01): the SQR termcount counts only LIVE term
+    matchers — an unindexed leaf term must not inflate it (reference
+    CoordMatcher, matching/wrappers.py:531)."""
+    from whoosh import query as wq
+
+    s = Searcher(built_index)
+    mine = s.search(
+        Or(Term("search"), Term("data"), Term("zzzznope"), scale=0.5), limit=10
+    )
+    r = reference_searcher.search(
+        wq.Or(
+            [
+                wq.Term("text", "search"),
+                wq.Term("text", "data"),
+                wq.Term("text", "zzzznope"),
+            ],
+            scale=0.5,
+        ),
+        limit=10,
+        optimize=False,
+    )
+    ref = [(h["doc_id"], r.score(i)) for i, h in enumerate(r)]
+    got = list(zip(mine["doc_id"].to_pylist(), mine["score"].to_pylist()))
+    assert [d for d, _ in got] == [d for d, _ in ref]
+    assert [x for _, x in got] == pytest.approx([x for _, x in ref], rel=1e-9)

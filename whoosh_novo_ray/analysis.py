@@ -12,9 +12,11 @@ Reproduces the semantics of the reference engine's ``StandardAnalyzer``
 
 Unlike the reference (a per-token generator pipeline), everything here is
 batch-oriented: one call analyzes a whole Arrow/pandas batch of documents and
-returns flat numpy arrays, suitable for ``Dataset.map_batches``. Lowercasing
-before tokenization is equivalent to the reference's tokenize-then-lowercase
-because ``\\w`` matching is case-insensitive over the same character set.
+returns flat numpy arrays, suitable for ``Dataset.map_batches``. Tokenization
+runs on the ORIGINAL text and lowercasing happens per unique token — the
+reference's tokenize-then-lowercase order (lowering the whole text first
+diverges for characters whose ``str.lower()`` changes string length, e.g.
+'İ', and would make char offsets index the lowered string).
 """
 
 from __future__ import annotations
@@ -71,7 +73,11 @@ class StandardAnalyzer:
     # -- single-document path (queries, tests) --------------------------------
 
     def __call__(self, text: str) -> list[str]:
-        toks = self._rx.findall(text.lower())
+        # tokenize the ORIGINAL text, then lowercase per token — the
+        # reference order (RegexTokenizer | LowercaseFilter). Lowercasing
+        # first diverges when str.lower() changes string length (e.g. 'İ' ->
+        # 'i' + combining dot splits the \w+ match).
+        toks = [t.lower() for t in self._rx.findall(text)]
         if self.stoplist is None and self.minsize <= 1 and self.maxsize is None and not self.stem:
             return toks
         stops = self.stoplist or frozenset()
@@ -106,6 +112,9 @@ class StandardAnalyzer:
         Length/stopword filtering and (downstream) hashing run once per
         UNIQUE term, not per token — the fused fast path for indexing.
         """
+        # tokenize the ORIGINAL text (char spans index it directly);
+        # lowercasing happens once per UNIQUE token below — the reference's
+        # RegexTokenizer | LowercaseFilter order, vectorized
         rx = self._rx
         if with_chars:
             per_doc = []
@@ -114,7 +123,7 @@ class StandardAnalyzer:
                 if not t:
                     per_doc.append([])
                     continue
-                ms = list(rx.finditer(t.lower()))
+                ms = list(rx.finditer(t))
                 per_doc.append([m.group(0) for m in ms])
                 span_parts.extend((m.start(), m.end()) for m in ms)
             spans = (
@@ -123,7 +132,7 @@ class StandardAnalyzer:
                 else np.empty((0, 2), np.int32)
             )
         else:
-            per_doc = [rx.findall(t.lower()) if t else [] for t in texts]
+            per_doc = [rx.findall(t) if t else [] for t in texts]
             spans = None
         counts = np.fromiter((len(p) for p in per_doc), dtype=np.int64, count=len(per_doc))
         n = int(counts.sum())
@@ -155,6 +164,14 @@ class StandardAnalyzer:
 
         codes, uniques = pd.factorize(tokens, sort=False)
         uniques = np.asarray(uniques, dtype=object)
+
+        # lowercase once per unique surface form; distinct surface forms can
+        # collapse to one lowered term and must share a code. Stop/length
+        # filters below then see the LOWERED token (reference filter order).
+        lowered = np.array([u.lower() for u in uniques], dtype=object)
+        new_codes_of_old, uniques = pd.factorize(lowered, sort=False)
+        uniques = np.asarray(uniques, dtype=object)
+        codes = new_codes_of_old[codes]
 
         u = pd.Series(uniques)
         keep_u = np.ones(len(uniques), dtype=bool)

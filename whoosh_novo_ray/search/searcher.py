@@ -195,9 +195,19 @@ class Searcher:
             scale = getattr(q, "scale", None)
             if scale:
                 # reference SQR coordination bonus (CoordMatcher._sqr,
-                # matching/wrappers.py:537-556): termcount = leaves in tree
-                tc = float(len(q.terms()) or len(q.children))
-                if tc and tc != scale:
+                # matching/wrappers.py:537-556). termcount counts only LIVE
+                # term matchers (len(child.term_matchers()), :531) — a leaf
+                # term with df == 0 contributes no matcher, so it must not
+                # count. termcount == 0 or == scale scores every doc 0
+                # (reference :550-551).
+                leaf_terms = q.terms()
+                if leaf_terms:
+                    tc = float(sum(1 for t in leaf_terms if self.term_stats(t)[0] > 0))
+                else:
+                    tc = float(len(q.children))
+                if tc == 0 or tc == scale:
+                    scores = np.zeros_like(scores)
+                else:
                     scores = (scores + (counts - 1) / (tc - scale) ** 2) * (
                         (tc - 1) / tc
                     )
