@@ -84,6 +84,67 @@ def test_salted_heavy_terms_equivalent(ray_session, pages_table, tmp_path):
         assert ra == rb
 
 
+def test_auto_heavy_detection_and_balance(ray_session, pages_table, tmp_path):
+    """detect_heavy_terms finds stopword-like skew without declarations, the
+    auto-salted build bounds bucket size, and results stay bit-identical."""
+    import pyarrow as pa
+    import ray.data
+
+    from whoosh_novo_ray.index.build import detect_heavy_terms
+
+    # corpus where 'qqfiller' hits every doc (stoplist off so it indexes)
+    from whoosh_novo_ray.analysis import StandardAnalyzer
+
+    texts = [
+        f"qqfiller unique{i} qqfiller common{'ab'[i % 2]} qqfiller"
+        for i in range(400)
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(400), pa.uint64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    docs = ray.data.from_arrow(tbl)
+    cfg = IndexConfig(
+        num_buckets=4, salt_k=4, salt_shift=3, analyzer=StandardAnalyzer(stoplist=None)
+    )
+    heavy = detect_heavy_terms(docs, cfg, sample_frac=1.0, heavy_df_frac=0.5)
+    assert "qqfiller" in heavy
+    assert all(h in {"qqfiller", "commona", "commonb"} for h in heavy)
+
+    plain_dir = str(tmp_path / "plain")
+    auto_dir = str(tmp_path / "auto")
+    m_plain = build_index(docs, plain_dir, cfg, lineage="L")
+    import dataclasses
+
+    m_auto = build_index(
+        docs,
+        auto_dir,
+        dataclasses.replace(cfg),
+        lineage="L",
+        auto_heavy={"sample_frac": 1.0, "heavy_df_frac": 0.5},
+    )
+    assert m_auto["config"]["heavy_terms"]  # detection populated the config
+
+    # salting bounds the max bucket: the heavy term's 400 postings split
+    max_plain = max(b["n_postings"] for b in m_plain["buckets"])
+    max_auto = max(b["n_postings"] for b in m_auto["buckets"])
+    assert max_plain >= 400  # one bucket held every 'qqfiller' posting
+    assert max_auto < max_plain
+
+    sp = Searcher(Index(plain_dir))
+    sa = Searcher(Index(auto_dir))
+    for t in ["qqfiller", "commona", "unique7", "absentzz"]:
+        a = sp.term_postings(t)
+        b = sa.term_postings(t)
+        assert a[0].tolist() == b[0].tolist(), t
+        assert a[1].tolist() == b[1].tolist(), t
+        ra = sp.search(Term(t), limit=10).to_pydict()
+        rb = sa.search(Term(t), limit=10).to_pydict()
+        assert ra == rb, t
+
+
 def test_spill_build_equivalent(ray_session, pages_table, tmp_path):
     """The raw-Ray spill-shuffle build produces identical segments to the
     Dataset-shuffle build."""

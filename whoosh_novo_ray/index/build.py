@@ -678,12 +678,104 @@ def _run_bucket_shuffle(
     return manifest
 
 
+class _BatchDf:
+    """map_batches callable for the heavy-term df sketch: per batch, the
+    number of DISTINCT docs containing each term, pre-filtered to terms seen
+    in >= ``min_batch_df`` docs (a globally heavy term cannot miss that bar
+    in a reasonably-sized batch, and it keeps hapax terms out of the
+    shuffle)."""
+
+    def __init__(self, cfg: IndexConfig, min_batch_df: int):
+        self.cfg = cfg
+        self.min_batch_df = min_batch_df
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.cfg.text_col].to_pylist()
+        doc_idx, codes, uniques, _pos, _fl = self.cfg.analyzer.analyze_batch_coded(
+            texts
+        )
+        empty = pa.table(
+            {"term": pa.array([], pa.string()), "df": pa.array([], pa.int64())}
+        )
+        if len(doc_idx) == 0:
+            return empty
+        key = doc_idx.astype(np.int64) * len(uniques) + codes
+        uk = np.unique(key)
+        cnt = np.bincount((uk % len(uniques)).astype(np.int64), minlength=len(uniques))
+        keep = cnt >= self.min_batch_df
+        if not keep.any():
+            return empty
+        return pa.table(
+            {
+                "term": pa.array(uniques[keep], pa.string()),
+                "df": pa.array(cnt[keep].astype(np.int64), pa.int64()),
+            }
+        )
+
+
+def detect_heavy_terms(
+    docs: "ray.data.Dataset",
+    cfg: IndexConfig,
+    doc_count: int | None = None,
+    sample_frac: float | None = None,
+    heavy_df_frac: float = 0.05,
+    max_terms: int = 64,
+    min_batch_df: int = 2,
+    seed: int = 7,
+) -> tuple[str, ...]:
+    """Cheap df-sketch pre-pass: terms whose (sampled) document frequency is
+    >= ``heavy_df_frac`` of sampled docs — the candidates for bucket-shuffle
+    salting (SURVEY §7.2 milestone 6). One light shuffle of per-batch
+    (term, df) partials; the result list is tiny by construction.
+
+    ``sample_frac=None`` auto-sizes the sample to ~50k docs (full scan below
+    that); the detection threshold applies within the sample."""
+    if doc_count is None:
+        doc_count = docs.count()
+    if doc_count == 0:
+        return ()
+    if sample_frac is None:
+        sample_frac = min(1.0, 50_000 / doc_count)
+    sampled = docs if sample_frac >= 1.0 else docs.random_sample(sample_frac, seed=seed)
+    n_sample = doc_count if sample_frac >= 1.0 else max(1, sampled.count())
+    threshold = max(float(min_batch_df), heavy_df_frac * n_sample)
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        sampled.map_batches(
+            _BatchDf(cfg, min_batch_df), batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("term")
+        .aggregate(Sum("df"))
+    )
+
+    def over_threshold(batch: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(batch["sum(df)"], threshold)
+        return batch.filter(keep)
+
+    tables = [
+        t
+        for t in ray.get(
+            agg.map_batches(
+                over_threshold, batch_format="pyarrow", zero_copy_batch=True
+            ).to_arrow_refs()
+        )
+        if len(t)
+    ]
+    if not tables:
+        return ()
+    heavy = pa.concat_tables(tables).sort_by([("sum(df)", "descending")])
+    return tuple(heavy["term"].to_pylist()[:max_terms])
+
+
 def build_index(
     docs: "ray.data.Dataset",
     out_dir: str,
     cfg: IndexConfig | None = None,
     lineage: str = "",
     resume: bool = False,
+    auto_heavy: bool | dict = False,
 ) -> dict:
     """Build an inverted index at ``out_dir`` from a docs Dataset.
 
@@ -691,9 +783,21 @@ def build_index(
     ``lineage`` should fingerprint the input (paths + row counts + config);
     with ``resume=True``, buckets already on disk whose manifest lineage
     matches are skipped (the shuffle is filtered down to missing buckets).
+
+    ``auto_heavy=True`` (or a dict of ``detect_heavy_terms`` kwargs) runs
+    the df-sketch pre-pass and salts the detected heavy terms, so skewed
+    (stopword-like) postings split across buckets without the caller having
+    to declare them. Skipped when ``cfg.heavy_terms`` is already set.
     """
     cfg = cfg or IndexConfig()
     doc_count = docs.count()
+    if auto_heavy and not cfg.heavy_terms:
+        kwargs = auto_heavy if isinstance(auto_heavy, dict) else {}
+        detected = detect_heavy_terms(docs, cfg, doc_count=doc_count, **kwargs)
+        if detected:
+            import dataclasses as _dc
+
+            cfg = _dc.replace(cfg, heavy_terms=detected)
     postings = docs.map_batches(
         TokenizePostings(cfg),
         batch_format="pyarrow",

@@ -467,6 +467,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def dateparse_range(sf_dir):
+        """Natural-language date range ('jan 5th 2024 to last tuesday' at a
+        fixed basedate) filtering events.ts — the DateParserPlugin analog.
+        The filter streams over the events Dataset."""
+        from datetime import datetime, timezone
+
+        import ray.data
+
+        from whoosh_novo_ray.search.dateparse import parse_range
+
+        base = datetime(2024, 2, 1, 12, 0, 0, tzinfo=timezone.utc)
+        s, e = parse_range("jan 5th 2024 to last tuesday", base)
+        s64 = np.datetime64(s.replace(tzinfo=None))
+        e64 = np.datetime64(e.replace(tzinfo=None))
+
+        def keep(batch: pa.Table) -> pa.Table:
+            ts = batch["ts"].to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array((ts >= s64) & (ts <= e64)))
+
+        ev = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"), columns=["event_id", "ts"]
+        ).map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+        t = pa.concat_tables(_collect(ev))
+        ts_us = t["ts"].cast(pa.int64())
+        return pa.table(
+            {
+                "event_id": t["event_id"].cast(pa.int64()),
+                "ts_us": ts_us,
+            }
+        ).sort_by("event_id")
+
     def window_agg(sf_dir):
         import ray.data
         from whoosh_novo_ray.ops.windows import tumbling_window_agg
@@ -537,6 +568,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_event_per_user": latest_event_per_user,
         "key_terms_doc0": key_terms_doc0,
         "image_features_meta": image_features_q,
+        "dateparse_range": dateparse_range,
         "window_agg_daily": window_agg,
         "sessionize": sessions,
         "fielded_and": fielded_and,
@@ -874,6 +906,14 @@ SELECT b.doc_id::BIGINT AS doc_id,
        round(b.score + ln(ss.N / (ss.df + 1)) + 1, 6) AS score
 FROM bm b JOIN src USING (doc_id) CROSS JOIN srcstats ss
 WHERE b.term = '{_T_MID}'""",
+        # 'jan 5th 2024 to last tuesday' @ basedate 2024-02-01 (a Thursday):
+        # floor = 2024-01-05 00:00:00, ceil = tuesday 2024-01-30 23:59:59.999999
+        "dateparse_range": """
+SELECT event_id::BIGINT AS event_id, epoch_us(ts)::BIGINT AS ts_us
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+  AND ts <= TIMESTAMP '2024-01-30 23:59:59.999999'
+ORDER BY event_id""",
         "window_agg_daily": """
 WITH w AS (
   SELECT event_type,
