@@ -467,6 +467,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def variations_top10(sf_dir):
+        from whoosh_novo_ray.search import Variations
+
+        return _search_table(sf_dir, Variations(_T_COMMON), 10)
+
     def dateparse_range(sf_dir):
         """Natural-language date range ('jan 5th 2024 to last tuesday' at a
         fixed basedate) filtering events.ts — the DateParserPlugin analog.
@@ -568,6 +573,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_event_per_user": latest_event_per_user,
         "key_terms_doc0": key_terms_doc0,
         "image_features_meta": image_features_q,
+        "variations_top10": variations_top10,
         "dateparse_range": dateparse_range,
         "window_agg_daily": window_agg,
         "sessionize": sessions,
@@ -582,6 +588,8 @@ def _collect(ds) -> list[pa.Table]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from whoosh_novo_ray.lang_morph import variations as _morph_variations
+
     raw_tok = f"regexp_extract_all(lower(text), '{_RX_SQL}')"
     return {
         "term_stats": f"""WITH {_BASE_CTES}
@@ -906,6 +914,15 @@ SELECT b.doc_id::BIGINT AS doc_id,
        round(b.score + ln(ss.N / (ss.df + 1)) + 1, 6) AS score
 FROM bm b JOIN src USING (doc_id) CROSS JOIN srcstats ss
 WHERE b.term = '{_T_MID}'""",
+        # Variations expansion is deterministic (LiteMorph) — the candidate
+        # list is embedded as an IN-list; unindexed candidates simply don't
+        # match, mirroring the engine's live-term filter.
+        "variations_top10": _topk_sql(
+            "term IN ({})".format(
+                _terms_sql(sorted(set(_morph_variations(_T_COMMON))))
+            ),
+            10,
+        ),
         # 'jan 5th 2024 to last tuesday' @ basedate 2024-02-01 (a Thursday):
         # floor = 2024-01-05 00:00:00, ceil = tuesday 2024-01-30 23:59:59.999999
         "dateparse_range": """

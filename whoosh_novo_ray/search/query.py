@@ -184,6 +184,16 @@ class Regex(Query):
 
 
 @dataclass(frozen=True)
+class Variations(Query):
+    """Morphological variations of an English word (reference
+    query/terms.py:522-569 + lang/morph_en LiteMorph): expands to the
+    indexed variants and scores them as a plain union (non-constant)."""
+
+    text: str
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class TermRange(Query):
     """Lexicographic term range (query/ranges.py:144)."""
 

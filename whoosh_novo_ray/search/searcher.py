@@ -281,6 +281,21 @@ class Searcher:
                 return ids, np.full(len(ids), float(boost))
             return self.postings(expanded)
 
+        if isinstance(q, Q.Variations):
+            # reference Variations (query/terms.py:522-569): expand via
+            # LiteMorph, keep only indexed variants, score as a plain union
+            # (MultiTerm.constantscore defaults False, terms.py:154)
+            from whoosh_novo_ray.lang_morph import variations as _morph
+
+            cands = sorted(set(_morph(q.text)))
+            self.prefetch_terms(cands)
+            live = [t for t in cands if self.term_stats(t)[0] > 0]
+            if not live:
+                return _EMPTY
+            if len(live) == 1:
+                return self.postings(Q.Term(live[0], boost=q.boost))
+            return self.postings(Q.Or(*[Q.Term(t, boost=q.boost) for t in live]))
+
         if isinstance(q, (Q.Prefix, Q.Wildcard, Q.Regex, Q.TermRange)):
             expanded = self.expand(q)
             if not expanded:
