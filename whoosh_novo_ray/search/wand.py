@@ -287,14 +287,55 @@ def wand_topk(
 
 
 def searcher_wand_topk(
-    searcher, terms: list[str], k: int = 10, timelimit: float | None = None
+    searcher,
+    terms: list[str],
+    k: int = 10,
+    timelimit: float | None = None,
+    strategy: str = "auto",
 ):
-    """Convenience: run block-max WAND for a bag-of-terms OR query through a
-    Searcher (same results as ``searcher.search(Or(*terms), limit=k)``)."""
+    """Exact top-k for a bag-of-terms OR through a Searcher (same results as
+    ``searcher.search(Or(*terms), limit=k)``).
+
+    ``strategy``: ``"wand"`` forces block-max WAND, ``"exhaustive"`` the
+    vectorized full merge, ``"auto"`` (default) picks by df shape. WAND's
+    doc-at-a-time loop costs ~100x more per SCORED posting than the
+    vectorized merge, so it only wins when the skip table can prune the
+    overwhelming share of blocks — i.e. a selective (rare / high-idf) term
+    sets a threshold that the common terms' blocks cannot reach. When every
+    term is common (dfs within ~8x of each other and a non-trivial corpus
+    fraction), pruning cannot recoup the constant factor and auto routes to
+    the exhaustive path. A ``timelimit`` always forces WAND (the deadline /
+    partial-results machinery lives in its incremental loop)."""
     searcher.prefetch_terms(terms)
+    if strategy == "auto" and timelimit is None:
+        dfs = [searcher.term_stats(t)[0] for t in terms]
+        live = [d for d in dfs if d > 0]
+        n_docs = max(1, searcher.index.doc_count)
+        if live:
+            small = sum(live) <= 8 * k * len(live)
+            uniform_common = (
+                max(live) <= 8 * min(live) and min(live) >= 0.01 * n_docs
+            )
+            if small or uniform_common:
+                strategy = "exhaustive"
+    if strategy == "exhaustive":
+        from whoosh_novo_ray.search import query as Q
+
+        t = searcher.search(Q.Or(*[Q.Term(x) for x in terms]), limit=k)
+        total_blocks = sum(
+            r.n_blocks for term in terms for r in searcher._rows(term)
+        )
+        return t, {
+            "strategy": "exhaustive",
+            "decoded_blocks": total_blocks,
+            "skipped_blocks": 0,
+            "total_blocks": total_blocks,
+        }
     pairs = []
     for t in terms:
         scorer = searcher.scorer_for(t)
         for row in searcher._rows(t):
             pairs.append((row, scorer))
-    return wand_topk(pairs, k, timelimit=timelimit)
+    tbl, stats = wand_topk(pairs, k, timelimit=timelimit)
+    stats["strategy"] = "wand"
+    return tbl, stats
