@@ -65,10 +65,21 @@ class StandardAnalyzer:
     minsize: int = 2
     maxsize: int | None = None
     stem: bool = False
+    # DelimitedAttributeFilter analog (reference analysis/filters.py:504-578):
+    # 'word^2' -> token 'word' with boost 2.0. The pattern must include the
+    # delimiter + payload in the token (as the reference requires).
+    boost_delim: str | None = None
     _rx: re.Pattern = field(init=False, repr=False, compare=False, default=None)
 
     def __post_init__(self):
         object.__setattr__(self, "_rx", re.compile(self.pattern))
+
+    def _split_boost(self, tok: str) -> tuple[str, float]:
+        d = self.boost_delim
+        i = tok.find(d)
+        if i > -1:
+            return tok[:i], float(tok[i + len(d) :])
+        return tok, 1.0
 
     # -- single-document path (queries, tests) --------------------------------
 
@@ -77,7 +88,10 @@ class StandardAnalyzer:
         # reference order (RegexTokenizer | LowercaseFilter). Lowercasing
         # first diverges when str.lower() changes string length (e.g. 'İ' ->
         # 'i' + combining dot splits the \w+ match).
-        toks = [t.lower() for t in self._rx.findall(text)]
+        raw = self._rx.findall(text)
+        if self.boost_delim:
+            raw = [self._split_boost(t)[0] for t in raw]
+        toks = [t.lower() for t in raw]
         if self.stoplist is None and self.minsize <= 1 and self.maxsize is None and not self.stem:
             return toks
         stops = self.stoplist or frozenset()
@@ -143,6 +157,17 @@ class StandardAnalyzer:
             tokens[i : i + len(p)] = p
             i += len(p)
 
+        boosts = None
+        if self.boost_delim:
+            boosts = np.ones(n, np.float64)
+            for i in range(n):
+                t, b = self._split_boost(tokens[i])
+                if b != 1.0 or t is not tokens[i]:
+                    if spans is not None and len(t) != len(tokens[i]):
+                        spans[i, 1] -= len(tokens[i]) - len(t)
+                    tokens[i] = t
+                    boosts[i] = b
+
         if n == 0:
             empty = np.empty(0, dtype=np.int64)
             base = (
@@ -154,7 +179,9 @@ class StandardAnalyzer:
             )
             if with_chars:
                 e32 = np.empty(0, np.int32)
-                return base + (e32, e32.copy())
+                base = base + (e32, e32.copy())
+            if boosts is not None:
+                base = base + (np.empty(0, np.float64),)
             return base
 
         # original (pre-filter) position of each token within its doc
@@ -189,6 +216,8 @@ class StandardAnalyzer:
         orig_pos = orig_pos[keep]
         if spans is not None:
             spans = spans[keep]
+        if boosts is not None:
+            boosts = boosts[keep]
         field_lengths = np.bincount(doc_idx, minlength=len(texts)).astype(np.int64)
 
         if self.stem:
@@ -213,9 +242,12 @@ class StandardAnalyzer:
         else:
             pos = np.empty(0, dtype=np.int32)
 
+        out = (doc_idx, codes, uniques, pos, field_lengths)
         if with_chars:
-            return doc_idx, codes, uniques, pos, field_lengths, spans[:, 0], spans[:, 1]
-        return doc_idx, codes, uniques, pos, field_lengths
+            out = out + (spans[:, 0], spans[:, 1])
+        if boosts is not None:
+            out = out + (boosts,)
+        return out
 
 
 def simple_analyzer() -> StandardAnalyzer:

@@ -71,6 +71,10 @@ class IndexConfig:
     block_size: int = 128
     with_positions: bool = True
     with_chars: bool = False  # store per-occurrence char offsets (Characters format)
+    # per-posting float weights = sum of token boosts (reference
+    # Frequency/PositionBoosts formats, formats.py:190-214,345-430); weights
+    # are float32-quantized like the reference's pack_float payloads
+    with_weights: bool = False
     # terms whose postings are split over `salt_k` shuffle keys by doc-id range
     heavy_terms: tuple = ()
     salt_k: int = 8
@@ -96,6 +100,7 @@ class IndexConfig:
                 "minsize": self.analyzer.minsize,
                 "maxsize": self.analyzer.maxsize,
                 "stem": self.analyzer.stem,
+                "boost_delim": self.analyzer.boost_delim,
             }
         return d
 
@@ -113,6 +118,7 @@ class IndexConfig:
                 minsize=a["minsize"],
                 maxsize=a["maxsize"],
                 stem=a.get("stem", False),
+                boost_delim=a.get("boost_delim"),
             )
         d["heavy_terms"] = tuple(d.get("heavy_terms", ()))
         return IndexConfig(analyzer=ana, **d)
@@ -157,14 +163,18 @@ class TokenizePostings:
         texts = batch[cfg.text_col].to_pylist()
         doc_ids = batch[cfg.id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
         if cfg.with_chars:
-            doc_idx, codes, uniques, pos, field_lengths, s_char, e_char = (
-                cfg.analyzer.analyze_batch_coded(texts, with_chars=True)
-            )
+            res = cfg.analyzer.analyze_batch_coded(texts, with_chars=True)
         else:
-            doc_idx, codes, uniques, pos, field_lengths = (
-                cfg.analyzer.analyze_batch_coded(texts)
-            )
+            res = cfg.analyzer.analyze_batch_coded(texts)
+        has_boosts = getattr(cfg.analyzer, "boost_delim", None) is not None
+        doc_idx, codes, uniques, pos, field_lengths = res[:5]
+        rest = list(res[5:])
+        if cfg.with_chars:
+            s_char, e_char = rest[0], rest[1]
+            rest = rest[2:]
+        else:
             s_char = e_char = None
+        tok_boosts = rest[0] if has_boosts else None
         if len(doc_idx) == 0:
             # no tokens in this batch — still emit the per-doc metadata rows
             return _docmeta_only_table(cfg, doc_ids, field_lengths)
@@ -177,6 +187,7 @@ class TokenizePostings:
         if s_char is not None:
             s_sc = s_char[order]
             s_ec = e_char[order]
+        s_boost = tok_boosts[order] if tok_boosts is not None else None
 
         key_change = np.empty(len(s_doc), dtype=bool)
         key_change[0] = True
@@ -229,6 +240,15 @@ class TokenizePostings:
             "tf": pa.array(all_tf, pa.uint32()),
             "len_byte": pa.array(all_lb, pa.uint8()),
         }
+        if cfg.with_weights:
+            if s_boost is not None:
+                g_weight = np.add.reduceat(s_boost, starts)
+            else:
+                g_weight = tf.astype(np.float64)
+            cols["weight"] = pa.array(
+                np.concatenate([g_weight, np.zeros(n_docs, np.float64)]),
+                pa.float64(),
+            )
         if cfg.with_positions:
             offsets = np.append(starts, len(s_doc)).astype(np.int32)
             pos_list = pa.ListArray.from_arrays(
@@ -239,6 +259,18 @@ class TokenizePostings:
                 pa.array([], pa.int32()),
             )
             cols["positions"] = pa.concat_arrays([pos_list, empty])
+            if cfg.with_weights and s_boost is not None:
+                # per-occurrence boosts, parallel to positions (the
+                # PositionBoosts format payload, formats.py:345-409)
+                tb_list = pa.ListArray.from_arrays(
+                    pa.array(offsets, pa.int32()),
+                    pa.array(s_boost.astype(np.float32), pa.float32()),
+                )
+                tb_empty = pa.ListArray.from_arrays(
+                    pa.array(np.zeros(n_docs + 1, np.int32)),
+                    pa.array([], pa.float32()),
+                )
+                cols["tboosts"] = pa.concat_arrays([tb_list, tb_empty])
         if cfg.with_chars and s_char is not None:
             # interleave (start, end) pairs per occurrence, grouped like
             # positions: per posting 2*tf values, non-decreasing
@@ -270,10 +302,17 @@ def _docmeta_only_table(cfg: IndexConfig, doc_ids: np.ndarray, field_lengths: np
         ),
         "len_byte": pa.array(lengths_to_bytes(field_lengths), pa.uint8()),
     }
+    if cfg.with_weights:
+        cols["weight"] = pa.array(np.zeros(n_docs, np.float64), pa.float64())
     if cfg.with_positions:
         cols["positions"] = pa.ListArray.from_arrays(
             pa.array(np.zeros(n_docs + 1, np.int32)), pa.array([], pa.int32())
         )
+        if cfg.with_weights and getattr(cfg.analyzer, "boost_delim", None):
+            cols["tboosts"] = pa.ListArray.from_arrays(
+                pa.array(np.zeros(n_docs + 1, np.int32)),
+                pa.array([], pa.float32()),
+            )
     if cfg.with_chars:
         cols["chars"] = pa.ListArray.from_arrays(
             pa.array(np.zeros(n_docs + 1, np.int32)), pa.array([], pa.int32())
@@ -339,6 +378,12 @@ def encode_bucket_table(tbl: pa.Table, block_size: int, with_positions: bool) ->
     doc_ids = doc_ids_u[order]
     tfs = tbl["tf"].to_numpy(zero_copy_only=False).astype(np.uint64)[order]
     len_bytes = tbl["len_byte"].to_numpy(zero_copy_only=False).astype(np.uint8)[order]
+    # per-posting weights: float32-quantized token-boost sums when present
+    # (the reference packs summed boosts as 4-byte floats), else weight == tf
+    if "weight" in tbl.column_names:
+        w32 = tbl["weight"].to_numpy(zero_copy_only=False).astype(np.float32)[order]
+    else:
+        w32 = None
     sorted_terms = dictionary[dict_order]
 
     term_change = np.empty(n, dtype=bool)
@@ -370,8 +415,8 @@ def encode_bucket_table(tbl: pa.Table, block_size: int, with_positions: bool) ->
     tfs_byte_end = np.cumsum(tfs_nb)
     tfs_byte_start = tfs_byte_end - tfs_nb
 
-    # per-block stats (weight == tf as float, boost 1.0)
-    w = tfs.astype(np.float64)
+    # per-block stats (weight == tf unless boost weights were supplied)
+    w = w32.astype(np.float64) if w32 is not None else tfs.astype(np.float64)
     block_max_w = np.maximum.reduceat(w, block_starts)
     block_min_lb = np.minimum.reduceat(len_bytes, block_starts)
     block_max_id = doc_ids[block_ends - 1]
@@ -424,6 +469,11 @@ def encode_bucket_table(tbl: pa.Table, block_size: int, with_positions: bool) ->
             len_bytes, np.append(term_starts, n).astype(np.int64)
         ),
     }
+    if w32 is not None:
+        # fixed 4 bytes/posting: byte offsets derive from posting ordinals
+        cols["wts_blob"] = _large_binary_from_slices(
+            w32.view(np.uint8), np.append(term_starts, n).astype(np.int64) * 4
+        )
 
     if "chars" in tbl.column_names:
         ch_col = pc.take(tbl["chars"].combine_chunks(), pa.array(order))
@@ -444,6 +494,20 @@ def encode_bucket_table(tbl: pa.Table, block_size: int, with_positions: bool) ->
         )
         cols["chars_blob"] = _large_binary_from_slices(
             ch_buf, np.append(t_ch_off, t_ch_end[-1:])
+        )
+
+    if "tboosts" in tbl.column_names:
+        # per-occurrence boost payload: fixed 4B floats parallel to the
+        # positions stream; per-term byte offsets = 4 * occurrence ordinal
+        tb_col = pc.take(tbl["tboosts"].combine_chunks(), pa.array(order))
+        if isinstance(tb_col, pa.ChunkedArray):
+            tb_col = tb_col.combine_chunks()
+        tb_flat = tb_col.values.to_numpy(zero_copy_only=False).astype(np.float32)
+        occ = np.zeros(n + 1, np.int64)
+        np.cumsum(tfs.astype(np.int64), out=occ[1:])
+        t_occ = occ[np.append(term_starts, n)]
+        cols["pboosts_blob"] = _large_binary_from_slices(
+            tb_flat.view(np.uint8), t_occ * 4
         )
 
     if with_positions and "positions" in tbl.column_names:

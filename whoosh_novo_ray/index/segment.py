@@ -73,21 +73,39 @@ class TermRow:
     pos_blob: bytes | None = None
     block_chars_off: np.ndarray | None = None
     chars_blob: bytes | None = None
+    # float32 per-posting weights (token-boost sums); when present, decode
+    # returns these (as float64) in the tf slot so scoring uses weight — the
+    # reference's Frequency-format weight semantics. True integer tfs remain
+    # available from tfs_blob (decode_tfs / positions decode use it).
+    wts_blob: bytes | None = None
+    # float32 PER-OCCURRENCE boosts parallel to the positions stream
+    # (the PositionBoosts / CharacterBoosts payload, formats.py:345-430)
+    pboosts_blob: bytes | None = None
 
     @property
     def n_blocks(self) -> int:
         return len(self.block_counts)
 
     def decode_block(self, i: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """Decode block i -> (doc_ids, tfs, len_bytes)."""
+        """Decode block i -> (doc_ids, weights-or-tfs, len_bytes)."""
         cnt = int(self.block_counts[i])
         a = int(self.block_ids_off[i])
         b = int(self.block_ids_off[i + 1]) if i + 1 < self.n_blocks else len(self.ids_blob)
         deltas = varint_decode(self.ids_blob[a:b], cnt)
         ids = np.cumsum(deltas, dtype=np.uint64)
-        a = int(self.block_tfs_off[i])
-        b = int(self.block_tfs_off[i + 1]) if i + 1 < self.n_blocks else len(self.tfs_blob)
-        tfs = varint_decode(self.tfs_blob[a:b], cnt)
+        if self.wts_blob is not None:
+            a = int(self.block_lens_off[i])  # posting ordinal within term
+            tfs = np.frombuffer(
+                self.wts_blob, np.float32, count=cnt, offset=4 * a
+            ).astype(np.float64)
+        else:
+            a = int(self.block_tfs_off[i])
+            b = (
+                int(self.block_tfs_off[i + 1])
+                if i + 1 < self.n_blocks
+                else len(self.tfs_blob)
+            )
+            tfs = varint_decode(self.tfs_blob[a:b], cnt)
         a = int(self.block_lens_off[i])
         lens = np.frombuffer(self.lens_blob, np.uint8, count=cnt, offset=a)
         return ids, tfs, lens
@@ -106,7 +124,12 @@ class TermRow:
         # value before each block's absolute reset must be subtracted
         corr = c[starts] - deltas[starts]
         ids = c - np.repeat(corr, self.block_counts.astype(np.int64))
-        tfs = varint_decode(self.tfs_blob, n)
+        if self.wts_blob is not None:
+            tfs = np.frombuffer(self.wts_blob, np.float32, count=n).astype(
+                np.float64
+            )
+        else:
+            tfs = varint_decode(self.tfs_blob, n)
         lens = np.frombuffer(self.lens_blob, np.uint8, count=n)
         return ids, tfs, lens
 
@@ -136,6 +159,19 @@ class TermRow:
 
         tfs = varint_decode(self.tfs_blob, self.df)
         return decode_positions_flat(self.pos_blob, tfs)
+
+    def decode_all_position_boosts(self) -> tuple[np.ndarray, np.ndarray]:
+        """Per-occurrence boosts: (flat float64 boosts, counts per posting)
+        — parallel to ``decode_all_positions_flat``."""
+        if self.pboosts_blob is None:
+            raise ValueError("index built without per-occurrence boosts")
+        from whoosh_novo_ray.codec import varint_decode as _vd
+
+        tfs = _vd(self.tfs_blob, self.df)
+        flat = np.frombuffer(
+            self.pboosts_blob, np.float32, count=int(tfs.sum())
+        ).astype(np.float64)
+        return flat, tfs.astype(np.int64)
 
     def decode_all_chars(self) -> tuple[np.ndarray, np.ndarray]:
         """Per-occurrence character offsets (the Characters format):
@@ -182,6 +218,10 @@ def _row_to_termrow(
     if with_chars and "chars_blob" in tbl.column_names:
         tr.block_chars_off = nplist("block_chars_off", np.int64)
         tr.chars_blob = get("chars_blob")
+    if "wts_blob" in tbl.column_names:
+        tr.wts_blob = get("wts_blob")
+    if "pboosts_blob" in tbl.column_names:
+        tr.pboosts_blob = get("pboosts_blob")
     return tr
 
 
@@ -234,8 +274,13 @@ class Index:
                 by_bucket.setdefault(bk, set()).add(t)
         out: dict[str, list[TermRow]] = {t: [] for t in terms}
         cols = list(_SCORING_COLUMNS)
+        has_weights = getattr(self.cfg, "with_weights", False)
+        if has_weights:
+            cols += ["wts_blob"]
         if with_positions and self.cfg.with_positions:
             cols += ["block_pos_off", "pos_blob"]
+            if has_weights and getattr(self.cfg.analyzer, "boost_delim", None):
+                cols += ["pboosts_blob"]
         if with_chars and getattr(self.cfg, "with_chars", False):
             cols += ["block_chars_off", "chars_blob"]
         for bk, tset in sorted(by_bucket.items()):
