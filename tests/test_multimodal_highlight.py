@@ -94,3 +94,51 @@ def test_highlight_with_stemmed_terms():
     text = "Jumping jumps jumped over"
     out = highlight(text, ["jump"], analyzer=stemming_analyzer(), fragmenter=WholeFragmenter())
     assert out == "JUMPING JUMPS JUMPED over"
+
+
+def test_sentence_fragmenter():
+    from whoosh_novo_ray.search.highlight import (
+        SentenceFragmenter,
+        UppercaseFormatter,
+        highlight,
+    )
+    from whoosh_novo_ray.analysis import StandardAnalyzer
+
+    text = "This is a sentence about cats. Dogs live here too! Unrelated words. Cats again?"
+    out = highlight(
+        text,
+        ["cats"],
+        analyzer=StandardAnalyzer(stoplist=None, minsize=1),
+        fragmenter=SentenceFragmenter(),
+        formatter=UppercaseFormatter(),
+        top=5,
+    )
+    assert "CATS." in out or "about CATS" in out
+    assert "Dogs live here too" not in out  # sentence without a match dropped
+    assert "CATS again?" in out
+
+
+def test_sentence_fragmenter_maxchars():
+    from whoosh_novo_ray.search.highlight import SentenceFragmenter, Span
+
+    long_sent = ("word " * 60) + "cats."
+    f = SentenceFragmenter(maxchars=50)
+    spans = [Span(long_sent.index("cats"), long_sent.index("cats") + 4, "cats")]
+    assert f.fragments(long_sent, spans) == []  # too-long sentence dropped
+
+
+def test_pinpoint_fragmenter():
+    from whoosh_novo_ray.search.highlight import PinpointFragmenter, Span
+
+    text = "aaaa match1 bbbb cccc dddd " + ("x" * 300) + " match2 eeee"
+    i1 = text.index("match1")
+    i2 = text.index("match2")
+    spans = [Span(i1, i1 + 6, "match1"), Span(i2, i2 + 6, "match2")]
+    f = PinpointFragmenter(maxchars=100, surround=10)
+    frags = f.fragments(text, spans)
+    assert len(frags) == 2  # far-apart matches split into two fragments
+    assert all(fr.end - fr.start <= 100 + 20 for fr in frags)
+    # autotrim snaps to spaces
+    ft = PinpointFragmenter(maxchars=100, surround=10, autotrim=True)
+    for fr in ft.fragments(text, spans):
+        assert not text[fr.start : fr.end].startswith("a ")

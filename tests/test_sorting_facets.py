@@ -9,12 +9,18 @@ import pytest
 from whoosh_novo_ray.analysis import StandardAnalyzer
 from whoosh_novo_ray.search import Or, Searcher, Term
 from whoosh_novo_ray.search.sorting import (
+    DateRangeFacet,
     FieldFacet,
     FunctionFacet,
+    MultiFacet,
     QueryFacet,
     RangeFacet,
+    ScoreFacet,
+    StoredFieldFacet,
+    TranslateFacet,
     collapse_search,
     facet_counts,
+    facet_groups,
     sorted_search,
 )
 
@@ -120,3 +126,90 @@ def test_function_facet(env):
         "even": sum(1 for d in match if d % 2 == 0),
         "odd": sum(1 for d in match if d % 2 == 1),
     }
+
+
+def test_date_range_facet(env, pages_table):
+    import datetime
+
+    s, attrs, pages = env
+    attrs2 = pa.table(
+        {
+            "doc_id": pages["doc_id"].cast(pa.uint64()),
+            "warc_ts": pages["warc_ts"],
+        }
+    )
+    f = DateRangeFacet(
+        attrs2, "warc_ts", "2025-01-01", "2026-01-01", datetime.timedelta(days=90)
+    )
+    got = facet_counts(s, Term("search"), f).to_pydict()
+    # brute force
+    match = set(_matching_docs(pages, "search"))
+    ts = dict(zip(pages["doc_id"].to_pylist(), pages["warc_ts"].to_pylist()))
+    import collections
+
+    expect = collections.Counter()
+    s0 = np.datetime64("2025-01-01", "us").astype(np.int64)
+    e0 = np.datetime64("2026-01-01", "us").astype(np.int64)
+    gap = 90 * 86400 * 10**6
+    for d in match:
+        v = np.datetime64(ts[d], "us").astype(np.int64)
+        if s0 <= v < e0:
+            lo = s0 + ((v - s0) // gap) * gap
+            hi = min(lo + gap, e0)
+            lab = f"[{np.datetime64(int(lo), 'us')}, {np.datetime64(int(hi), 'us')})"
+            expect[lab] += 1
+    assert dict(zip(got["key"], got["count"])) == dict(expect)
+
+
+def test_score_facet_orders_best_first(env):
+    s, attrs, pages = env
+    t = sorted_search(s, Term("search"), ScoreFacet())
+    sc = t["score"].to_pylist()
+    assert sc == sorted(sc, reverse=True)
+    # ties break by doc_id ascending
+    ids = t["doc_id"].to_pylist()
+    for i in range(1, len(ids)):
+        if sc[i] == sc[i - 1]:
+            assert ids[i] > ids[i - 1]
+
+
+def test_translate_and_stored_field_facets(env):
+    s, attrs, pages = env
+    base = facet_counts(s, Term("search"), FieldFacet(attrs, "lang")).to_pydict()
+    up = facet_counts(
+        s, Term("search"), TranslateFacet(str.upper, StoredFieldFacet(attrs, "lang"))
+    ).to_pydict()
+    assert dict(zip(up["key"], up["count"])) == {
+        k.upper(): v for k, v in zip(base["key"], base["count"])
+    }
+
+
+def test_multi_facet(env):
+    s, attrs, pages = env
+    f = MultiFacet([FieldFacet(attrs, "lang"), FieldFacet(attrs, "n")])
+    t = sorted_search(s, Term("search"), f)
+    keys = t["key"].to_pylist()
+    assert keys == sorted(keys)  # str(tuple) order == tuple order here
+    n_by_doc = dict(zip(attrs["doc_id"].to_pylist(), attrs["n"].to_pylist()))
+    lang_by_doc = dict(
+        zip(attrs["doc_id"].to_pylist(), attrs["lang"].to_pylist())
+    )
+    got_pairs = [
+        (lang_by_doc[d], n_by_doc[d]) for d in t["doc_id"].to_pylist()
+    ]
+    assert got_pairs == sorted(got_pairs)
+
+
+def test_facet_groups_ordered_and_best(env):
+    s, attrs, pages = env
+    f = FieldFacet(attrs, "lang")
+    grouped = facet_groups(s, Term("search"), f).to_pydict()
+    best = facet_groups(s, Term("search"), f, best_only=True).to_pydict()
+    # per key: list head == best doc; list ordered by (score desc, id asc)
+    ids_all, scores_all = s.postings(Term("search"))
+    smap = dict(zip(ids_all.tolist(), scores_all.tolist()))
+    for k, dlist in zip(grouped["key"], grouped["doc_ids"]):
+        ranked = sorted(dlist, key=lambda d: (-smap[d], d))
+        assert dlist == ranked, k
+        bi = best["key"].index(k)
+        assert best["doc_id"][bi] == dlist[0]

@@ -83,6 +83,79 @@ class ContextFragmenter:
         return frags
 
 
+@dataclass
+class SentenceFragmenter:
+    """Whole sentences containing at least one match (reference
+    SentenceFragmenter, highlight.py:275-335): a sentence ends at '.', '!'
+    or '?' immediately following a token; sentences longer than ``maxchars``
+    are dropped. Use an analyzer without a stoplist for best results."""
+
+    maxchars: int = 200
+    sentencechars: str = ".!?"
+
+    def fragments(self, text: str, spans: list[Span]) -> list[Fragment]:
+        if not spans:
+            return []
+        rx = re.compile(DEFAULT_PATTERN)
+        ends = [
+            m.end()
+            for m in rx.finditer(text)
+            if m.end() < len(text) and text[m.end()] in self.sentencechars
+        ]
+        bounds = [0] + [e + 1 for e in ends] + [len(text)]
+        frags: list[Fragment] = []
+        si = 0
+        for lo, hi in zip(bounds, bounds[1:]):
+            if hi - lo > self.maxchars:
+                continue
+            matches = []
+            while si < len(spans) and spans[si].start < hi:
+                if spans[si].start >= lo:
+                    matches.append(spans[si])
+                si += 1
+            if matches:
+                frags.append(Fragment(lo, hi, tuple(matches)))
+        return frags
+
+
+@dataclass
+class PinpointFragmenter:
+    """Builds fragments directly from match positions without retokenizing
+    (reference PinpointFragmenter, highlight.py:516-600): matches within
+    ``maxchars`` of each other share a fragment, padded by ``surround``
+    chars; ``autotrim`` snaps fragment edges to whitespace."""
+
+    maxchars: int = 200
+    surround: int = 20
+    autotrim: bool = False
+
+    def fragments(self, text: str, spans: list[Span]) -> list[Fragment]:
+        if not spans:
+            return []
+        frags: list[Fragment] = []
+        cur = [spans[0]]
+        for sp in spans[1:]:
+            if sp.end - cur[0].start <= self.maxchars:
+                cur.append(sp)
+            else:
+                frags.append(self._make(text, cur))
+                cur = [sp]
+        frags.append(self._make(text, cur))
+        return frags
+
+    def _make(self, text: str, group: list[Span]) -> Fragment:
+        lo = max(0, group[0].start - self.surround)
+        hi = min(len(text), group[-1].end + self.surround)
+        if self.autotrim:
+            sp = text.find(" ", lo, group[0].start)
+            if lo > 0 and sp > -1:
+                lo = sp + 1
+            sp = text.rfind(" ", group[-1].end, hi)
+            if hi < len(text) and sp > -1:
+                hi = sp
+        return Fragment(lo, hi, tuple(group))
+
+
 def basic_fragment_score(f: Fragment) -> float:
     """Matched-term count + distinct bonus (reference BasicFragmentScorer)."""
     return len(f.matches) + len({m.text.lower() for m in f.matches}) * 0.5

@@ -184,6 +184,19 @@ class Regex(Query):
 
 
 @dataclass(frozen=True)
+class Otherwise(Query):
+    """Matches ``b`` only when ``a`` matches no documents (reference
+    query/compound.py:578-590)."""
+
+    a: Query
+    b: Query
+
+    def leaves(self):
+        yield from self.a.leaves()
+        yield from self.b.leaves()
+
+
+@dataclass(frozen=True)
 class Variations(Query):
     """Morphological variations of an English word (reference
     query/terms.py:522-569 + lang/morph_en LiteMorph): expands to the

@@ -31,8 +31,16 @@ def idf(doc_count: int, df: int) -> float:
 class WeightingModel:
     """Base: creates per-term scorers bound to global stats."""
 
+    # reference final() doc-level hook (scoring.py:65-81): subclasses set
+    # use_final = True and override final() to adjust accumulated scores;
+    # here the hook is vectorized over the whole result set
+    use_final = False
+
     def scorer(self, doc_count: int, avgfl: float, df: int, term_weight: float):
         raise NotImplementedError
+
+    def final(self, searcher, doc_ids: np.ndarray, scores: np.ndarray) -> np.ndarray:
+        return scores
 
 
 class TermScorer:

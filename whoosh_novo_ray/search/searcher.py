@@ -243,6 +243,13 @@ class Searcher:
             keep = ~np.isin(a_ids, b_ids)
             return a_ids[keep], a_sc[keep]
 
+        if isinstance(q, Q.Otherwise):
+            # reference query/compound.py:578-590: b only if a matches nothing
+            a_ids, a_sc = self.postings(q.a)
+            if len(a_ids):
+                return a_ids, a_sc
+            return self.postings(q.b)
+
         if isinstance(q, Q.Require):
             a_ids, a_sc = self.postings(q.a)
             b_ids, _ = self.postings(q.b)
@@ -495,6 +502,13 @@ class Searcher:
         if terms:
             self.prefetch_terms(terms, with_positions=q.needs_positions())
         ids, scores = self.postings(q)
+        if getattr(self.weighting, "use_final", False):
+            # vectorized analog of the reference final() doc-level hook
+            # (scoring.py:65-81, applied per collected doc in
+            # collectors.py:335-371)
+            scores = np.asarray(
+                self.weighting.final(self, ids, scores), np.float64
+            )
         order = np.lexsort((ids, -scores))
         if limit is not None:
             order = order[:limit]
@@ -504,3 +518,35 @@ class Searcher:
                 "score": pa.array(scores[order], pa.float64()),
             }
         )
+
+    def search_page(self, q: Q.Query, pagenum: int, pagelen: int = 10):
+        """Paged results (reference Searcher.search_page / ResultsPage,
+        searching.py:615-667): returns a dict with the page's table, total
+        hit count, page count and 1-based page number. Requesting a page
+        past the end returns the last page (reference behavior)."""
+        if pagenum < 1:
+            raise ValueError("pagenum must be >= 1")
+        full = self.search(q, limit=None)
+        total = len(full)
+        pagecount = max(1, -(-total // pagelen))
+        pagenum = min(pagenum, pagecount)
+        offset = (pagenum - 1) * pagelen
+        return {
+            "results": full.slice(offset, pagelen),
+            "total": total,
+            "pagenum": pagenum,
+            "pagecount": pagecount,
+            "pagelen": pagelen,
+            "is_last_page": pagenum == pagecount,
+        }
+
+    def matched_terms(self, q: Q.Query) -> dict[str, np.ndarray]:
+        """Which leaf terms matched which result docs (reference
+        TermsCollector, collectors.py:1113-1175): term -> sorted doc ids
+        restricted to the query's match set."""
+        ids, _ = self.postings(q)
+        out: dict[str, np.ndarray] = {}
+        for t in set(q.terms()):
+            t_ids, *_rest = self.term_postings(t)
+            out[t] = t_ids[np.isin(t_ids, ids)]
+        return out

@@ -94,10 +94,117 @@ class FunctionFacet(Facet):
         return np.asarray(self.fn(doc_ids), dtype=object)
 
 
+@dataclass
+class DateRangeFacet(Facet):
+    """RangeFacet over a datetime column: [start, start+gap, ...) buckets
+    (reference sorting.py DateRangeFacet). ``start``/``end`` accept anything
+    np.datetime64 does; ``gap`` is a ``datetime.timedelta``."""
+
+    attrs: pa.Table
+    column: str
+    start: object
+    end: object
+    gap: object
+
+    def keys_for(self, searcher, doc_ids):
+        vals = FieldFacet(self.attrs, self.column).keys_for(searcher, doc_ids)
+        vals_us = np.asarray(vals, "datetime64[us]").astype(np.int64)
+        s = np.datetime64(self.start, "us")
+        e = np.datetime64(self.end, "us")
+        gap_us = int(np.timedelta64(self.gap, "us").astype(np.int64))
+        edges = np.arange(s.astype(np.int64), e.astype(np.int64), gap_us)
+        idx = np.clip(
+            np.searchsorted(edges, vals_us, side="right") - 1, 0, len(edges) - 1
+        )
+        lo = edges[idx]
+        hi = np.minimum(lo + gap_us, e.astype(np.int64))
+        labels = np.array(
+            [
+                f"[{np.datetime64(int(a), 'us')}, {np.datetime64(int(b), 'us')})"
+                for a, b in zip(lo, hi)
+            ],
+            dtype=object,
+        )
+        labels[(vals_us < s.astype(np.int64)) | (vals_us >= e.astype(np.int64))] = None
+        return labels
+
+
+@dataclass
+class ScoreFacet(Facet):
+    """Key = the document's score for the query (reference ScoreFacet).
+    Requires the operator to pass scores (``needs_scores``)."""
+
+    needs_scores = True
+
+    def keys_for(self, searcher, doc_ids, scores=None):
+        if scores is None:
+            raise ValueError("ScoreFacet needs scores from the search operator")
+        # negate so ascending key order = best-first (reference sorts
+        # score descending by default)
+        return -np.asarray(scores, np.float64)
+
+
+@dataclass
+class TranslateFacet(Facet):
+    """Applies ``fn`` to the keys of a wrapped facet (reference
+    TranslateFacet, sorting.py)."""
+
+    fn: object
+    facet: Facet
+
+    @property
+    def needs_scores(self):
+        return getattr(self.facet, "needs_scores", False)
+
+    def keys_for(self, searcher, doc_ids, scores=None):
+        if getattr(self.facet, "needs_scores", False):
+            keys = self.facet.keys_for(searcher, doc_ids, scores=scores)
+        else:
+            keys = self.facet.keys_for(searcher, doc_ids)
+        return np.array([self.fn(k) for k in keys], dtype=object)
+
+
+class StoredFieldFacet(FieldFacet):
+    """Key from a stored-document attribute table (reference
+    StoredFieldFacet; identical lookup to FieldFacet — stored fields ARE
+    the attribute table in this engine)."""
+
+
+@dataclass
+class MultiFacet(Facet):
+    """Composite key: tuple of sub-facet keys (reference MultiFacet).
+    Tuples compare element-wise, so sorting matches the reference's
+    multi-level sort."""
+
+    facets: list
+
+    @property
+    def needs_scores(self):
+        return any(getattr(f, "needs_scores", False) for f in self.facets)
+
+    def keys_for(self, searcher, doc_ids, scores=None):
+        cols = []
+        for f in self.facets:
+            if getattr(f, "needs_scores", False):
+                cols.append(f.keys_for(searcher, doc_ids, scores=scores))
+            else:
+                cols.append(f.keys_for(searcher, doc_ids))
+        out = np.empty(len(doc_ids), dtype=object)
+        for i in range(len(doc_ids)):
+            out[i] = tuple(c[i] for c in cols)
+        return out
+
+
+def _facet_keys(searcher, facet: Facet, ids, scores):
+    if getattr(facet, "needs_scores", False):
+        return facet.keys_for(searcher, ids, scores=scores)
+    return facet.keys_for(searcher, ids)
+
+
 def facet_counts(searcher, q, facet: Facet) -> pa.Table:
     """Count matched docs per facet key (reference FacetCollector + Count)."""
-    ids, _ = searcher.postings(q)
-    keys = facet.keys_for(searcher, ids)
+    ids, scores = searcher.postings(q)
+    keys = _facet_keys(searcher, facet, ids, scores)
     mask = np.array([k is not None for k in keys])
     uniq, counts = np.unique(keys[mask].astype(str), return_counts=True)
     return pa.table(
@@ -112,8 +219,11 @@ def sorted_search(searcher, q, facet: Facet, reverse: bool = False, limit=None) 
     """Matches sorted by facet key (reference SortingCollector); ties break by
     doc_id ascending."""
     ids, scores = searcher.postings(q)
-    keys = facet.keys_for(searcher, ids)
-    order = np.lexsort((ids, keys))
+    keys = _facet_keys(searcher, facet, ids, scores)
+    # rank the keys (object keys — e.g. MultiFacet tuples — compare in
+    # Python) so np.lexsort always sees a numeric array
+    _uniq, key_rank = np.unique(keys, return_inverse=True)
+    order = np.lexsort((ids, key_rank))
     if reverse:
         # reverse key order but keep doc_id ascending within equal keys
         order = np.lexsort((ids, _invert_rank(keys)))
@@ -122,7 +232,7 @@ def sorted_search(searcher, q, facet: Facet, reverse: bool = False, limit=None) 
     return pa.table(
         {
             "doc_id": pa.array(ids[order], pa.uint64()),
-            "key": pa.array(keys[order].astype(str), pa.string()),
+            "key": pa.array([str(k) for k in keys[order]], pa.string()),
             "score": pa.array(scores[order], pa.float64()),
         }
     )
@@ -133,13 +243,49 @@ def _invert_rank(keys: np.ndarray) -> np.ndarray:
     return (len(uniq) - 1) - inv
 
 
+def facet_groups(searcher, q, facet: Facet, best_only: bool = False) -> pa.Table:
+    """Facet maps (reference sorting.py OrderedList / Best):
+
+    * default: one row per key with the ordered doc-id list
+      (score desc, doc_id asc) — the OrderedList map;
+    * ``best_only=True``: one row per key with the single best doc — Best.
+    """
+    ids, scores = searcher.postings(q)
+    keys = _facet_keys(searcher, facet, ids, scores)
+    mask = np.array([k is not None for k in keys])
+    ids, scores, keys = ids[mask], scores[mask], keys[mask]
+    order = np.lexsort((ids, -scores))
+    ids, scores, keys = ids[order], scores[order], keys[order]
+    groups: dict = {}
+    for d, s, k in zip(ids.tolist(), scores.tolist(), keys.tolist()):
+        groups.setdefault(k, []).append((d, s))
+    skeys = sorted(groups, key=str)
+    if best_only:
+        return pa.table(
+            {
+                "key": pa.array([str(k) for k in skeys], pa.string()),
+                "doc_id": pa.array([groups[k][0][0] for k in skeys], pa.uint64()),
+                "score": pa.array([groups[k][0][1] for k in skeys], pa.float64()),
+            }
+        )
+    return pa.table(
+        {
+            "key": pa.array([str(k) for k in skeys], pa.string()),
+            "doc_ids": pa.array(
+                [[d for d, _ in groups[k]] for k in skeys],
+                pa.list_(pa.uint64()),
+            ),
+        }
+    )
+
+
 def collapse_search(
     searcher, q, key_facet: Facet, per_key: int = 1, limit=None
 ) -> pa.Table:
     """Keep at most ``per_key`` best (score desc, doc_id asc) hits per
     collapse key (reference CollapseCollector, collectors.py:854-1006)."""
     ids, scores = searcher.postings(q)
-    keys = key_facet.keys_for(searcher, ids)
+    keys = _facet_keys(searcher, key_facet, ids, scores)
     order = np.lexsort((ids, -scores))
     ids, scores, keys = ids[order], scores[order], keys[order]
     seen: dict = {}
