@@ -1,0 +1,124 @@
+"""Snowball stemmers (de/da/no/sv) + LanguageAnalyzer — differential vs the
+reference's NLTK-derived ports, word-for-word."""
+
+import random
+
+import pytest
+
+from tests.conftest import HAVE_REFERENCE
+from whoosh_novo_ray.analysis import language_analyzer
+from whoosh_novo_ray.lang_snowball import STEMMERS, stemmer_for_language
+
+_ALPH = {
+    "de": "aeiouyäöüßbcdfghklmnrstz",
+    "da": "aeiouyæåøbcdfghjklmnprstv",
+    "no": "aeiouyæåøbcdfghjklmnprstv",
+    "sv": "aeiouyäåöbcdfghjklmnprstv",
+}
+_SUFS = {
+    "de": ["ern", "em", "er", "en", "es", "e", "s", "est", "st", "isch",
+           "lich", "heit", "keit", "end", "ung", "ig", "ik", "igung",
+           "igend", "erlich", "enheit", "lichkeit", "igkeit", "nisse",
+           "nissen", "ss", "uyy", "eiung"],
+    "da": ["erendes", "ethed", "ered", "ende", "erne", "heds", "ene", "ens",
+           "en", "er", "es", "et", "e", "s", "gd", "dt", "gt", "kt",
+           "elig", "løst", "lig", "els", "ig", "igst", "bb", "kk"],
+    "no": ["hetenes", "heten", "endes", "ande", "erte", "ede", "ene", "ens",
+           "het", "ast", "ert", "en", "ar", "er", "es", "et", "a", "e",
+           "s", "dt", "vt", "hetslov", "eleg", "elig", "slov", "lig",
+           "els", "lov", "ig", "ks"],
+    "sv": ["heterna", "heten", "anden", "arnas", "andet", "arna", "ande",
+           "aste", "ades", "ade", "are", "ern", "ens", "het", "ast", "ad",
+           "en", "ar", "er", "or", "as", "es", "at", "a", "e", "s", "dd",
+           "gt", "tt", "fullt", "löst", "els", "lig", "ig"],
+}
+
+
+@pytest.mark.skipif(not HAVE_REFERENCE, reason="reference not available")
+@pytest.mark.parametrize("lang", sorted(STEMMERS))
+def test_stemmer_differential(lang):
+    from whoosh.lang import stemmer_for_language as ref_for
+
+    ref = ref_for(lang)
+    mine = STEMMERS[lang]
+    rng = random.Random(hash(lang) & 0xFFFF)
+    words = set()
+    a = _ALPH[lang]
+    for _ in range(6000):
+        words.add("".join(rng.choices(a, k=rng.randrange(1, 11))))
+    for _ in range(6000):
+        stem = "".join(rng.choices(a, k=rng.randrange(1, 8)))
+        words.add(stem + rng.choice(_SUFS[lang]))
+        words.add(stem + rng.choice(_SUFS[lang]) + rng.choice(_SUFS[lang]))
+    for w in sorted(words):
+        assert mine(w) == ref(w), (lang, w)
+
+
+@pytest.mark.skipif(not HAVE_REFERENCE, reason="reference not available")
+@pytest.mark.parametrize("lang", ["de", "da", "no", "sv"])
+def test_language_analyzer_differential(lang):
+    from whoosh.analysis import LanguageAnalyzer as RefLA
+
+    ref = RefLA(lang)
+    mine = language_analyzer(lang)
+    texts = {
+        "de": [
+            "Die Kinder spielten fröhlich im Garten",
+            "Aufeinanderfolgende Kategorien der Wissenschaftlichkeit",
+            "Schönheit und Freundlichkeit der Häuser",
+        ],
+        "da": [
+            "Børnene legede glade i haven hele dagen",
+            "Kærlighed og venlighed betyder alting",
+        ],
+        "no": [
+            "Barna lekte lykkelig i hagen hele dagen",
+            "Kjærlighet og vennlighet betyr alt",
+        ],
+        "sv": [
+            "Barnen lekte lyckligt i trädgården hela dagen",
+            "Kärlek och vänlighet betyder allting",
+        ],
+    }[lang]
+    for t in texts:
+        expect = [tok.text for tok in ref(t)]
+        assert mine(t) == expect, (lang, t)
+
+
+def test_stemmer_for_language_errors():
+    # 'runn' is the reference Porter port's output (its doubled-consonant
+    # quirk, matched by whoosh_novo_ray.porter)
+    assert stemmer_for_language("en")("running") == "runn"
+    with pytest.raises(ValueError):
+        stemmer_for_language("xx")
+
+
+def test_language_index_roundtrip(ray_session, tmp_path):
+    """A German-analyzer index round-trips through config serialization and
+    matches queries stemmed the same way."""
+    import pyarrow as pa
+    import ray.data
+
+    from whoosh_novo_ray.index import Index, IndexConfig, build_index
+    from whoosh_novo_ray.search import Searcher, Term
+
+    texts = [
+        "die kinder spielten im garten",
+        "ein kind spielt gerne",
+        "gartenarbeit macht freude",
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(3), pa.uint64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    out = str(tmp_path / "deidx")
+    cfg = IndexConfig(analyzer=language_analyzer("de"), num_buckets=2)
+    build_index(ray.data.from_arrow(tbl), out, cfg, lineage="de")
+    idx = Index(out)
+    assert idx.cfg.analyzer.stem_lang == "de"  # survived the manifest
+    s = Searcher(idx)
+    # 'kind' is the stem of kinder/kind: both docs match
+    ids, _ = s.postings(Term("kind"))
+    assert ids.tolist() == [0, 1]

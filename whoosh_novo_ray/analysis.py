@@ -65,6 +65,9 @@ class StandardAnalyzer:
     minsize: int = 2
     maxsize: int | None = None
     stem: bool = False
+    # snowball language for StemFilter ('de','da','no','sv'; None = Porter
+    # when stem=True) — the LanguageAnalyzer wiring
+    stem_lang: str | None = None
     # DelimitedAttributeFilter analog (reference analysis/filters.py:504-578):
     # 'word^2' -> token 'word' with boost 2.0. The pattern must include the
     # delimiter + payload in the token (as the reference requires).
@@ -92,7 +95,13 @@ class StandardAnalyzer:
         if self.boost_delim:
             raw = [self._split_boost(t)[0] for t in raw]
         toks = [t.lower() for t in raw]
-        if self.stoplist is None and self.minsize <= 1 and self.maxsize is None and not self.stem:
+        if (
+            self.stoplist is None
+            and self.minsize <= 1
+            and self.maxsize is None
+            and not self.stem
+            and not self.stem_lang
+        ):
             return toks
         stops = self.stoplist or frozenset()
         mx = self.maxsize
@@ -101,11 +110,19 @@ class StandardAnalyzer:
             for t in toks
             if len(t) >= self.minsize and (mx is None or len(t) <= mx) and t not in stops
         ]
-        if self.stem:
-            from whoosh_novo_ray.porter import stem as _stem
-
+        if self.stem or self.stem_lang:
+            _stem = self._stem_fn()
             out = [_stem(t) for t in out]
         return out
+
+    def _stem_fn(self):
+        if self.stem_lang:
+            from whoosh_novo_ray.lang_snowball import stemmer_for_language
+
+            return stemmer_for_language(self.stem_lang)
+        from whoosh_novo_ray.porter import stem as _stem
+
+        return _stem
 
     # -- batch path (map_batches hot loop) ------------------------------------
 
@@ -220,10 +237,10 @@ class StandardAnalyzer:
             boosts = boosts[keep]
         field_lengths = np.bincount(doc_idx, minlength=len(texts)).astype(np.int64)
 
-        if self.stem:
+        if self.stem or self.stem_lang:
             # stem once per unique term, then re-factorize (distinct surface
             # forms can collapse to one stem and must share a code)
-            from whoosh_novo_ray.porter import stem as _stem
+            _stem = self._stem_fn()
 
             stemmed = np.array([_stem(u) for u in uniques], dtype=object)
             new_codes_of_old, uniques = pd.factorize(stemmed, sort=False)
@@ -253,6 +270,17 @@ class StandardAnalyzer:
 def simple_analyzer() -> StandardAnalyzer:
     """Regex tokenize + lowercase, no stop filter (reference SimpleAnalyzer)."""
     return StandardAnalyzer(stoplist=None, minsize=1)
+
+
+def language_analyzer(lang: str) -> StandardAnalyzer:
+    """Tokenize | lowercase | per-language stop filter | snowball stem —
+    the reference LanguageAnalyzer (analyzers.py:296-330). Supported:
+    en (Porter), de, da, no, sv (lang_snowball)."""
+    if lang == "en":
+        return StandardAnalyzer(stem=True)
+    from whoosh_novo_ray.lang_stopwords import STOPWORDS
+
+    return StandardAnalyzer(stoplist=STOPWORDS[lang], stem_lang=lang)
 
 
 def stemming_analyzer(

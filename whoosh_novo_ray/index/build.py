@@ -100,6 +100,7 @@ class IndexConfig:
                 "minsize": self.analyzer.minsize,
                 "maxsize": self.analyzer.maxsize,
                 "stem": self.analyzer.stem,
+                "stem_lang": self.analyzer.stem_lang,
                 "boost_delim": self.analyzer.boost_delim,
             }
         return d
@@ -118,6 +119,7 @@ class IndexConfig:
                 minsize=a["minsize"],
                 maxsize=a["maxsize"],
                 stem=a.get("stem", False),
+                stem_lang=a.get("stem_lang"),
                 boost_delim=a.get("boost_delim"),
             )
         d["heavy_terms"] = tuple(d.get("heavy_terms", ()))
