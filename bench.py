@@ -210,6 +210,14 @@ def run_ops(sf_dir: str) -> dict:
 
     times = {}
     docs_path = os.path.join(sf_dir, "documents.parquet")
+    n_blocks = int(ray.cluster_resources().get("CPU", 8))
+
+    def _docs():
+        # block the input to the worker count — a single-row-group parquet
+        # otherwise becomes ONE block and serializes every op
+        return ray.data.read_parquet(
+            docs_path, columns=["doc_id", "text"], override_num_blocks=n_blocks
+        )
 
     def timed(name, fn):
         t0 = time.perf_counter()
@@ -218,27 +226,19 @@ def run_ops(sf_dir: str) -> dict:
 
     timed(
         "op_dedup_exact",
-        lambda: exact_dedup_keep(
-            ray.data.read_parquet(docs_path, columns=["doc_id", "text"])
-        ).count(),
+        lambda: exact_dedup_keep(_docs()).count(),
     )
     timed(
         "op_quality",
-        lambda: quality_table(
-            ray.data.read_parquet(docs_path, columns=["doc_id", "text"])
-        ).count(),
+        lambda: quality_table(_docs()).count(),
     )
     timed(
         "op_simhash",
-        lambda: simhash_table(
-            ray.data.read_parquet(docs_path, columns=["doc_id", "text"])
-        ).count(),
+        lambda: simhash_table(_docs()).count(),
     )
     timed(
         "op_minhash_lsh",
-        lambda: minhash_lsh_candidates(
-            ray.data.read_parquet(docs_path, columns=["doc_id", "text"])
-        ),
+        lambda: minhash_lsh_candidates(_docs()),
     )
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     q = pq.read_table(emb_path).column("embedding")[0].as_py()

@@ -143,6 +143,57 @@ def test_position_boosts_payload(ray_session, tmp_path_factory):
     assert per_doc[4] == [0.25]
 
 
+def test_weighted_merge_preserves_weights(ray_session, tmp_path):
+    """Merging weighted indexes must carry float weights and per-occurrence
+    boosts through the decode->shuffle->encode cycle, not truncate them
+    into integer tfs."""
+    import ray.data
+
+    from whoosh_novo_ray.index.merge import merge_indexes
+
+    cfg = IndexConfig(
+        analyzer=StandardAnalyzer(
+            pattern=r"\S+", stoplist=None, minsize=1, boost_delim="^"
+        ),
+        with_weights=True,
+        with_positions=True,
+        num_buckets=4,
+    )
+    t = _docs()
+    base = tmp_path
+    whole, a, b = str(base / "whole"), str(base / "a"), str(base / "b")
+    build_index(ray.data.from_arrow(t), whole, cfg, lineage="w")
+    build_index(ray.data.from_arrow(t.slice(0, 3)), a, cfg, lineage="a")
+    build_index(ray.data.from_arrow(t.slice(3)), b, cfg, lineage="b")
+    merged = str(base / "m")
+    merge_indexes([a, b], merged, lineage="m")
+    sw, sm = Searcher(Index(whole)), Searcher(Index(merged))
+    for term in ["render", "file", "image", "view"]:
+        aw = sw.term_postings(term)
+        am = sm.term_postings(term)
+        assert aw[0].tolist() == am[0].tolist(), term
+        assert aw[1].tolist() == am[1].tolist(), term  # float weights intact
+        assert sw.search(Term(term), limit=10).to_pydict() == sm.search(
+            Term(term), limit=10
+        ).to_pydict(), term
+    # per-occurrence boosts survive too
+    rw = Index(whole).term_rows(["render"], with_positions=True)["render"]
+    rm = Index(merged).term_rows(["render"], with_positions=True)["render"]
+
+    def flatboosts(rows):
+        out = {}
+        for r in rows:
+            ids, _, _ = r.decode_all()
+            flat, counts = r.decode_all_position_boosts()
+            off = 0
+            for d, c in zip(ids.tolist(), counts.tolist()):
+                out[d] = flat[off : off + c].tolist()
+                off += c
+        return out
+
+    assert flatboosts(rw) == flatboosts(rm)
+
+
 def test_weights_default_to_tf(ray_session, tmp_path, pages_table):
     """with_weights without boosts must score identically to the plain
     build (weight == tf)."""

@@ -86,3 +86,91 @@ def test_stopword_only_query_is_null(searcher):
 def test_parse_errors():
     with pytest.raises(ParseError):
         PARSER.parse("(search OR data")
+
+
+def test_fuzzy_syntax_docset(searcher, reference_searcher):
+    """term~N parses to FuzzyTerm; doc-set parity vs the reference with
+    FuzzyTermPlugin enabled."""
+    from whoosh.qparser import FuzzyTermPlugin
+    from whoosh.qparser import QueryParser as RefQP
+
+    rqp = RefQP("text", reference_searcher.schema)
+    rqp.add_plugin(FuzzyTermPlugin())
+    for qs in ["serch~", "serch~2", "serch~2/2"]:
+        rq = rqp.parse(qs)
+        rr = reference_searcher.search(rq, limit=None)
+        ref_ids = sorted(h["doc_id"] for h in rr)
+        mine = searcher.search(PARSER.parse(qs), limit=None)
+        assert sorted(mine["doc_id"].to_pylist()) == ref_ids, qs
+
+
+def test_gtlt_syntax(searcher):
+    from whoosh_novo_ray.search import TermRange
+    from whoosh_novo_ray.search.qparser import QueryParser
+
+    p = QueryParser()
+    assert p.parse("f:>abc") == TermRange("abc", None, True, False)
+    assert p.parse("f:>=abc") == TermRange("abc", None, False, False)
+    assert p.parse("f:<abc") == TermRange(None, "abc", False, True)
+    assert p.parse("f:<=abc") == TermRange(None, "abc", False, False)
+    # behaves like the equivalent bracket range end-to-end
+    a = searcher.search(p.parse("f:>=sa"), limit=None)
+    b = searcher.search(p.parse("[sa TO *]"), limit=None)
+    assert a.to_pydict() == b.to_pydict()
+
+
+def test_plusminus_simple_parse(searcher, reference_searcher):
+    """simple_parse mirrors the reference SimpleParser's PlusMinus shape.
+
+    REFERENCE BUG WORKAROUND: whoosh's AndNot matcher can fail to exclude a
+    doc that matches the negative clause (e.g. doc 1 here matches both
+    'search' and 'data' yet survives AndNot(search, data), with and without
+    optimize). The oracle is therefore composed set-wise from the
+    reference's SINGLE-TERM results instead of its AndNot matcher."""
+    from whoosh.query import Term as WTerm
+
+    def ref_term_ids(t):
+        r = reference_searcher.search(WTerm("text", t), limit=None)
+        return {h["doc_id"] for h in r}
+
+    cases = {
+        "+search data -spam": lambda: ref_term_ids("search") | (
+            ref_term_ids("search") & ref_term_ids("data")
+        ),
+        "search data": lambda: ref_term_ids("search") | ref_term_ids("data"),
+        "+search +data": lambda: ref_term_ids("search") & ref_term_ids("data"),
+        "search -data": lambda: ref_term_ids("search") - ref_term_ids("data"),
+        "-data search index": lambda: (
+            ref_term_ids("search") | ref_term_ids("index")
+        )
+        - ref_term_ids("data"),
+    }
+    for qs, expect in cases.items():
+        mine = searcher.search(PARSER.simple_parse(qs), limit=None)
+        assert sorted(mine["doc_id"].to_pylist()) == sorted(expect()), qs
+
+
+def test_datetime_field_syntax(ray_session):
+    import pyarrow as pa
+    from datetime import datetime, timezone
+
+    from whoosh_novo_ray.search.qparser import QueryParser
+
+    attrs = pa.table(
+        {
+            "doc_id": pa.array(range(3), pa.uint64()),
+            "ts": pa.array(
+                [datetime(2024, 1, 2), datetime(2024, 1, 20), datetime(2024, 2, 2)]
+            ),
+        }
+    )
+    base = datetime(2024, 2, 1, 12, 0, tzinfo=timezone.utc)
+    p = QueryParser(datetime_fields={"date": (attrs, "ts", base)})
+    q = p.parse("date:'jan 5th 2024 to last tuesday'")
+    vals = attrs["ts"].to_numpy(zero_copy_only=False)
+    assert q.predicate(vals).tolist() == [False, True, False]
+    # unregistered field falls back to a term/phrase over the quoted text
+    q2 = p.parse("other:'hello world'")
+    from whoosh_novo_ray.search import Phrase
+
+    assert isinstance(q2, Phrase)

@@ -48,22 +48,39 @@ class DecodeSegmentRows:
     def __call__(self, batch: pa.Table) -> pa.Table:
         wp = self.with_positions and "pos_blob" in batch.column_names
         wc = "chars_blob" in batch.column_names
+        ww = "wts_blob" in batch.column_names
+        wpb = "pboosts_blob" in batch.column_names
         terms, ids, tfs, lens = [], [], [], []
+        weights = []
         pos_flats, pos_counts = [], []
+        tb_flats = []
         ch_flats, ch_counts = [], []
         for i in range(len(batch)):
             tr = _row_to_termrow(batch, i, with_positions=wp, with_chars=wc)
             t_ids, t_tfs, t_lens = tr.decode_all()
+            if ww:
+                # weighted index: decode_all returned float weights in the
+                # tf slot — keep them as the weight column and recover the
+                # true integer tfs separately
+                t_w = t_tfs
+                t_tfs = tr.decode_tfs()
             keep = None
             if self.delete_ids is not None and len(self.delete_ids):
                 keep = ~np.isin(t_ids, self.delete_ids)
             if wp:
                 flat, counts = tr.decode_all_positions_flat()
+                if wpb:
+                    tb_flat, _tb_counts = tr.decode_all_position_boosts()
                 if keep is not None:
                     occ_keep = np.repeat(keep, counts)
-                    flat, counts = flat[occ_keep], counts[keep]
+                    flat = flat[occ_keep]
+                    if wpb:
+                        tb_flat = tb_flat[occ_keep]
+                    counts = counts[keep]
                 pos_flats.append(flat)
                 pos_counts.append(counts)
+                if wpb:
+                    tb_flats.append(tb_flat)
             if wc:
                 ch, ccounts = tr.decode_all_chars()
                 flat2 = ch.reshape(-1).astype(np.uint64)
@@ -75,10 +92,14 @@ class DecodeSegmentRows:
                 ch_counts.append(c2)
             if keep is not None:
                 t_ids, t_tfs, t_lens = t_ids[keep], t_tfs[keep], t_lens[keep]
+                if ww:
+                    t_w = t_w[keep]
             terms.append(np.full(len(t_ids), tr.term, dtype=object))
             ids.append(t_ids)
             tfs.append(t_tfs)
             lens.append(t_lens)
+            if ww:
+                weights.append(t_w)
         if not ids:
             cols = {
                 "term": pa.array([], pa.string()),
@@ -86,8 +107,12 @@ class DecodeSegmentRows:
                 "tf": pa.array([], pa.uint32()),
                 "len_byte": pa.array([], pa.uint8()),
             }
+            if ww:
+                cols["weight"] = pa.array([], pa.float64())
             if wp:
                 cols["positions"] = pa.array([], pa.list_(pa.int32()))
+                if wpb:
+                    cols["tboosts"] = pa.array([], pa.list_(pa.float32()))
             if wc:
                 cols["chars"] = pa.array([], pa.list_(pa.int32()))
             return pa.table(cols)
@@ -97,6 +122,10 @@ class DecodeSegmentRows:
             "tf": pa.array(np.concatenate(tfs).astype(np.uint32), pa.uint32()),
             "len_byte": pa.array(np.concatenate(lens), pa.uint8()),
         }
+        if ww:
+            cols["weight"] = pa.array(
+                np.concatenate(weights).astype(np.float64), pa.float64()
+            )
         if wp:
             counts = np.concatenate(pos_counts).astype(np.int64)
             offsets = np.zeros(len(counts) + 1, np.int32)
@@ -105,6 +134,13 @@ class DecodeSegmentRows:
                 pa.array(offsets, pa.int32()),
                 pa.array(np.concatenate(pos_flats).astype(np.int32), pa.int32()),
             )
+            if wpb:
+                cols["tboosts"] = pa.ListArray.from_arrays(
+                    pa.array(offsets, pa.int32()),
+                    pa.array(
+                        np.concatenate(tb_flats).astype(np.float32), pa.float32()
+                    ),
+                )
         if wc:
             c2 = np.concatenate(ch_counts).astype(np.int64)
             off2 = np.zeros(len(c2) + 1, np.int32)
@@ -133,6 +169,14 @@ def merge_indexes(
     wp = cfg.with_positions and all(i.cfg.with_positions for i in idxs)
     wc = getattr(cfg, "with_chars", False) and all(
         getattr(i.cfg, "with_chars", False) for i in idxs
+    )
+    ww = getattr(cfg, "with_weights", False) and all(
+        getattr(i.cfg, "with_weights", False) for i in idxs
+    )
+    wpb = (
+        ww
+        and wp
+        and getattr(cfg.analyzer, "boost_delim", None) is not None
     )
 
     seg_files = [
@@ -174,10 +218,17 @@ def merge_indexes(
             "tf": batch["length"].cast(pa.uint32()),
             "len_byte": batch["len_byte"].cast(pa.uint8()),
         }
+        if ww:
+            cols["weight"] = pa.array(np.zeros(n, np.float64), pa.float64())
         if wp:
             cols["positions"] = pa.ListArray.from_arrays(
                 pa.array(np.zeros(n + 1, np.int32)), pa.array([], pa.int32())
             )
+            if wpb:
+                cols["tboosts"] = pa.ListArray.from_arrays(
+                    pa.array(np.zeros(n + 1, np.int32)),
+                    pa.array([], pa.float32()),
+                )
         if wc:
             cols["chars"] = pa.ListArray.from_arrays(
                 pa.array(np.zeros(n + 1, np.int32)), pa.array([], pa.int32())

@@ -160,6 +160,11 @@ class TermRow:
         tfs = varint_decode(self.tfs_blob, self.df)
         return decode_positions_flat(self.pos_blob, tfs)
 
+    def decode_tfs(self) -> np.ndarray:
+        """True integer term frequencies (even on weighted indexes, where
+        ``decode_all`` returns float weights in the tf slot)."""
+        return varint_decode(self.tfs_blob, self.df)
+
     def decode_all_position_boosts(self) -> tuple[np.ndarray, np.ndarray]:
         """Per-occurrence boosts: (flat float64 boosts, counts per posting)
         — parallel to ``decode_all_positions_flat``."""

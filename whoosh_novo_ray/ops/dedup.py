@@ -308,6 +308,12 @@ def minhash_lsh_candidates(
         zero_copy_batch=True,
         batch_size=512,  # (batch x shingles x num_perm x 8B) bounds worker heap
     )
+    # signatures are consumed twice (banding + the candidate verify pass);
+    # materialize them in the OBJECT STORE (distributed, spillable — never
+    # the driver) so the expensive shingle+md5 stage runs once. Signatures
+    # are ~0.5 KB/doc (~10% of typical web text), well worth the store space
+    # vs recomputing the tokenize+hash pipeline.
+    sigs_ds = sigs_ds.materialize()
 
     banded = sigs_ds.map_batches(_BandRows(bands, r), batch_format="pyarrow")
 

@@ -10,9 +10,18 @@ Supported syntax (single default field):
   "a b c" / "a b"~2            phrase, optional slop
   pre*                         prefix; wild*card / wi?ld -> wildcard
   [a TO b] / {a TO b}          term range (inclusive / exclusive)
+  term~ / term~2 / term~2/3    fuzzy term (maxdist, optional prefix length)
+  field:>x  field:<=y          GtLt ranges (GtLtPlugin; field name dropped —
+                               single-field parser)
+  date:'last tuesday to now'   natural-language datetime filter for fields
+                               registered via ``datetime_fields``
   term^2.5                     boost
   ( ... )                      grouping
   *                            Every (match all)
+
+``simple_parse`` implements the reference SimpleParser / PlusMinusPlugin:
+a flat query where ``+term`` is required, ``-term`` banned, everything else
+optional (OR), combined as AndMaybe(required, optional) AndNot banned.
 """
 
 from __future__ import annotations
@@ -25,6 +34,7 @@ from whoosh_novo_ray.search import query as Q
 _TOKEN_RX = re.compile(
     r"""
     (?P<lparen>\() | (?P<rparen>\)) |
+    (?P<dtq>(?P<dt_field>[A-Za-z_][A-Za-z0-9_]*):'(?P<dt_text>[^']*)') |
     (?P<phrase>"(?P<phr>[^"]*)"(~(?P<slop>\d+))?) |
     (?P<brange>\[(?P<b_lo>\S+)\s+TO\s+(?P<b_hi>\S+)\]) |
     (?P<crange>\{(?P<c_lo>\S+)\s+TO\s+(?P<c_hi>\S+)\}) |
@@ -32,6 +42,11 @@ _TOKEN_RX = re.compile(
     """,
     re.VERBOSE,
 )
+
+# GtLtPlugin relations (reference qparser/plugins.py:1081-1140)
+_GTLT_RX = re.compile(r"^(<=|>=|=<|=>|<|>)(.+)$")
+# FuzzyTermPlugin: word~ , word~N , word~N/M (reference plugins.py:443-520)
+_FUZZY_RX = re.compile(r"^(.+?)~(\d)?(?:/(\d+))?$")
 
 
 class ParseError(ValueError):
@@ -42,8 +57,16 @@ NULL = Q.NULL
 
 
 class QueryParser:
-    def __init__(self, analyzer: StandardAnalyzer | None = None):
+    def __init__(
+        self,
+        analyzer: StandardAnalyzer | None = None,
+        datetime_fields: dict | None = None,
+    ):
+        """``datetime_fields`` maps a field name to (attrs, column,
+        basedate) — the DateParserPlugin wiring: ``field:'<natural
+        language>'`` becomes a native DateRange filter over that column."""
         self.analyzer = analyzer or StandardAnalyzer()
+        self.datetime_fields = datetime_fields or {}
 
     # -- lexing ----------------------------------------------------------------
 
@@ -55,6 +78,8 @@ class QueryParser:
                 out.append(("(", None))
             elif m.group("rparen"):
                 out.append((")", None))
+            elif m.group("dtq") is not None:
+                out.append(("dtq", (m.group("dt_field"), m.group("dt_text"))))
             elif m.group("phrase") is not None:
                 slop = int(m.group("slop") or 1)
                 out.append(("phrase", (m.group("phr"), slop)))
@@ -105,7 +130,7 @@ class QueryParser:
             if kind == "AND":
                 self._next()
                 parts.append(self._parse_binop())
-            elif kind in ("word", "phrase", "range", "(", "NOT"):
+            elif kind in ("word", "phrase", "range", "dtq", "(", "NOT"):
                 parts.append(self._parse_binop())  # implicit AND
             else:
                 break
@@ -157,6 +182,20 @@ class QueryParser:
             lo = None if lo == "*" else lo.lower()
             hi = None if hi == "*" else hi.lower()
             return Q.TermRange(lo, hi, loexcl, hiexcl)
+        if kind == "dtq":
+            field, text = val
+            if field in self.datetime_fields:
+                from whoosh_novo_ray.search.dateparse import date_range_query
+
+                attrs, column, basedate = self.datetime_fields[field]
+                return date_range_query(attrs, column, text, basedate)
+            # unregistered field: treat the quoted text as a phrase
+            words = self.analyzer(text)
+            if not words:
+                return NULL
+            if len(words) == 1:
+                return Q.Term(words[0], field=field)
+            return Q.Phrase(words)
         if kind == "word":
             return self._parse_word(val)
         raise ParseError(f"unexpected token {kind}")
@@ -172,6 +211,24 @@ class QueryParser:
             field, w = fm.group(1), fm.group(2)
         if w == "*":
             return Q.Every(boost=boost)
+        gm = _GTLT_RX.match(w)
+        if gm and field is not None:
+            rel, text = gm.group(1), gm.group(2).lower()
+            # single-field parser: the field specifier selects GtLt syntax
+            # but the range applies to the default field (documented)
+            if rel in ("<", "=<", "<="):
+                return Q.TermRange(None, text, False, rel == "<")
+            return Q.TermRange(text, None, rel == ">", False)
+        fz = _FUZZY_RX.match(w)
+        if fz and ("*" not in w and "?" not in w):
+            from whoosh_novo_ray.search.fuzzy import FuzzyTerm
+
+            text = fz.group(1).lower()
+            maxdist = int(fz.group(2)) if fz.group(2) else 1
+            plen = int(fz.group(3)) if fz.group(3) else 0
+            return FuzzyTerm(
+                text, maxdist=maxdist, prefixlength=plen, boost=boost
+            )
         if "*" in w or "?" in w:
             wl = w.lower()
             if (
@@ -193,4 +250,38 @@ class QueryParser:
         return Q.And(*[Q.Term(t, boost=boost, field=field) for t in toks])
 
     def _simplify(self, q: Q.Query) -> Q.Query:
+        return q
+
+    def simple_parse(self, s: str) -> Q.Query:
+        """Reference SimpleParser / PlusMinusPlugin (plugins.py:1016-1078):
+        flat tokens; '+term' required, '-term' banned, the rest optional
+        (OR). Result = AndMaybe(And(required), Or(optional)) AndNot
+        Or(banned)."""
+        required, optional, banned = [], [], []
+        for raw in s.split():
+            bucket = optional
+            if raw.startswith("+") and len(raw) > 1:
+                bucket, raw = required, raw[1:]
+            elif raw.startswith("-") and len(raw) > 1:
+                bucket, raw = banned, raw[1:]
+            for t in self.analyzer(raw):
+                bucket.append(Q.Term(t))
+
+        def _group(parts, cls):
+            if not parts:
+                return None
+            return parts[0] if len(parts) == 1 else cls(*parts)
+
+        req = _group(required, Q.And)
+        opt = _group(optional, Q.Or)
+        ban = _group(banned, Q.Or)
+        q = opt
+        if req is not None:
+            q = Q.AndMaybe(req, opt) if opt is not None else req
+        if q is None:
+            if ban is None:
+                return NULL
+            return Q.AndNot(Q.Every(), ban)
+        if ban is not None:
+            q = Q.AndNot(q, ban)
         return q
