@@ -472,6 +472,69 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return _search_table(sf_dir, Variations(_T_COMMON), 10)
 
+    def sorted_by_nchars(sf_dir):
+        """SortingCollector: matches of a term ordered by a stored numeric
+        attribute (FieldFacet), ties by doc_id."""
+        from whoosh_novo_ray.search.sorting import FieldFacet, sorted_search
+
+        s = _searcher_for(sf_dir)
+        ids, _ = s.postings(Term(_T_MID))
+        docs = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "n_chars"],
+        )
+        t = sorted_search(
+            s,
+            Term(_T_MID),
+            FieldFacet(
+                pa.table(
+                    {
+                        "doc_id": docs["doc_id"].cast(pa.uint64()),
+                        "n_chars": docs["n_chars"],
+                    }
+                ),
+                "n_chars",
+            ),
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "n_chars": pc.cast(
+                    pa.array([int(k) for k in t["key"].to_pylist()]), pa.int64()
+                ),
+            }
+        )
+
+    def termrange_docs(sf_dir):
+        from whoosh_novo_ray.search import TermRange
+
+        t = _search_table(sf_dir, TermRange("table", "tables"), 10**9)
+        return t.sort_by("doc_id")
+
+    def paged_or(sf_dir):
+        """ResultsPage: the SECOND page (pagelen 7) of an OR query."""
+        from whoosh_novo_ray.search import Or
+
+        page = _searcher_for(sf_dir).search_page(
+            Or(Term(_T_MID), Term(_T_MID2)), 2, pagelen=7
+        )
+        t = page["results"]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "score": pa.array(
+                    np.round(t["score"].to_numpy(), 6), pa.float64()
+                ),
+            }
+        )
+
+    def simpleparser_top10(sf_dir):
+        """SimpleParser / PlusMinusPlugin: '+query window -table'."""
+        from whoosh_novo_ray.search.qparser import QueryParser
+
+        q = QueryParser().simple_parse(f"+{_T_MID} {_T_MID2} -{_T_COMMON}")
+        return _search_table(sf_dir, q, 10)
+
     def dateparse_range(sf_dir):
         """Natural-language date range ('jan 5th 2024 to last tuesday' at a
         fixed basedate) filtering events.ts — the DateParserPlugin analog.
@@ -574,6 +637,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "key_terms_doc0": key_terms_doc0,
         "image_features_meta": image_features_q,
         "variations_top10": variations_top10,
+        "sorted_by_nchars": sorted_by_nchars,
+        "termrange_docs": termrange_docs,
+        "paged_or": paged_or,
+        "simpleparser_top10": simpleparser_top10,
         "dateparse_range": dateparse_range,
         "window_agg_daily": window_agg,
         "sessionize": sessions,
@@ -923,6 +990,39 @@ WHERE b.term = '{_T_MID}'""",
             ),
             10,
         ),
+        "sorted_by_nchars": f"""WITH {_BASE_CTES}
+SELECT t.doc_id::BIGINT AS doc_id, d.n_chars::BIGINT AS n_chars
+FROM (SELECT DISTINCT doc_id FROM tfs WHERE term = '{_T_MID}') t
+JOIN documents d ON d.doc_id = t.doc_id
+ORDER BY n_chars, doc_id""",
+        # multi-term ranges are constant-score; a SINGLE-term expansion
+        # scores as a plain Term (reference PatternQuery rule) — same CASE
+        # construction as the fuzzy_docs oracle
+        "termrange_docs": f"""WITH {_BASE_CTES},
+rterms AS (
+  SELECT DISTINCT term FROM dfs WHERE term >= 'table' AND term <= 'tables'
+),
+nmatch AS (SELECT count(*) AS n FROM rterms)
+SELECT DISTINCT t.doc_id::BIGINT AS doc_id,
+       CASE WHEN (SELECT n FROM nmatch) > 1 THEN 1.0
+            ELSE (SELECT round(sum(b.score), 6) FROM bm b
+                  WHERE b.doc_id = t.doc_id
+                    AND b.term IN (SELECT term FROM rterms)) END AS score
+FROM tfs t WHERE t.term IN (SELECT term FROM rterms)
+ORDER BY doc_id""",
+        "paged_or": f"""WITH {_BASE_CTES}
+SELECT doc_id::BIGINT AS doc_id, round(sum(score), 6) AS score
+FROM bm WHERE term IN ({_terms_sql([_T_MID, _T_MID2])})
+GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT 7 OFFSET 7""",
+        # AndMaybe(query, window) AndNot table: docs must match 'query',
+        # must not match 'table'; 'window' adds to the score when present
+        "simpleparser_top10": f"""WITH {_BASE_CTES}
+SELECT doc_id::BIGINT AS doc_id, round(sum(score), 6) AS score
+FROM bm WHERE term IN ({_terms_sql([_T_MID, _T_MID2])})
+  AND doc_id IN (SELECT doc_id FROM tfs WHERE term = '{_T_MID}')
+  AND doc_id NOT IN (SELECT doc_id FROM tfs WHERE term = '{_T_COMMON}')
+GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""",
         # 'jan 5th 2024 to last tuesday' @ basedate 2024-02-01 (a Thursday):
         # floor = 2024-01-05 00:00:00, ceil = tuesday 2024-01-30 23:59:59.999999
         "dateparse_range": """
