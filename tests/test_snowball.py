@@ -10,12 +10,16 @@ from whoosh_novo_ray.analysis import language_analyzer
 from whoosh_novo_ray.lang_snowball import STEMMERS, stemmer_for_language
 
 _ALPH = {
+    "nl": "aeiouyèäëéíïöóüúbcdfghjklmnprstz",
     "de": "aeiouyäöüßbcdfghklmnrstz",
     "da": "aeiouyæåøbcdfghjklmnprstv",
     "no": "aeiouyæåøbcdfghjklmnprstv",
     "sv": "aeiouyäåöbcdfghjklmnprstv",
 }
 _SUFS = {
+    "nl": ["heden", "ene", "en", "se", "s", "e", "heid", "end", "ing", "ig",
+           "lijk", "baar", "bar", "kken", "dden", "tten", "yen", "ien",
+           "gem", "aat", "eet", "oot"],
     "de": ["ern", "em", "er", "en", "es", "e", "s", "est", "st", "isch",
            "lich", "heit", "keit", "end", "ung", "ig", "ik", "igung",
            "igend", "erlich", "enheit", "lichkeit", "igkeit", "nisse",
@@ -55,7 +59,7 @@ def test_stemmer_differential(lang):
 
 
 @pytest.mark.skipif(not HAVE_REFERENCE, reason="reference not available")
-@pytest.mark.parametrize("lang", ["de", "da", "no", "sv"])
+@pytest.mark.parametrize("lang", ["de", "da", "no", "sv", "nl"])
 def test_language_analyzer_differential(lang):
     from whoosh.analysis import LanguageAnalyzer as RefLA
 
@@ -78,6 +82,10 @@ def test_language_analyzer_differential(lang):
         "sv": [
             "Barnen lekte lyckligt i trädgården hela dagen",
             "Kärlek och vänlighet betyder allting",
+        ],
+        "nl": [
+            "De kinderen speelden vrolijk in de tuin",
+            "Vriendelijkheid en liefde betekenen alles",
         ],
     }[lang]
     for t in texts:

@@ -1,9 +1,9 @@
-"""Snowball stemmers: German, Danish, Norwegian, Swedish.
+"""Snowball stemmers: German, Danish, Norwegian, Swedish, Dutch.
 
 Fresh implementations of Dr. Martin Porter's published Snowball algorithms
 (https://snowballstem.org/algorithms/), matched behavior-for-behavior against
 the reference engine's NLTK-derived ports (de-odex/whoosh-novo
-``src/whoosh/lang/snowball/{german,danish,norwegian,swedish}.py``) including
+``src/whoosh/lang/snowball/{german,danish,norwegian,swedish,dutch}.py``) including
 the ports' quirks — differential suites in ``tests/test_snowball.py`` keep
 them word-for-word identical. Each stemmer is a plain function over integer
 region offsets (R1/R2 as indices, not string slices) with an LRU cache.
@@ -293,7 +293,125 @@ def stem_sv(word: str) -> str:
     return word
 
 
-STEMMERS = {"de": stem_de, "da": stem_da, "no": stem_no, "sv": stem_sv}
+# ---------------------------------------------------------------------------
+# Dutch
+# ---------------------------------------------------------------------------
+
+_NL_VOWELS = "aeiouy\xe8"
+_NL_STEP1 = ("heden", "ene", "en", "se", "s")
+_NL_STEP3B = ("baar", "lijk", "bar", "end", "ing", "ig")
+_NL_ACCENTS = str.maketrans("\xe4\xe1\xeb\xe9\xed\xef\xf6\xf3\xfc\xfa", "aaeeiioouu")
+
+
+def _nl_undouble(word: str) -> str:
+    return word[:-1] if word.endswith(("kk", "dd", "tt")) else word
+
+
+@lru_cache(maxsize=50000)
+def stem_nl(word: str) -> str:
+    word = word.lower().translate(_NL_ACCENTS)
+    # initial y / y-after-vowel / i-between-vowels become consonants
+    # (uppercase). Neighbor checks read the MUTATED string, so an already
+    # protected Y/I (no longer a vowel) blocks chain protection — the
+    # reference port mutates in place and behaves the same way.
+    chars = list(word)
+    if chars and chars[0] == "y":
+        chars[0] = "Y"
+    for i in range(1, len(chars)):
+        if chars[i] == "y" and chars[i - 1] in _NL_VOWELS:
+            chars[i] = "Y"
+    for i in range(1, len(chars) - 1):
+        if (
+            chars[i] == "i"
+            and chars[i - 1] in _NL_VOWELS
+            and chars[i + 1] in _NL_VOWELS
+        ):
+            chars[i] = "I"
+    word = "".join(chars)
+
+    r1 = _r1_start(word, _NL_VOWELS)
+    r2 = r1 + _r1_start(word[r1:], _NL_VOWELS) if r1 < len(word) else len(word)
+    r1 = min(max(r1, 3), len(word)) if r1 < len(word) else r1
+    r2 = min(max(r2, r1), len(word))
+
+    step2_success = False
+
+    # step 1
+    for suf in _NL_STEP1:
+        if _ends_in(word, r1, suf):
+            if suf == "heden":
+                word = word[:-5] + "heid"
+            elif (
+                suf in ("ene", "en")
+                and not word.endswith("heden")
+                and word[-len(suf) - 1] not in _NL_VOWELS
+                and word[-len(suf) - 3 : -len(suf)] != "gem"
+            ):
+                word = _nl_undouble(word[: -len(suf)])
+            elif (
+                suf in ("se", "s")
+                and word[-len(suf) - 1] not in _NL_VOWELS
+                and word[-len(suf) - 1] != "j"
+            ):
+                word = word[: -len(suf)]
+            break
+
+    # step 2
+    if _ends_in(word, r1, "e") and word[-2] not in _NL_VOWELS:
+        step2_success = True
+        word = _nl_undouble(word[:-1])
+
+    # step 3a
+    if _ends_in(word, r2, "heid") and word[-5] != "c":
+        word = word[:-4]
+        if (
+            _ends_in(word, r1, "en")
+            and word[-3] not in _NL_VOWELS
+            and word[-5:-2] != "gem"
+        ):
+            word = _nl_undouble(word[:-2])
+
+    # step 3b (derivational)
+    for suf in _NL_STEP3B:
+        if _ends_in(word, r2, suf):
+            if suf in ("end", "ing"):
+                word = word[:-3]
+                if _ends_in(word, r2, "ig") and word[-3] != "e":
+                    word = word[:-2]
+                else:
+                    word = _nl_undouble(word)
+            elif suf == "ig" and word[-3] != "e":
+                word = word[:-2]
+            elif suf == "lijk":
+                word = word[:-4]
+                if _ends_in(word, r1, "e") and word[-2] not in _NL_VOWELS:
+                    word = _nl_undouble(word[:-1])
+            elif suf == "baar":
+                word = word[:-4]
+            elif suf == "bar" and step2_success:
+                word = word[:-3]
+            break
+
+    # step 4: undouble vowel
+    if (
+        len(word) >= 4
+        and word[-1] not in _NL_VOWELS
+        and word[-1] != "I"
+        and word[-3:-1] in ("aa", "ee", "oo", "uu")
+        and word[-4] not in _NL_VOWELS
+    ):
+        word = word[:-3] + word[-3] + word[-1]
+
+    return word.replace("I", "i").replace("Y", "y")
+
+
+STEMMERS = {
+    "de": stem_de,
+    "da": stem_da,
+    "no": stem_no,
+    "sv": stem_sv,
+    "nl": stem_nl,
+}
 
 
 def stemmer_for_language(lang: str):
