@@ -10,6 +10,7 @@ from whoosh_novo_ray.analysis import language_analyzer
 from whoosh_novo_ray.lang_snowball import STEMMERS, stemmer_for_language
 
 _ALPH = {
+    "es": "aeiouáéíóúübcdfghjlmnpqrstvyz",
     "nl": "aeiouyèäëéíïöóüúbcdfghjklmnprstz",
     "de": "aeiouyäöüßbcdfghklmnrstz",
     "da": "aeiouyæåøbcdfghjklmnprstv",
@@ -17,6 +18,11 @@ _ALPH = {
     "sv": "aeiouyäåöbcdfghjklmnprstv",
 }
 _SUFS = {
+    "es": ["selas", "selos", "me", "se", "la", "amientos", "aciones",
+           "logía", "ución", "encia", "amente", "mente", "idad", "ivo",
+           "yeron", "yendo", "aríamos", "iésemos", "aste", "ando", "ados",
+           "ar", "er", "ir", "os", "a", "e", "o", "á", "é", "gu",
+           "uyendo", "iéndo"],
     "nl": ["heden", "ene", "en", "se", "s", "e", "heid", "end", "ing", "ig",
            "lijk", "baar", "bar", "kken", "dden", "tten", "yen", "ien",
            "gem", "aat", "eet", "oot"],
@@ -59,7 +65,7 @@ def test_stemmer_differential(lang):
 
 
 @pytest.mark.skipif(not HAVE_REFERENCE, reason="reference not available")
-@pytest.mark.parametrize("lang", ["de", "da", "no", "sv", "nl"])
+@pytest.mark.parametrize("lang", ["de", "da", "no", "sv", "nl", "es"])
 def test_language_analyzer_differential(lang):
     from whoosh.analysis import LanguageAnalyzer as RefLA
 
@@ -86,6 +92,10 @@ def test_language_analyzer_differential(lang):
         "nl": [
             "De kinderen speelden vrolijk in de tuin",
             "Vriendelijkheid en liefde betekenen alles",
+        ],
+        "es": [
+            "Por el mar corren las liebres",
+            "Los niños jugaban felizmente en el jardín",
         ],
     }[lang]
     for t in texts:

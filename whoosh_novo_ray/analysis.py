@@ -65,7 +65,7 @@ class StandardAnalyzer:
     minsize: int = 2
     maxsize: int | None = None
     stem: bool = False
-    # snowball language for StemFilter ('de','da','no','sv','nl'; None = Porter
+    # snowball language for StemFilter (lang_snowball.STEMMERS; None = Porter
     # when stem=True) — the LanguageAnalyzer wiring
     stem_lang: str | None = None
     # DelimitedAttributeFilter analog (reference analysis/filters.py:504-578):
@@ -275,7 +275,7 @@ def simple_analyzer() -> StandardAnalyzer:
 def language_analyzer(lang: str) -> StandardAnalyzer:
     """Tokenize | lowercase | per-language stop filter | snowball stem —
     the reference LanguageAnalyzer (analyzers.py:296-330). Supported:
-    en (Porter), de, da, no, sv, nl (lang_snowball)."""
+    en (Porter), de, da, no, sv, nl, es (lang_snowball)."""
     if lang == "en":
         return StandardAnalyzer(stem=True)
     from whoosh_novo_ray.lang_stopwords import STOPWORDS

@@ -1,9 +1,9 @@
-"""Snowball stemmers: German, Danish, Norwegian, Swedish, Dutch.
+"""Snowball stemmers: German, Danish, Norwegian, Swedish, Dutch, Spanish.
 
 Fresh implementations of Dr. Martin Porter's published Snowball algorithms
 (https://snowballstem.org/algorithms/), matched behavior-for-behavior against
 the reference engine's NLTK-derived ports (de-odex/whoosh-novo
-``src/whoosh/lang/snowball/{german,danish,norwegian,swedish,dutch}.py``) including
+``src/whoosh/lang/snowball/{german,danish,norwegian,swedish,dutch,spanish}.py``) including
 the ports' quirks — differential suites in ``tests/test_snowball.py`` keep
 them word-for-word identical. Each stemmer is a plain function over integer
 region offsets (R1/R2 as indices, not string slices) with an LRU cache.
@@ -405,12 +405,189 @@ def stem_nl(word: str) -> str:
     return word.replace("I", "i").replace("Y", "y")
 
 
+# ---------------------------------------------------------------------------
+# Spanish
+# ---------------------------------------------------------------------------
+
+_ES_VOWELS = "aeiou\xe1\xe9\xed\xf3\xfa\xfc"
+_ES_STEP0 = (
+    "selas", "selos", "sela", "selo", "las", "les", "los", "nos",
+    "me", "se", "la", "le", "lo",
+)
+_ES_STEP1 = (
+    "amientos", "imientos", "amiento", "imiento", "aciones", "uciones",
+    "adoras", "adores", "ancias", "log\xedas", "encias", "amente",
+    "idades", "anzas", "ismos", "ables", "ibles", "istas", "adora",
+    "aci\xf3n", "antes", "ancia", "log\xeda", "uci\xf3n", "encia",
+    "mente", "anza", "icos", "icas", "ismo", "able", "ible", "ista",
+    "osos", "osas", "ador", "ante", "idad", "ivas", "ivos", "ico",
+    "ica", "oso", "osa", "iva", "ivo",
+)
+_ES_STEP2A = (
+    "yeron", "yendo", "yamos", "yais", "yan", "yen", "yas", "yes",
+    "ya", "ye", "yo", "y\xf3",
+)
+_ES_STEP2B = (
+    "ar\xedamos", "er\xedamos", "ir\xedamos", "i\xe9ramos", "i\xe9semos",
+    "ar\xedais", "aremos", "er\xedais", "eremos", "ir\xedais", "iremos",
+    "ierais", "ieseis", "asteis", "isteis", "\xe1bamos", "\xe1ramos",
+    "\xe1semos", "ar\xedan", "ar\xedas", "ar\xe9is", "er\xedan",
+    "er\xedas", "er\xe9is", "ir\xedan", "ir\xedas", "ir\xe9is",
+    "ieran", "iesen", "ieron", "iendo", "ieras", "ieses", "abais",
+    "arais", "aseis", "\xe9amos", "ar\xe1n", "ar\xe1s", "ar\xeda",
+    "er\xe1n", "er\xe1s", "er\xeda", "ir\xe1n", "ir\xe1s", "ir\xeda",
+    "iera", "iese", "aste", "iste", "aban", "aran", "asen", "aron",
+    "ando", "abas", "adas", "idas", "aras", "ases", "\xedais", "ados",
+    "idos", "amos", "imos", "emos", "ar\xe1", "ar\xe9", "er\xe1",
+    "er\xe9", "ir\xe1", "ir\xe9", "aba", "ada", "ida", "ara", "ase",
+    "\xedan", "ado", "ido", "\xedas", "\xe1is", "\xe9is", "\xeda",
+    "ad", "ed", "id", "an", "i\xf3", "ar", "er", "ir", "as", "\xeds",
+    "en", "es",
+)
+_ES_STEP3 = ("os", "a", "e", "o", "\xe1", "\xe9", "\xed", "\xf3")
+_ES_DEACCENT = str.maketrans("\xe1\xe9\xed\xf3\xfa", "aeiou")
+
+
+def _r1r2_strings(word: str, vowels: str) -> tuple[str, str]:
+    r1 = _r1_start(word, vowels)
+    r1s = word[r1:] if r1 < len(word) else ""
+    r2 = _r1_start(r1s, vowels)
+    r2s = r1s[r2:] if r2 < len(r1s) else ""
+    return r1s, r2s
+
+
+def _rv_string(word: str, vowels: str) -> str:
+    """Standard RV region (reference bases.py:94-132 semantics)."""
+    if len(word) < 2:
+        return ""
+    if word[1] not in vowels:
+        for i in range(2, len(word)):
+            if word[i] in vowels:
+                return word[i + 1 :]
+        return ""
+    if word[:2] in vowels:  # quirk: a 2-char SLICE tested against the string
+        for i in range(2, len(word)):
+            if word[i] not in vowels:
+                return word[i + 1 :]
+        return ""
+    return word[3:]
+
+
+@lru_cache(maxsize=50000)
+def stem_es(word: str) -> str:
+    word = word.lower()
+    step1_success = False
+    r1, r2 = _r1r2_strings(word, _ES_VOWELS)
+    rv = _rv_string(word, _ES_VOWELS)
+
+    # step 0: attached pronoun
+    for suf in _ES_STEP0:
+        if word.endswith(suf):
+            if rv.endswith(suf):
+                n = len(suf)
+                head = rv[:-n]
+                if head.endswith(("i\xe9ndo", "\xe1ndo", "\xe1r", "\xe9r", "\xedr")):
+                    deacc = str.maketrans("\xe1\xe9\xed", "aei")
+                    word = word[:-n].translate(deacc)
+                    r1 = r1[:-n].translate(deacc)
+                    r2 = r2[:-n].translate(deacc)
+                    rv = head.translate(deacc)
+                elif head.endswith(("ando", "iendo", "ar", "er", "ir")) or (
+                    head.endswith("yendo") and word[:-n].endswith("uyendo")
+                ):
+                    word, r1, r2, rv = word[:-n], r1[:-n], r2[:-n], head
+            break
+
+    # step 1: standard suffixes
+    for suf in _ES_STEP1:
+        if word.endswith(suf):
+            n = len(suf)
+            if suf == "amente" and r1.endswith(suf):
+                step1_success = True
+                word, r2, rv = word[:-6], r2[:-6], rv[:-6]
+                if r2.endswith("iv"):
+                    word, r2, rv = word[:-2], r2[:-2], rv[:-2]
+                    if r2.endswith("at"):
+                        word, rv = word[:-2], rv[:-2]
+                elif r2.endswith(("os", "ic", "ad")):
+                    word, rv = word[:-2], rv[:-2]
+            elif r2.endswith(suf):
+                step1_success = True
+                if suf in (
+                    "adora", "ador", "aci\xf3n", "adoras", "adores",
+                    "aciones", "ante", "antes", "ancia", "ancias",
+                ):
+                    word, r2, rv = word[:-n], r2[:-n], rv[:-n]
+                    if r2.endswith("ic"):
+                        word, rv = word[:-2], rv[:-2]
+                elif suf in ("log\xeda", "log\xedas"):
+                    # the reference uses str.replace — EVERY occurrence in
+                    # the word is replaced, not just the suffix (port quirk)
+                    word = word.replace(suf, "log")
+                    rv = rv.replace(suf, "log")
+                elif suf in ("uci\xf3n", "uciones"):
+                    word = word.replace(suf, "u")
+                    rv = rv.replace(suf, "u")
+                elif suf in ("encia", "encias"):
+                    word = word.replace(suf, "ente")
+                    rv = rv.replace(suf, "ente")
+                elif suf == "mente":
+                    word, r2, rv = word[:-5], r2[:-5], rv[:-5]
+                    if r2.endswith(("ante", "able", "ible")):
+                        word, rv = word[:-4], rv[:-4]
+                elif suf in ("idad", "idades"):
+                    word, r2, rv = word[:-n], r2[:-n], rv[:-n]
+                    for pre in ("abil", "ic", "iv"):
+                        if r2.endswith(pre):
+                            word, rv = word[: -len(pre)], rv[: -len(pre)]
+                elif suf in ("ivo", "iva", "ivos", "ivas"):
+                    word, r2, rv = word[:-n], r2[:-n], rv[:-n]
+                    if r2.endswith("at"):
+                        word, rv = word[:-2], rv[:-2]
+                else:
+                    word, rv = word[:-n], rv[:-n]
+            break
+
+    # step 2a: verb suffixes beginning with y (preceded by 'u')
+    if not step1_success:
+        for suf in _ES_STEP2A:
+            if rv.endswith(suf) and word[-len(suf) - 1 : -len(suf)] == "u":
+                word, rv = word[: -len(suf)], rv[: -len(suf)]
+                break
+
+        for suf in _ES_STEP2B:
+            if rv.endswith(suf):
+                n = len(suf)
+                word, rv = word[:-n], rv[:-n]
+                if suf in ("en", "es", "\xe9is", "emos"):
+                    if word.endswith("gu"):
+                        word = word[:-1]
+                    if rv.endswith("gu"):
+                        rv = rv[:-1]
+                break
+
+    # step 3: residual suffix
+    for suf in _ES_STEP3:
+        if rv.endswith(suf):
+            n = len(suf)
+            if suf in ("e", "\xe9"):
+                word, rv = word[:-n], rv[:-n]
+                if len(word) >= 2 and word[-2:] == "gu" and rv and rv[-1] == "u":
+                    word = word[:-1]
+            else:
+                word = word[:-n]
+            break
+
+    return word.translate(_ES_DEACCENT)
+
+
 STEMMERS = {
     "de": stem_de,
     "da": stem_da,
     "no": stem_no,
     "sv": stem_sv,
     "nl": stem_nl,
+    "es": stem_es,
 }
 
 
