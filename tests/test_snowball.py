@@ -10,6 +10,7 @@ from whoosh_novo_ray.analysis import language_analyzer
 from whoosh_novo_ray.lang_snowball import STEMMERS, stemmer_for_language
 
 _ALPH = {
+    "fr": "aeiouyâàëéêèïîôûùbcçdfghjlmnpqrstvxz",
     "es": "aeiouáéíóúübcdfghjlmnpqrstvyz",
     "nl": "aeiouyèäëéíïöóüúbcdfghjklmnprstz",
     "de": "aeiouyäöüßbcdfghklmnrstz",
@@ -18,6 +19,13 @@ _ALPH = {
     "sv": "aeiouyäåöbcdfghjklmnprstv",
 }
 _SUFS = {
+    "fr": ["issements", "atrice", "ations", "logies", "usions", "ements",
+           "amment", "emment", "iqUes".lower(), "euses", "ance", "ence",
+           "ités", "ives", "eaux", "ment", "eux", "ité", "if", "issaient",
+           "irions", "ies", "ira", "ie", "ir", "is", "it", "i", "eraient",
+           "assions", "ions", "ées", "era", "iez", "ais", "ant", "ée",
+           "és", "er", "ez", "ât", "ai", "as", "é", "a", "ière", "ion",
+           "ier", "e", "ë", "qu", "gu", "enn", "ett", "eill"],
     "es": ["selas", "selos", "me", "se", "la", "amientos", "aciones",
            "logía", "ución", "encia", "amente", "mente", "idad", "ivo",
            "yeron", "yendo", "aríamos", "iésemos", "aste", "ando", "ados",
@@ -65,7 +73,7 @@ def test_stemmer_differential(lang):
 
 
 @pytest.mark.skipif(not HAVE_REFERENCE, reason="reference not available")
-@pytest.mark.parametrize("lang", ["de", "da", "no", "sv", "nl", "es"])
+@pytest.mark.parametrize("lang", ["de", "da", "no", "sv", "nl", "es", "fr"])
 def test_language_analyzer_differential(lang):
     from whoosh.analysis import LanguageAnalyzer as RefLA
 
@@ -96,6 +104,10 @@ def test_language_analyzer_differential(lang):
         "es": [
             "Por el mar corren las liebres",
             "Los niños jugaban felizmente en el jardín",
+        ],
+        "fr": [
+            "Les enfants jouaient joyeusement dans le jardin",
+            "La beauté des maisons anciennes est remarquable",
         ],
     }[lang]
     for t in texts:

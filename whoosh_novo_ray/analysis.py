@@ -275,7 +275,7 @@ def simple_analyzer() -> StandardAnalyzer:
 def language_analyzer(lang: str) -> StandardAnalyzer:
     """Tokenize | lowercase | per-language stop filter | snowball stem —
     the reference LanguageAnalyzer (analyzers.py:296-330). Supported:
-    en (Porter), de, da, no, sv, nl, es (lang_snowball)."""
+    en (Porter) + every lang in lang_snowball.STEMMERS."""
     if lang == "en":
         return StandardAnalyzer(stem=True)
     from whoosh_novo_ray.lang_stopwords import STOPWORDS

@@ -1,9 +1,10 @@
-"""Snowball stemmers: German, Danish, Norwegian, Swedish, Dutch, Spanish.
+"""Snowball stemmers: German, Danish, Norwegian, Swedish, Dutch, Spanish,
+French.
 
 Fresh implementations of Dr. Martin Porter's published Snowball algorithms
 (https://snowballstem.org/algorithms/), matched behavior-for-behavior against
 the reference engine's NLTK-derived ports (de-odex/whoosh-novo
-``src/whoosh/lang/snowball/{german,danish,norwegian,swedish,dutch,spanish}.py``) including
+``src/whoosh/lang/snowball/{german,...,french}.py``) including
 the ports' quirks — differential suites in ``tests/test_snowball.py`` keep
 them word-for-word identical. Each stemmer is a plain function over integer
 region offsets (R1/R2 as indices, not string slices) with an LRU cache.
@@ -581,6 +582,282 @@ def stem_es(word: str) -> str:
     return word.translate(_ES_DEACCENT)
 
 
+# ---------------------------------------------------------------------------
+# French
+# ---------------------------------------------------------------------------
+
+_FR_VOWELS = "aeiouy\xe2\xe0\xeb\xe9\xea\xe8\xef\xee\xf4\xfb\xf9"
+_FR_STEP1 = (
+    "issements", "issement", "atrices", "atrice", "ateurs", "ations",
+    "logies", "usions", "utions", "ements", "amment", "emment", "ances",
+    "iqUes", "ismes", "ables", "istes", "ateur", "ation", "logie",
+    "usion", "ution", "ences", "ement", "euses", "ments", "ance",
+    "iqUe", "isme", "able", "iste", "ence", "it\xe9s", "ives", "eaux",
+    "euse", "ment", "eux", "it\xe9", "ive", "ifs", "aux", "if",
+)
+_FR_STEP2A = (
+    "issaIent", "issantes", "iraIent", "issante", "issants", "issions",
+    "irions", "issais", "issait", "issant", "issent", "issiez", "issons",
+    "irais", "irait", "irent", "iriez", "irons", "iront", "isses",
+    "issez", "\xeemes", "\xeetes", "irai", "iras", "irez", "isse",
+    "ies", "ira", "\xeet", "ie", "ir", "is", "it", "i",
+)
+_FR_STEP2B = (
+    "eraIent", "assions", "erions", "assent", "assiez", "\xe8rent",
+    "erais", "erait", "eriez", "erons", "eront", "aIent", "antes",
+    "asses", "ions", "erai", "eras", "erez", "\xe2mes", "\xe2tes",
+    "ante", "ants", "asse", "\xe9es", "era", "iez", "ais", "ait",
+    "ant", "\xe9e", "\xe9s", "er", "ez", "\xe2t", "ai", "as",
+    "\xe9", "a",
+)
+_FR_2B_ER = frozenset(
+    (
+        "eraIent", "erions", "\xe8rent", "erais", "erait", "eriez",
+        "erons", "eront", "erai", "eras", "erez", "\xe9es", "era",
+        "iez", "\xe9e", "\xe9s", "er", "ez", "\xe9",
+    )
+)
+_FR_2B_A = frozenset(
+    (
+        "assions", "assent", "assiez", "aIent", "antes", "asses",
+        "\xe2mes", "\xe2tes", "ante", "ants", "asse", "ais", "ait",
+        "ant", "\xe2t", "ai", "as", "a",
+    )
+)
+_FR_STEP4 = ("i\xe8re", "I\xe8re", "ion", "ier", "Ier", "e", "\xeb")
+
+
+def _rv_french(word: str) -> str:
+    """French RV: after the 3rd letter when the word starts with two vowels
+    or with par/col/tap; else after the first non-initial vowel."""
+    if len(word) < 2:
+        return ""
+    if word.startswith(("par", "col", "tap")) or (
+        word[0] in _FR_VOWELS and word[1] in _FR_VOWELS
+    ):
+        return word[3:]
+    for i in range(1, len(word)):
+        if word[i] in _FR_VOWELS:
+            return word[i + 1 :]
+    return ""
+
+
+@lru_cache(maxsize=50000)
+def stem_fr(word: str) -> str:
+    word = word.lower()
+    step1_success = False
+    rv_ending_found = False
+    step2a_success = False
+    step2b_success = False
+
+    # protections (reading the mutated string, as the port does): u after q;
+    # u/i between vowels; y adjacent to a vowel
+    chars = list(word)
+    for i in range(1, len(chars)):
+        if chars[i] == "u" and chars[i - 1] == "q":
+            chars[i] = "U"
+    for i in range(1, len(chars) - 1):
+        if chars[i - 1] in _FR_VOWELS and chars[i + 1] in _FR_VOWELS:
+            if chars[i] == "u":
+                chars[i] = "U"
+            elif chars[i] == "i":
+                chars[i] = "I"
+        if chars[i] == "y" and (
+            chars[i - 1] in _FR_VOWELS or chars[i + 1] in _FR_VOWELS
+        ):
+            chars[i] = "Y"
+    word = "".join(chars)
+
+    r1, r2 = _r1r2_strings(word, _FR_VOWELS)
+    rv = _rv_french(word)
+
+    # STEP 1 — NB: the port tests `suffix in region` as a SUBSTRING (not a
+    # suffix-of-region) test, and never refreshes r1/r2 after deletions;
+    # both quirks are preserved.
+    for suf in _FR_STEP1:
+        if word.endswith(suf):
+            n = len(suf)
+            if suf == "eaux":
+                word = word[:-1]
+                step1_success = True
+            elif suf in ("euse", "euses"):
+                if suf in r2:
+                    word = word[:-n]
+                    step1_success = True
+                elif suf in r1:
+                    word = word[:-n] + "eux"
+                    step1_success = True
+            elif suf in ("ement", "ements") and suf in rv:
+                word = word[:-n]
+                step1_success = True
+                if word[-2:] == "iv" and "iv" in r2:
+                    word = word[:-2]
+                    if word[-2:] == "at" and "at" in r2:
+                        word = word[:-2]
+                elif word[-3:] == "eus":
+                    if "eus" in r2:
+                        word = word[:-3]
+                    elif "eus" in r1:
+                        word = word[:-1] + "x"
+                elif word[-3:] in ("abl", "iqU"):
+                    if "abl" in r2 or "iqU" in r2:
+                        word = word[:-3]
+                elif word[-3:] in ("i\xe8r", "I\xe8r"):
+                    if "i\xe8r" in rv or "I\xe8r" in rv:
+                        word = word[:-3] + "i"
+            elif suf == "amment" and suf in rv:
+                word = word[:-6] + "ant"
+                rv = rv[:-6] + "ant"
+                rv_ending_found = True
+            elif suf == "emment" and suf in rv:
+                word = word[:-6] + "ent"
+                rv_ending_found = True
+            elif (
+                suf in ("ment", "ments")
+                and suf in rv
+                and not rv.startswith(suf)
+                and rv[rv.rindex(suf) - 1] in _FR_VOWELS
+            ):
+                word = word[:-n]
+                rv = rv[:-n]
+                rv_ending_found = True
+            elif suf == "aux" and suf in r1:
+                word = word[:-2] + "l"
+                step1_success = True
+            elif (
+                suf in ("issement", "issements")
+                and suf in r1
+                and word[-n - 1] not in _FR_VOWELS
+            ):
+                word = word[:-n]
+                step1_success = True
+            elif (
+                suf
+                in (
+                    "ance", "iqUe", "isme", "able", "iste", "eux",
+                    "ances", "iqUes", "ismes", "ables", "istes",
+                )
+                and suf in r2
+            ):
+                word = word[:-n]
+                step1_success = True
+            elif (
+                suf in ("atrice", "ateur", "ation", "atrices", "ateurs", "ations")
+                and suf in r2
+            ):
+                word = word[:-n]
+                step1_success = True
+                if word[-2:] == "ic":
+                    if "ic" in r2:
+                        word = word[:-2]
+                    else:
+                        word = word[:-2] + "iqU"
+            elif suf in ("logie", "logies") and suf in r2:
+                word = word[:-n] + "log"
+                step1_success = True
+            elif suf in ("usion", "ution", "usions", "utions") and suf in r2:
+                word = word[:-n] + "u"
+                step1_success = True
+            elif suf in ("ence", "ences") and suf in r2:
+                word = word[:-n] + "ent"
+                step1_success = True
+            elif suf in ("it\xe9", "it\xe9s") and suf in r2:
+                word = word[:-n]
+                step1_success = True
+                if word[-4:] == "abil":
+                    if "abil" in r2:
+                        word = word[:-4]
+                    else:
+                        word = word[:-2] + "l"
+                elif word[-2:] == "ic":
+                    if "ic" in r2:
+                        word = word[:-2]
+                    else:
+                        word = word[:-2] + "iqU"
+                elif word[-2:] == "iv":
+                    if "iv" in r2:
+                        word = word[:-2]
+            elif suf in ("if", "ive", "ifs", "ives") and suf in r2:
+                word = word[:-n]
+                step1_success = True
+                if word[-2:] == "at" and "at" in r2:
+                    word = word[:-2]
+                    if word[-2:] == "ic":
+                        if "ic" in r2:
+                            word = word[:-2]
+                        else:
+                            word = word[:-2] + "iqU"
+            break
+
+    # STEP 2a: verb suffixes beginning 'i'
+    if not step1_success or rv_ending_found:
+        for suf in _FR_STEP2A:
+            if word.endswith(suf):
+                if (
+                    suf in rv
+                    and len(rv) > len(suf)
+                    and rv[rv.rindex(suf) - 1] not in _FR_VOWELS
+                ):
+                    word = word[: -len(suf)]
+                    step2a_success = True
+                break
+
+        # STEP 2b: other verb suffixes
+        if not step2a_success:
+            for suf in _FR_STEP2B:
+                if rv.endswith(suf):
+                    if suf == "ions" and "ions" in r2:
+                        word = word[:-4]
+                        step2b_success = True
+                    elif suf in _FR_2B_ER:
+                        word = word[: -len(suf)]
+                        step2b_success = True
+                    elif suf in _FR_2B_A:
+                        word = word[: -len(suf)]
+                        rv = rv[: -len(suf)]
+                        step2b_success = True
+                        if rv.endswith("e"):
+                            word = word[:-1]
+                    # 'ions' failing its r2 test matches but does nothing
+                    break
+
+    if step1_success or step2a_success or step2b_success:
+        # STEP 3
+        if word[-1:] == "Y":
+            word = word[:-1] + "i"
+        elif word[-1:] == "\xe7":
+            word = word[:-1] + "c"
+    else:
+        # STEP 4: residual suffixes
+        if len(word) >= 2 and word[-1] == "s" and word[-2] not in "aiou\xe8s":
+            word = word[:-1]
+        for suf in _FR_STEP4:
+            if word.endswith(suf):
+                if suf in rv:
+                    if suf == "ion" and suf in r2 and rv[-4] in "st":
+                        word = word[:-3]
+                    elif suf in ("ier", "i\xe8re", "Ier", "I\xe8re"):
+                        word = word[: -len(suf)] + "i"
+                    elif suf == "e":
+                        word = word[:-1]
+                    elif suf == "\xeb" and word[-3:-1] == "gu":
+                        word = word[:-1]
+                    break
+
+    # STEP 5: undouble
+    if word.endswith(("enn", "onn", "ett", "ell", "eill")):
+        word = word[:-1]
+
+    # STEP 6: un-accent the last é/è before the trailing consonant run
+    for i in range(1, len(word)):
+        if word[-i] in _FR_VOWELS:
+            if i != 1 and word[-i] in ("\xe9", "\xe8"):
+                word = word[:-i] + "e" + word[len(word) - i + 1 :]
+            break
+
+    return word.replace("I", "i").replace("U", "u").replace("Y", "y")
+
+
 STEMMERS = {
     "de": stem_de,
     "da": stem_da,
@@ -588,6 +865,7 @@ STEMMERS = {
     "sv": stem_sv,
     "nl": stem_nl,
     "es": stem_es,
+    "fr": stem_fr,
 }
 
 
