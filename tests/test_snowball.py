@@ -10,6 +10,8 @@ from whoosh_novo_ray.analysis import language_analyzer
 from whoosh_novo_ray.lang_snowball import STEMMERS, stemmer_for_language
 
 _ALPH = {
+    "it": "aeiouàèìòùáéíóúbcdfghjlmnpqrstvz",
+    "pt": "aeiouáéíóúâêôãõçbcdfghjlmnpqrstvz",
     "fr": "aeiouyâàëéêèïîôûùbcçdfghjlmnpqrstvxz",
     "es": "aeiouáéíóúübcdfghjlmnpqrstvyz",
     "nl": "aeiouyèäëéíïöóüúbcdfghjklmnprstz",
@@ -19,6 +21,16 @@ _ALPH = {
     "sv": "aeiouyäåöbcdfghjklmnprstv",
 }
 _SUFS = {
+    "it": ["gliela", "sene", "gli", "ci", "la", "atrice", "azione",
+           "uzione", "amento", "amente", "mente", "logia", "enza", "ità",
+           "ivo", "erebbero", "assero", "iscono", "ando", "endo", "iamo",
+           "ano", "are", "ire", "ar", "ir", "i", "a", "e", "o", "qu",
+           "ch", "gh"],
+    "pt": ["amentos", "aço~es".replace("~",""), "ações", "logías", "ências", "amente",
+           "idade", "ável", "ível", "ira", "iras", "aríamos", "ássemos",
+           "assem", "arão", "ando", "endo", "indo", "ados", "ia", "ei",
+           "ar", "er", "ir", "eu", "iu", "ou", "os", "a", "i", "o",
+           "gu", "ci", "e", "é", "ê", "ç", "eira"],
     "fr": ["issements", "atrice", "ations", "logies", "usions", "ements",
            "amment", "emment", "iqUes".lower(), "euses", "ance", "ence",
            "ités", "ives", "eaux", "ment", "eux", "ité", "if", "issaient",
@@ -73,7 +85,7 @@ def test_stemmer_differential(lang):
 
 
 @pytest.mark.skipif(not HAVE_REFERENCE, reason="reference not available")
-@pytest.mark.parametrize("lang", ["de", "da", "no", "sv", "nl", "es", "fr"])
+@pytest.mark.parametrize("lang", ["de", "da", "no", "sv", "nl", "es", "fr", "it", "pt"])
 def test_language_analyzer_differential(lang):
     from whoosh.analysis import LanguageAnalyzer as RefLA
 
@@ -108,6 +120,14 @@ def test_language_analyzer_differential(lang):
         "fr": [
             "Les enfants jouaient joyeusement dans le jardin",
             "La beauté des maisons anciennes est remarquable",
+        ],
+        "it": [
+            "I bambini giocavano felicemente nel giardino",
+            "La bellezza delle case antiche è notevole",
+        ],
+        "pt": [
+            "As crianças brincavam alegremente no jardim",
+            "A beleza das casas antigas é notável",
         ],
     }[lang]
     for t in texts:
