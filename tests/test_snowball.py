@@ -10,6 +10,10 @@ from whoosh_novo_ray.analysis import language_analyzer
 from whoosh_novo_ray.lang_snowball import STEMMERS, stemmer_for_language
 
 _ALPH = {
+    "ru": "абвгдежзийклмнопрстуфхцчшщъыьэюя",
+    "fi": "aeiouyäöbcdfghjklmnprstv",
+    "ro": "aeiouăâîbcdfghjlmnprstţşvz",
+    "hu": "aeiouöüáéíóõúûbcdfghjklmnprstvzy",
     "it": "aeiouàèìòùáéíóúbcdfghjlmnpqrstvz",
     "pt": "aeiouáéíóúâêôãõçbcdfghjlmnpqrstvz",
     "fr": "aeiouyâàëéêèïîôûùbcçdfghjlmnpqrstvxz",
@@ -21,6 +25,27 @@ _ALPH = {
     "sv": "aeiouyäåöbcdfghjklmnprstv",
 }
 _SUFS = {
+    "ru": ["вшись", "вши", "в", "ся", "сь", "ее", "ими", "его", "ему",
+           "ых", "ого", "ют", "ла", "на", "ете", "йте", "ли", "й",
+           "л", "ем", "н", "ло", "но", "ет", "ны", "ть", "ешь", "нно",
+           "ами", "ями", "ах", "ях", "ости", "ость", "ейш", "нн",
+           "и", "ь", "а", "я", "ом", "ой", "ам", "ы", "у", "ов"],
+    "fi": ["kaan", "sti", "kin", "nsa", "mme", "si", "ni", "an", "en",
+           "siin", "seen", "han", "den", "tta", "ssa", "lla", "lle",
+           "ksi", "ta", "na", "a", "n", "impi", "mma", "eja", "kse",
+           "ie", "aa", "kk", "tt", "t", "i", "jo"],
+    "ro": ["ului", "elor", "aţie", "ele", "ea", "ii", "abilitate",
+           "icitate", "ativ", "ator", "itor", "abil", "ibil", "iune",
+           "ism", "at", "ut", "it", "ic", "os", "iv", "ează", "ind",
+           "are", "ere", "ire", "aţi", "âţi", "sei", "ez", "se",
+           "ie", "a", "e", "i", "ă"],
+    "hu": ["képpen", "onként", "ként", "ban", "nak", "val", "tól",
+           "ról", "hoz", "nál", "ért", "ba", "ra", "ig", "at", "ul",
+           "vá", "en", "n", "t", "án", "én", "astul", "stul", "á",
+           "é", "oké", "ké", "éi", "ájuk", "unk", "juk", "nk", "em",
+           "ja", "ám", "m", "d", "a", "e", "jaitok", "aim", "jai",
+           "ik", "i", "ák", "ék", "ok", "k", "al", "el", "bbal",
+           "ttel", "ssz", "ggy"],
     "it": ["gliela", "sene", "gli", "ci", "la", "atrice", "azione",
            "uzione", "amento", "amente", "mente", "logia", "enza", "ità",
            "ivo", "erebbero", "assero", "iscono", "ando", "endo", "iamo",
@@ -85,7 +110,7 @@ def test_stemmer_differential(lang):
 
 
 @pytest.mark.skipif(not HAVE_REFERENCE, reason="reference not available")
-@pytest.mark.parametrize("lang", ["de", "da", "no", "sv", "nl", "es", "fr", "it", "pt"])
+@pytest.mark.parametrize("lang", ["de", "da", "no", "sv", "nl", "es", "fr", "it", "pt", "fi", "hu", "ru", "ro", "tr"])
 def test_language_analyzer_differential(lang):
     from whoosh.analysis import LanguageAnalyzer as RefLA
 
@@ -128,6 +153,25 @@ def test_language_analyzer_differential(lang):
         "pt": [
             "As crianças brincavam alegremente no jardim",
             "A beleza das casas antigas é notável",
+        ],
+        "fi": [
+            "Lapset leikkivät iloisesti puutarhassa",
+            "Talojen kauneus on huomattava",
+        ],
+        "hu": [
+            "A gyerekek vidáman játszottak a kertben",
+            "A házak szépsége figyelemre méltó",
+        ],
+        "ru": [
+            "Дети весело играли в саду",
+            "Красота старинных домов замечательна",
+        ],
+        "ro": [
+            "Copiii se jucau fericiţi în grădină",
+            "Frumuseţea caselor vechi este remarcabilă",
+        ],
+        "tr": [
+            "Çocuklar bahçede mutlu bir şekilde oynuyordu",
         ],
     }[lang]
     for t in texts:

@@ -274,13 +274,18 @@ def simple_analyzer() -> StandardAnalyzer:
 
 def language_analyzer(lang: str) -> StandardAnalyzer:
     """Tokenize | lowercase | per-language stop filter | snowball stem —
-    the reference LanguageAnalyzer (analyzers.py:296-330). Supported:
-    en (Porter) + every lang in lang_snowball.STEMMERS."""
-    if lang == "en":
-        return StandardAnalyzer(stem=True)
+    the reference LanguageAnalyzer (analyzers.py:296-338). Stemmers: en
+    (Porter) + every lang in lang_snowball.STEMMERS. A missing stop list or
+    stemmer is skipped, as the reference does (e.g. 'ro' has a stemmer but
+    no stop list; 'tr' the reverse)."""
+    from whoosh_novo_ray.lang_snowball import STEMMERS
     from whoosh_novo_ray.lang_stopwords import STOPWORDS
 
-    return StandardAnalyzer(stoplist=STOPWORDS[lang], stem_lang=lang)
+    if lang == "en":
+        return StandardAnalyzer(stem=True)
+    stops = STOPWORDS.get(lang)
+    stem_lang = lang if lang in STEMMERS else None
+    return StandardAnalyzer(stoplist=stops, stem_lang=stem_lang)
 
 
 def stemming_analyzer(

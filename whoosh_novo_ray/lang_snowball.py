@@ -1,5 +1,6 @@
-"""Snowball stemmers: German, Danish, Norwegian, Swedish, Dutch, Spanish,
-French, Italian, Portuguese.
+"""Snowball stemmers for all 14 languages the reference ships: German,
+Danish, Norwegian, Swedish, Dutch, Spanish, French, Italian, Portuguese,
+Finnish, Romanian, Russian, Hungarian (+ Porter English in porter.py).
 
 Fresh implementations of Dr. Martin Porter's published Snowball algorithms
 (https://snowballstem.org/algorithms/), matched behavior-for-behavior against
@@ -1129,6 +1130,732 @@ def stem_pt(word: str) -> str:
     return word.replace("a~", "\xe3").replace("o~", "\xf5")
 
 
+# ---------------------------------------------------------------------------
+# Finnish
+# ---------------------------------------------------------------------------
+
+_FI_VOWELS = "aeiouy\xe4\xf6"
+_FI_RESTRICTED = "aeiou\xe4\xf6"
+_FI_LONG = ("aa", "ee", "ii", "oo", "uu", "\xe4\xe4", "\xf6\xf6")
+_FI_CONS = "bcdfghjklmnpqrstvwxz"
+_FI_DOUBLES = tuple(c + c for c in "bcdfghjklmnpqrstvwxz")
+_FI_STEP1 = (
+    "kaan", "k\xe4\xe4n", "sti", "kin", "han", "h\xe4n", "ko",
+    "k\xf6", "pa", "p\xe4",
+)
+_FI_STEP2 = ("nsa", "ns\xe4", "mme", "nne", "si", "ni", "an", "\xe4n", "en")
+_FI_STEP3 = (
+    "siin", "tten", "seen", "han", "hen", "hin", "hon", "h\xe4n",
+    "h\xf6n", "den", "tta", "tt\xe4", "ssa", "ss\xe4", "sta",
+    "st\xe4", "lla", "ll\xe4", "lta", "lt\xe4", "lle", "ksi", "ine",
+    "ta", "t\xe4", "na", "n\xe4", "a", "\xe4", "n",
+)
+_FI_STEP4 = (
+    "impi", "impa", "imp\xe4", "immi", "imma", "imm\xe4", "mpi",
+    "mpa", "mp\xe4", "mmi", "mma", "mm\xe4", "eja", "ej\xe4",
+)
+_FI_H3 = {
+    "han": "a", "hen": "e", "hin": "i", "hon": "o",
+    "h\xe4n": "\xe4", "h\xf6n": "\xf6",
+}
+
+
+@lru_cache(maxsize=50000)
+def stem_fi(word: str) -> str:
+    word = word.lower()
+    step3_success = False
+    r1, r2 = _r1r2_strings(word, _FI_VOWELS)
+
+    # step 1: particles
+    for suf in _FI_STEP1:
+        if r1.endswith(suf):
+            if suf == "sti":
+                if suf in r2:
+                    word, r1, r2 = word[:-3], r1[:-3], r2[:-3]
+            elif word[-len(suf) - 1] in "ntaeiouy\xe4\xf6":
+                n = len(suf)
+                word, r1, r2 = word[:-n], r1[:-n], r2[:-n]
+            break
+
+    # step 2: possessives
+    for suf in _FI_STEP2:
+        if r1.endswith(suf):
+            if suf == "si":
+                if word[-3] != "k":
+                    word, r1, r2 = word[:-2], r1[:-2], r2[:-2]
+            elif suf == "ni":
+                word, r1, r2 = word[:-2], r1[:-2], r2[:-2]
+                if word.endswith("kse"):
+                    word = word[:-3] + "ksi"
+                if r1.endswith("kse"):
+                    r1 = r1[:-3] + "ksi"
+                if r2.endswith("kse"):
+                    r2 = r2[:-3] + "ksi"
+            elif suf == "an":
+                if word[-4:-2] in ("ta", "na") or word[-5:-2] in (
+                    "ssa", "sta", "lla", "lta",
+                ):
+                    word, r1, r2 = word[:-2], r1[:-2], r2[:-2]
+            elif suf == "\xe4n":
+                if word[-4:-2] in ("t\xe4", "n\xe4") or word[-5:-2] in (
+                    "ss\xe4", "st\xe4", "ll\xe4", "lt\xe4",
+                ):
+                    word, r1, r2 = word[:-2], r1[:-2], r2[:-2]
+            elif suf == "en":
+                if word[-5:-2] in ("lle", "ine"):
+                    word, r1, r2 = word[:-2], r1[:-2], r2[:-2]
+            else:
+                word, r1, r2 = word[:-3], r1[:-3], r2[:-3]
+            break
+
+    # step 3: cases
+    for suf in _FI_STEP3:
+        if r1.endswith(suf):
+            if suf in _FI_H3:
+                if word[-4] == _FI_H3[suf]:
+                    word, r1, r2 = word[:-3], r1[:-3], r2[:-3]
+                    step3_success = True
+            elif suf in ("siin", "den", "tten"):
+                n = len(suf)
+                if word[-n - 1] == "i" and word[-n - 2] in _FI_RESTRICTED:
+                    word, r1, r2 = word[:-n], r1[:-n], r2[:-n]
+                    step3_success = True
+                else:
+                    continue  # try the next suffix (reference behavior)
+            elif suf == "seen":
+                if word[-6:-4] in _FI_LONG:
+                    word, r1, r2 = word[:-4], r1[:-4], r2[:-4]
+                    step3_success = True
+                else:
+                    continue
+            elif suf in ("a", "\xe4"):
+                if word[-2] in _FI_VOWELS and word[-3] in _FI_CONS:
+                    word, r1, r2 = word[:-1], r1[:-1], r2[:-1]
+                    step3_success = True
+            elif suf in ("tta", "tt\xe4"):
+                if word[-4] == "e":
+                    word, r1, r2 = word[:-3], r1[:-3], r2[:-3]
+                    step3_success = True
+            elif suf == "n":
+                word, r1, r2 = word[:-1], r1[:-1], r2[:-1]
+                step3_success = True
+                if word[-2:] == "ie" or word[-2:] in _FI_LONG:
+                    word, r1, r2 = word[:-1], r1[:-1], r2[:-1]
+            else:
+                n = len(suf)
+                word, r1, r2 = word[:-n], r1[:-n], r2[:-n]
+                step3_success = True
+            break
+
+    # step 4: other endings
+    for suf in _FI_STEP4:
+        if r2.endswith(suf):
+            if suf in ("mpi", "mpa", "mp\xe4", "mmi", "mma", "mm\xe4"):
+                if word[-5:-3] != "po":
+                    word, r1, r2 = word[:-3], r1[:-3], r2[:-3]
+            else:
+                n = len(suf)
+                word, r1, r2 = word[:-n], r1[:-n], r2[:-n]
+            break
+
+    # step 5: plurals
+    if step3_success and len(r1) >= 1 and r1[-1] in "ij":
+        word, r1 = word[:-1], r1[:-1]
+    elif (
+        not step3_success
+        and len(r1) >= 2
+        and r1[-1] == "t"
+        and r1[-2] in _FI_VOWELS
+    ):
+        word, r1, r2 = word[:-1], r1[:-1], r2[:-1]
+        if r2.endswith("imma"):
+            word, r1 = word[:-4], r1[:-4]
+        elif r2.endswith("mma") and r2[-5:-3] != "po":
+            word, r1 = word[:-3], r1[:-3]
+
+    # step 6: tidying
+    if r1[-2:] in _FI_LONG:
+        word, r1 = word[:-1], r1[:-1]
+    if len(r1) >= 2 and r1[-2] in _FI_CONS and r1[-1] in "a\xe4ei":
+        word, r1 = word[:-1], r1[:-1]
+    if r1.endswith(("oj", "uj")):
+        word, r1 = word[:-1], r1[:-1]
+    if r1.endswith("jo"):
+        word, r1 = word[:-1], r1[:-1]
+
+    # remove one consonant of a final double-consonant(+vowels) cluster
+    for i in range(1, len(word)):
+        if word[-i] in _FI_VOWELS:
+            continue
+        if i == 1:
+            if word[-i - 1 :] in _FI_DOUBLES:
+                word = word[:-1]
+        elif word[-i - 1 : -i + 1] in _FI_DOUBLES:
+            word = word[:-i] + word[-i + 1 :]
+        break
+
+    return word
+
+
+# ---------------------------------------------------------------------------
+# Romanian
+# ---------------------------------------------------------------------------
+
+_RO_VOWELS = "aeiouă\xe2\xee"
+_RO_STEP0 = (
+    "iilor", "ului", "elor", "iile", "ilor", "atei", "aţie",
+    "aţia", "aua", "ele", "iua", "iei", "ile", "ul", "ea", "ii",
+)
+_RO_STEP1 = (
+    "abilitate", "abilitati", "abilităţi", "ibilitate",
+    "abilităi", "ivitate", "ivitati", "ivităţi",
+    "icitate", "icitati", "icităţi", "icatori",
+    "ivităi", "icităi", "icator", "aţiune", "atoare",
+    "ătoare", "iţiune", "itoare", "iciva", "icive", "icivi",
+    "icivă", "icala", "icale", "icali", "icală", "ativa",
+    "ative", "ativi", "ativă", "atori", "ători", "itiva",
+    "itive", "itivi", "itivă", "itori", "iciv", "ical", "ativ",
+    "ator", "ător", "itiv", "itor",
+)
+_RO_STEP2 = (
+    "abila", "abile", "abili", "abilă", "ibila", "ibile",
+    "ibili", "ibilă", "atori", "itate", "itati", "ităţi",
+    "abil", "ibil", "oasa", "oasă", "oase", "anta", "ante",
+    "anti", "antă", "ator", "ităi", "iune", "iuni", "isme",
+    "ista", "iste", "isti", "istă", "işti", "ata",
+    "ată", "ati", "ate", "uta", "ută", "uti", "ute", "ita",
+    "ită", "iti", "ite", "ica", "ice", "ici", "ică", "osi",
+    "oşi", "ant", "iva", "ive", "ivi", "ivă", "ism", "ist",
+    "at", "ut", "it", "ic", "os", "iv",
+)
+_RO_STEP3 = (
+    "seserăţi", "aserăţi", "iserăţi",
+    "\xe2serăţi", "userăţi", "seserăm",
+    "aserăm", "iserăm", "\xe2serăm", "userăm",
+    "serăţi", "seseşi", "seseră", "ească",
+    "arăţi", "urăţi", "irăţi",
+    "\xe2răţi", "aseşi", "aseră", "iseşi",
+    "iseră", "\xe2seşi", "\xe2seră", "useşi",
+    "useră", "serăm", "sesem", "indu", "\xe2ndu",
+    "ează", "eşti", "eşte", "ăşti",
+    "ăşte", "eaţi", "iaţi", "arăm",
+    "urăm", "irăm", "\xe2răm", "asem", "isem",
+    "\xe2sem", "usem", "seşi", "seră", "sese", "are",
+    "ere", "ire", "\xe2re", "ind", "\xe2nd", "eze", "ezi", "esc",
+    "ăsc", "eam", "eai", "eau", "iam", "iai", "iau", "aşi",
+    "ară", "uşi", "ură", "işi", "iră",
+    "\xe2şi", "\xe2ră", "ase", "ise", "\xe2se", "use",
+    "aţi", "eţi", "iţi", "\xe2ţi", "sei", "ez",
+    "am", "ai", "au", "ea", "ia", "ui", "\xe2i", "ăm", "em",
+    "im", "\xe2m", "se",
+)
+_RO_3_WORDRV = frozenset(
+    (
+        "seserăţi", "seserăm", "serăţi",
+        "seseşi", "seseră", "serăm", "sesem",
+        "seşi", "seră", "sese", "aţi", "eţi",
+        "iţi", "\xe2ţi", "sei", "ăm", "em", "im",
+        "\xe2m", "se",
+    )
+)
+
+
+@lru_cache(maxsize=50000)
+def stem_ro(word: str) -> str:
+    word = word.lower()
+    step1_success = False
+    step2_success = False
+
+    chars = list(word)
+    for i in range(1, len(chars) - 1):
+        if chars[i - 1] in _RO_VOWELS and chars[i + 1] in _RO_VOWELS:
+            if chars[i] == "u":
+                chars[i] = "U"
+            elif chars[i] == "i":
+                chars[i] = "I"
+    word = "".join(chars)
+
+    r1, r2 = _r1r2_strings(word, _RO_VOWELS)
+    rv = _rv_string(word, _RO_VOWELS)
+
+    # step 0: plurals etc. (r1/rv SUBSTRING tests; failed rv test blanks rv)
+    for suf in _RO_STEP0:
+        if word.endswith(suf):
+            if suf in r1:
+                n = len(suf)
+                if suf in ("ul", "ului"):
+                    word = word[:-n]
+                    rv = rv[:-n] if suf in rv else ""
+                elif suf in ("aua", "atei") or (
+                    suf == "ile" and word[-5:-3] != "ab"
+                ):
+                    word = word[:-2]
+                elif suf in ("ea", "ele", "elor"):
+                    word = word[:-n] + "e"
+                    rv = rv[:-n] + "e" if suf in rv else ""
+                elif suf in ("ii", "iua", "iei", "iile", "iilor", "ilor"):
+                    word = word[:-n] + "i"
+                    rv = rv[:-n] + "i" if suf in rv else ""
+                elif suf in ("aţie", "aţia"):
+                    word = word[:-1]
+            break
+
+    # step 1: combining suffixes, repeated until no replacement happens
+    # (r1/r2 go stale across iterations — reference behavior)
+    while True:
+        replaced = False
+        for suf in _RO_STEP1:
+            if word.endswith(suf):
+                if suf in r1:
+                    step1_success = True
+                    replaced = True
+                    n = len(suf)
+                    if suf in (
+                        "abilitate", "abilitati", "abilităi",
+                        "abilităţi",
+                    ):
+                        word = word[:-n] + "abil"
+                    elif suf == "ibilitate":
+                        word = word[:-5]
+                    elif suf in (
+                        "ivitate", "ivitati", "ivităi",
+                        "ivităţi",
+                    ):
+                        word = word[:-n] + "iv"
+                    elif suf in (
+                        "icitate", "icitati", "icităi",
+                        "icităţi", "icator", "icatori", "iciv",
+                        "iciva", "icive", "icivi", "icivă", "ical",
+                        "icala", "icale", "icali", "icală",
+                    ):
+                        word = word[:-n] + "ic"
+                    elif suf in (
+                        "ativ", "ativa", "ative", "ativi", "ativă",
+                        "aţiune", "atoare", "ator", "atori",
+                        "ătoare", "ător", "ători",
+                    ):
+                        word = word[:-n] + "at"
+                        if suf in r2:
+                            r2 = r2[:-n] + "at"
+                    else:  # itiv family
+                        word = word[:-n] + "it"
+                        if suf in r2:
+                            r2 = r2[:-n] + "it"
+                else:
+                    step1_success = False
+                break
+        if not replaced:
+            break
+
+    # step 2: standard suffixes (r2 substring test)
+    for suf in _RO_STEP2:
+        if word.endswith(suf):
+            if suf in r2:
+                step2_success = True
+                if suf in ("iune", "iuni"):
+                    if word[-5] == "ţ":
+                        word = word[:-5] + "t"
+                elif suf in (
+                    "ism", "isme", "ist", "ista", "iste", "isti",
+                    "istă", "işti",
+                ):
+                    word = word[: -len(suf)] + "ist"
+                else:
+                    word = word[: -len(suf)]
+            break
+
+    # step 3: verb suffixes (rv; non-word-rv group needs a consonant before
+    # the FIRST rv occurrence — the reference uses rv.index, not rindex)
+    if not step1_success and not step2_success:
+        for suf in _RO_STEP3:
+            if word.endswith(suf):
+                if suf in rv:
+                    if suf in _RO_3_WORDRV:
+                        word = word[: -len(suf)]
+                        rv = rv[: -len(suf)]
+                    elif (
+                        not rv.startswith(suf)
+                        and rv[rv.index(suf) - 1] not in "aeioă\xe2\xee"
+                    ):
+                        word = word[: -len(suf)]
+                    break
+
+    # step 4: final vowel
+    for suf in ("ie", "a", "e", "i", "ă"):
+        if word.endswith(suf):
+            if suf in rv:
+                word = word[: -len(suf)]
+            break
+
+    return word.replace("I", "i").replace("U", "u")
+
+
+# ---------------------------------------------------------------------------
+# Russian (tables in lang_snowball_ru_data; stems in the NLTK ports'
+# transliteration and converts back)
+# ---------------------------------------------------------------------------
+
+_RU_C2R = (
+    ("А", "a"), ("а", "a"), ("Б", "b"), ("б", "b"),
+    ("В", "v"), ("в", "v"), ("Г", "g"), ("г", "g"),
+    ("Д", "d"), ("д", "d"), ("Е", "e"), ("е", "e"),
+    ("Ё", "e"), ("ё", "e"), ("Ж", "zh"), ("ж", "zh"),
+    ("З", "z"), ("з", "z"), ("И", "i"), ("и", "i"),
+    ("Й", "i`"), ("й", "i`"), ("К", "k"), ("к", "k"),
+    ("Л", "l"), ("л", "l"), ("М", "m"), ("м", "m"),
+    ("Н", "n"), ("н", "n"), ("О", "o"), ("о", "o"),
+    ("П", "p"), ("п", "p"), ("Р", "r"), ("р", "r"),
+    ("С", "s"), ("с", "s"), ("Т", "t"), ("т", "t"),
+    ("У", "u"), ("у", "u"), ("Ф", "f"), ("ф", "f"),
+    ("Х", "kh"), ("х", "kh"), ("Ц", "t^s"), ("ц", "t^s"),
+    ("Ч", "ch"), ("ч", "ch"), ("Ш", "sh"), ("ш", "sh"),
+    ("Щ", "shch"), ("щ", "shch"), ("Ъ", "''"),
+    ("ъ", "''"), ("Ы", "y"), ("ы", "y"), ("Ь", "'"),
+    ("ь", "'"), ("Э", "e`"), ("э", "e`"),
+    ("Ю", "i^u"), ("ю", "i^u"), ("Я", "i^a"),
+    ("я", "i^a"),
+)
+_RU_R2C = (
+    ("i^u", "ю"), ("i^a", "я"), ("shch", "щ"),
+    ("kh", "х"), ("t^s", "ц"), ("ch", "ч"),
+    ("e`", "э"), ("i`", "й"), ("sh", "ш"),
+    ("k", "к"), ("e", "е"), ("zh", "ж"), ("a", "а"),
+    ("b", "б"), ("v", "в"), ("g", "г"), ("d", "д"),
+    ("z", "з"), ("i", "и"), ("l", "л"), ("m", "м"),
+    ("n", "н"), ("o", "о"), ("p", "п"), ("r", "р"),
+    ("s", "с"), ("t", "т"), ("u", "у"), ("f", "ф"),
+    ("''", "ъ"), ("y", "ы"), ("'", "ь"),
+)
+
+
+def _ru_chain(word: str, pairs) -> str:
+    for a, b in pairs:
+        word = word.replace(a, b)
+    return word
+
+
+def _ru_regions(word: str) -> tuple[str, str]:
+    """(RV, R2) over the transliterated word; multigraph vowels i^a/i^u/e`
+    are packed to single markers for the scan (reference
+    __regions_russian)."""
+    vowels = "AUEaeiouy"
+    packed = (
+        word.replace("i^a", "A").replace("i^u", "U").replace("e`", "E")
+    )
+    r1 = r2 = rv = ""
+    for i in range(1, len(packed)):
+        if packed[i] not in vowels and packed[i - 1] in vowels:
+            r1 = packed[i + 1 :]
+            break
+    for i in range(1, len(r1)):
+        if r1[i] not in vowels and r1[i - 1] in vowels:
+            r2 = r1[i + 1 :]
+            break
+    for i in range(len(packed)):
+        if packed[i] in vowels:
+            rv = packed[i + 1 :]
+            break
+    unpack = lambda s: (
+        s.replace("A", "i^a").replace("U", "i^u").replace("E", "e`")
+    )
+    return unpack(rv), unpack(r2)
+
+
+def _ru_a_precedes(rv: str, n: int) -> bool:
+    """The participle-group-1 precondition: an 'a' or 'i^a' right before
+    the suffix (in RV)."""
+    return rv[-n - 3 : -n] == "i^a" or rv[-n - 1 : -n] == "a"
+
+
+@lru_cache(maxsize=50000)
+def stem_ru(word: str) -> str:
+    from whoosh_novo_ray.lang_snowball_ru_data import (
+        ADJ_A,
+        ADJECTIVAL,
+        DERIVATIONAL,
+        NOUN,
+        PERF_A,
+        PERFECTIVE_GERUND,
+        REFLEXIVE,
+        SUPERLATIVE,
+        VERB,
+        VERB_A,
+    )
+
+    cyrillic = any(ord(c) > 255 for c in word)
+    if cyrillic:
+        word = _ru_chain(word, _RU_C2R)
+
+    rv, r2 = _ru_regions(word)
+
+    step1_success = False
+    adjectival_removed = False
+    verb_removed = False
+
+    for suf in PERFECTIVE_GERUND:
+        if rv.endswith(suf):
+            n = len(suf)
+            if suf in PERF_A:
+                if _ru_a_precedes(rv, n):
+                    word, r2, rv = word[:-n], r2[:-n], rv[:-n]
+                    step1_success = True
+                    break
+            else:
+                word, r2, rv = word[:-n], r2[:-n], rv[:-n]
+                step1_success = True
+                break
+
+    if not step1_success:
+        for suf in REFLEXIVE:
+            if rv.endswith(suf):
+                n = len(suf)
+                word, r2, rv = word[:-n], r2[:-n], rv[:-n]
+                break
+
+        for suf in ADJECTIVAL:
+            if rv.endswith(suf):
+                n = len(suf)
+                if suf in ADJ_A:
+                    if _ru_a_precedes(rv, n):
+                        word, r2, rv = word[:-n], r2[:-n], rv[:-n]
+                        adjectival_removed = True
+                        break
+                else:
+                    word, r2, rv = word[:-n], r2[:-n], rv[:-n]
+                    adjectival_removed = True
+                    break
+
+        if not adjectival_removed:
+            for suf in VERB:
+                if rv.endswith(suf):
+                    n = len(suf)
+                    if suf in VERB_A:
+                        if _ru_a_precedes(rv, n):
+                            word, r2, rv = word[:-n], r2[:-n], rv[:-n]
+                            verb_removed = True
+                            break
+                    else:
+                        word, r2, rv = word[:-n], r2[:-n], rv[:-n]
+                        verb_removed = True
+                        break
+
+        if not adjectival_removed and not verb_removed:
+            for suf in NOUN:
+                if rv.endswith(suf):
+                    n = len(suf)
+                    word, r2, rv = word[:-n], r2[:-n], rv[:-n]
+                    break
+
+    if rv.endswith("i"):
+        word, r2 = word[:-1], r2[:-1]
+
+    for suf in DERIVATIONAL:
+        if r2.endswith(suf):
+            word = word[: -len(suf)]
+            break
+
+    undouble = False
+    superlative = False
+    if word.endswith("nn"):
+        word = word[:-1]
+        undouble = True
+    if not undouble:
+        for suf in SUPERLATIVE:
+            if word.endswith(suf):
+                word = word[: -len(suf)]
+                superlative = True
+                break
+        if word.endswith("nn"):
+            word = word[:-1]
+    if not undouble and not superlative and word.endswith("'"):
+        word = word[:-1]
+
+    if cyrillic:
+        word = _ru_chain(word, _RU_R2C)
+    return word
+
+
+# ---------------------------------------------------------------------------
+# Hungarian
+# ---------------------------------------------------------------------------
+
+_HU_VOWELS = "aeiou\xf6\xfc\xe1\xe9\xed\xf3\xf5\xfa\xfb"
+_HU_DIGRAPHS = ("cs", "dz", "dzs", "gy", "ly", "ny", "ty", "zs")
+_HU_DOUBLES = (
+    "bb", "cc", "ccs", "dd", "ff", "gg", "ggy", "jj", "kk", "ll",
+    "lly", "mm", "nn", "nny", "pp", "rr", "ss", "ssz", "tt", "tty",
+    "vv", "zz", "zzs",
+)
+_HU_S2 = (
+    "k\xe9ppen", "onk\xe9nt", "enk\xe9nt", "ank\xe9nt", "k\xe9pp",
+    "k\xe9nt", "ban", "ben", "nak", "nek", "val", "vel", "t\xf3l",
+    "t\xf5l", "r\xf3l", "r\xf5l", "b\xf3l", "b\xf5l", "hoz", "hez",
+    "h\xf6z", "n\xe1l", "n\xe9l", "\xe9rt", "kor", "ba", "be", "ra",
+    "re", "ig", "at", "et", "ot", "\xf6t", "ul", "\xfcl", "v\xe1",
+    "v\xe9", "en", "on", "an", "\xf6n", "n", "t",
+)
+_HU_S3 = ("\xe1nk\xe9nt", "\xe1n", "\xe9n")
+_HU_S4 = ("astul", "est\xfcl", "\xe1stul", "\xe9st\xfcl", "stul", "st\xfcl")
+_HU_S6 = (
+    "ok\xe9", "\xf6k\xe9", "ak\xe9", "ek\xe9", "\xe1k\xe9",
+    "\xe1\xe9i", "\xe9k\xe9", "\xe9\xe9i", "k\xe9", "\xe9i",
+    "\xe9\xe9", "\xe9",
+)
+_HU_S7 = (
+    "\xe1juk", "\xe9j\xfck", "\xfcnk", "unk", "juk", "j\xfck",
+    "\xe1nk", "\xe9nk", "nk", "uk", "\xfck", "em", "om", "am", "od",
+    "ed", "ad", "\xf6d", "ja", "je", "\xe1m", "\xe1d", "\xe9m",
+    "\xe9d", "m", "d", "a", "e", "o", "\xe1", "\xe9",
+)
+_HU_S8 = (
+    "jaitok", "jeitek", "jaink", "jeink", "aitok", "eitek", "\xe1itok",
+    "\xe9itek", "jaim", "jeim", "jaid", "jeid", "eink", "aink",
+    "itek", "jeik", "jaik", "\xe1ink", "\xe9ink", "aim", "eim",
+    "aid", "eid", "jai", "jei", "ink", "aik", "eik", "\xe1im",
+    "\xe1id", "\xe1ik", "\xe9im", "\xe9id", "\xe9ik", "im", "id",
+    "ai", "ei", "ik", "\xe1i", "\xe9i", "i",
+)
+_HU_S9 = ("\xe1k", "\xe9k", "\xf6k", "ok", "ek", "ak", "k")
+
+
+def _r1_hungarian(word: str) -> str:
+    """Vowel-initial words: after the first consonant — but the port's
+    digraph shortcut indexes the digraph's LAST CHAR anywhere in the word
+    (quirk preserved). Consonant-initial: after the first vowel."""
+    if word[0] in _HU_VOWELS:
+        for dg in _HU_DIGRAPHS:
+            if dg in word[1:]:
+                return word[word.index(dg[-1]) + 1 :]
+        for i in range(1, len(word)):
+            if word[i] not in _HU_VOWELS:
+                return word[i + 1 :]
+        return ""
+    for i in range(1, len(word)):
+        if word[i] in _HU_VOWELS:
+            return word[i + 1 :]
+    return ""
+
+
+@lru_cache(maxsize=50000)
+def stem_hu(word: str) -> str:
+    word = word.lower()
+    if not word:
+        return word
+    r1 = _r1_hungarian(word)
+
+    # step 1: instrumental case (undouble before -al/-el)
+    if r1.endswith(("al", "el")):
+        for dc in _HU_DOUBLES:
+            if word[-2 - len(dc) : -2] == dc:
+                word = word[:-4] + word[-3]
+                if r1[-2 - len(dc) : -2] == dc:
+                    r1 = r1[:-4] + r1[-3]
+                break
+
+    # step 2: frequent cases
+    for suf in _HU_S2:
+        if word.endswith(suf):
+            if r1.endswith(suf):
+                n = len(suf)
+                word, r1 = word[:-n], r1[:-n]
+                if r1.endswith("\xe1"):
+                    word, r1 = word[:-1] + "a", r1[:-1] + "a"
+                elif r1.endswith("\xe9"):
+                    word, r1 = word[:-1] + "e", r1[:-1] + "e"
+            break
+
+    # step 3: special cases
+    for suf in _HU_S3:
+        if r1.endswith(suf):
+            if suf == "\xe9n":
+                word, r1 = word[:-2] + "e", r1[:-2] + "e"
+            else:
+                n = len(suf)
+                word, r1 = word[:-n] + "a", r1[:-n] + "a"
+            break
+
+    # step 4: other cases
+    for suf in _HU_S4:
+        if r1.endswith(suf):
+            if suf == "\xe1stul":
+                word, r1 = word[:-5] + "a", r1[:-5] + "a"
+            elif suf == "\xe9st\xfcl":
+                word, r1 = word[:-5] + "e", r1[:-5] + "e"
+            else:
+                n = len(suf)
+                word, r1 = word[:-n], r1[:-n]
+            break
+
+    # step 5: factive case (undouble before final á/é)
+    for suf in ("\xe1", "\xe9"):
+        if r1.endswith(suf):
+            for dc in _HU_DOUBLES:
+                if word[-1 - len(dc) : -1] == dc:
+                    word = word[:-3] + word[-2]
+                    if r1[-1 - len(dc) : -1] == dc:
+                        r1 = r1[:-3] + r1[-2]
+                    break
+
+    # step 6: owned
+    for suf in _HU_S6:
+        if r1.endswith(suf):
+            if suf in ("\xe1k\xe9", "\xe1\xe9i"):
+                word, r1 = word[:-3] + "a", r1[:-3] + "a"
+            elif suf in ("\xe9k\xe9", "\xe9\xe9i", "\xe9\xe9"):
+                n = len(suf)
+                word, r1 = word[:-n] + "e", r1[:-n] + "e"
+            else:
+                n = len(suf)
+                word, r1 = word[:-n], r1[:-n]
+            break
+
+    # step 7: singular owner
+    for suf in _HU_S7:
+        if word.endswith(suf):
+            if r1.endswith(suf):
+                n = len(suf)
+                if suf in ("\xe1nk", "\xe1juk", "\xe1m", "\xe1d", "\xe1"):
+                    word, r1 = word[:-n] + "a", r1[:-n] + "a"
+                elif suf in ("\xe9nk", "\xe9j\xfck", "\xe9m", "\xe9d", "\xe9"):
+                    word, r1 = word[:-n] + "e", r1[:-n] + "e"
+                else:
+                    word, r1 = word[:-n], r1[:-n]
+            break
+
+    # step 8: plural owner
+    for suf in _HU_S8:
+        if word.endswith(suf):
+            if r1.endswith(suf):
+                n = len(suf)
+                if suf in (
+                    "\xe1im", "\xe1id", "\xe1i", "\xe1ink",
+                    "\xe1itok", "\xe1ik",
+                ):
+                    word, r1 = word[:-n] + "a", r1[:-n] + "a"
+                elif suf in (
+                    "\xe9im", "\xe9id", "\xe9i", "\xe9ink",
+                    "\xe9itek", "\xe9ik",
+                ):
+                    word, r1 = word[:-n] + "e", r1[:-n] + "e"
+                else:
+                    word, r1 = word[:-n], r1[:-n]
+            break
+
+    # step 9: plural
+    for suf in _HU_S9:
+        if word.endswith(suf):
+            if r1.endswith(suf):
+                if suf == "\xe1k":
+                    word = word[:-2] + "a"
+                elif suf == "\xe9k":
+                    word = word[:-2] + "e"
+                else:
+                    word = word[: -len(suf)]
+            break
+
+    return word
+
+
 STEMMERS = {
     "de": stem_de,
     "da": stem_da,
@@ -1139,6 +1866,10 @@ STEMMERS = {
     "fr": stem_fr,
     "it": stem_it,
     "pt": stem_pt,
+    "fi": stem_fi,
+    "ro": stem_ro,
+    "ru": stem_ru,
+    "hu": stem_hu,
 }
 
 
