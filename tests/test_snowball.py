@@ -110,7 +110,7 @@ def test_stemmer_differential(lang):
 
 
 @pytest.mark.skipif(not HAVE_REFERENCE, reason="reference not available")
-@pytest.mark.parametrize("lang", ["de", "da", "no", "sv", "nl", "es", "fr", "it", "pt", "fi", "hu", "ru", "ro", "tr"])
+@pytest.mark.parametrize("lang", ["de", "da", "no", "sv", "nl", "es", "fr", "it", "pt", "fi", "hu", "ru", "ro", "tr", "ar"])
 def test_language_analyzer_differential(lang):
     from whoosh.analysis import LanguageAnalyzer as RefLA
 
@@ -173,6 +173,10 @@ def test_language_analyzer_differential(lang):
         "tr": [
             "Çocuklar bahçede mutlu bir şekilde oynuyordu",
         ],
+        "ar": [
+            "الكتاب والمكتبة للقراءة",
+            "يستعملون الحاسوب يوميا",
+        ],
     }[lang]
     for t in texts:
         expect = [tok.text for tok in ref(t)]
@@ -216,3 +220,20 @@ def test_language_index_roundtrip(ray_session, tmp_path):
     # 'kind' is the stem of kinder/kind: both docs match
     ids, _ = s.postings(Term("kind"))
     assert ids.tolist() == [0, 1]
+
+
+@pytest.mark.skipif(not HAVE_REFERENCE, reason="reference not available")
+def test_isri_differential():
+    import random as _random
+
+    from whoosh.lang import stemmer_for_language as ref_for
+
+    from whoosh_novo_ray.lang_isri import stem_ar
+
+    ref = ref_for("ar")
+    rng = _random.Random(9)
+    letters = [chr(c) for c in range(0x0621, 0x064B)]
+    diac = [chr(c) for c in range(0x064B, 0x0653)]
+    for _ in range(8000):
+        w = "".join(rng.choices(letters + diac, k=rng.randrange(1, 10)))
+        assert stem_ar(w) == ref(w), repr(w)

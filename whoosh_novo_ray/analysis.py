@@ -284,7 +284,7 @@ def language_analyzer(lang: str) -> StandardAnalyzer:
     if lang == "en":
         return StandardAnalyzer(stem=True)
     stops = STOPWORDS.get(lang)
-    stem_lang = lang if lang in STEMMERS else None
+    stem_lang = lang if (lang in STEMMERS or lang == "ar") else None
     return StandardAnalyzer(stoplist=stops, stem_lang=stem_lang)
 
 

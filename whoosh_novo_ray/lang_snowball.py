@@ -1874,15 +1874,20 @@ STEMMERS = {
 
 
 def stemmer_for_language(lang: str):
-    """Stemming function for a 2-letter language code ('en' = Porter)."""
+    """Stemming function for a 2-letter language code ('en' = Porter,
+    'ar' = ISRI, rest = snowball)."""
     if lang == "en":
         from whoosh_novo_ray.porter import stem as stem_en
 
         return stem_en
+    if lang == "ar":
+        from whoosh_novo_ray.lang_isri import stem_ar
+
+        return stem_ar
     try:
         return STEMMERS[lang]
     except KeyError:
         raise ValueError(
-            f"no stemmer for language {lang!r} (have: en, "
+            f"no stemmer for language {lang!r} (have: en, ar, "
             + ", ".join(sorted(STEMMERS)) + ")"
         ) from None
