@@ -82,3 +82,36 @@ def test_path_tokens_differential():
     pt = PathTokenizer()
     for v in ["/a/b/c", "a/b", "/x", "usr/local/lib/python"]:
         assert path_tokens(v) == [t.text for t in pt(v)], v
+
+
+@pytest.mark.skipif(not HAVE_REFERENCE, reason="reference not available")
+def test_strip_substitution_reverse_filters():
+    import random
+
+    from whoosh.analysis import (
+        RegexTokenizer,
+        ReverseTextFilter,
+        StripFilter,
+        SubstitutionFilter,
+    )
+
+    from whoosh_novo_ray.analysis import (
+        reverse_text_tokens,
+        strip_tokens,
+        substitution_tokens,
+    )
+
+    rng = random.Random(8)
+    rt = RegexTokenizer(r"\S+")
+    for _ in range(300):
+        text = " ".join(
+            "".join(rng.choices("abc-xyz_ ", k=rng.randrange(1, 8)).__iter__())
+            for _ in range(rng.randrange(1, 8))
+        )
+        base = [t.text for t in rt(text)]
+        ref_rev = [t.text for t in (rt | ReverseTextFilter())(text)]
+        assert reverse_text_tokens(base) == ref_rev
+        ref_strip = [t.text for t in (rt | StripFilter())(text)]
+        assert strip_tokens(base) == ref_strip
+        ref_sub = [t.text for t in (rt | SubstitutionFilter("-", "/"))(text)]
+        assert substitution_tokens(base, "-", "/") == ref_sub

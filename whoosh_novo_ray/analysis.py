@@ -538,6 +538,26 @@ class MultiAnalyzer:
         return self.for_mode(mode)(text)
 
 
+def strip_tokens(tokens: list[str]) -> list[str]:
+    """StripFilter (reference analysis/filters.py:343-349): str.strip per
+    token."""
+    return [t.strip() for t in tokens]
+
+
+def substitution_tokens(
+    tokens: list[str], pattern: str, replacement: str
+) -> list[str]:
+    """SubstitutionFilter (reference analysis/filters.py:581-610): regex
+    substitution on each token's text."""
+    rx = re.compile(pattern)
+    return [rx.sub(replacement, t) for t in tokens]
+
+
+def reverse_text_tokens(tokens: list[str]) -> list[str]:
+    """ReverseTextFilter (reference analysis/filters.py:314-325)."""
+    return [t[::-1] for t in tokens]
+
+
 def tee_tokens(tokens: list[str], *branch_fns) -> list[str]:
     """Interleave the outputs of several per-token transforms (reference
     TeeFilter, filters.py:257-311): for each input token, each branch
