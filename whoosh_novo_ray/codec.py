@@ -73,6 +73,10 @@ def varint_decode(buf, n: int) -> np.ndarray:
     if n == 0:
         return np.empty(0, np.uint64)
     data = np.frombuffer(buf, np.uint8)
+    if len(data) == n:
+        # every value fits one byte (all < 128) — common for tfs and dense
+        # doc-id deltas; skips the continuation machinery entirely
+        return data.astype(np.uint64)
     is_end = (data & 0x80) == 0
     ends = np.flatnonzero(is_end)[:n]
     starts = np.empty(n, np.int64)

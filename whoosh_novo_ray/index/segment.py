@@ -194,10 +194,16 @@ class TermRow:
 def _row_to_termrow(
     tbl: pa.Table, i: int, with_positions: bool, with_chars: bool = False
 ) -> TermRow:
-    get = lambda name: tbl[name][i].as_py()
+    def get(name):
+        # binary blobs: wrap the Arrow buffer instead of copying via as_py
+        s = tbl[name][i]
+        if isinstance(s, pa.LargeBinaryScalar):  # the posting blobs
+            return s.as_buffer()
+        return s.as_py()
 
     def nplist(name, dtype):
-        return np.asarray(get(name), dtype=dtype)
+        # list scalar -> numpy via the Arrow values array (no Python list)
+        return tbl[name][i].values.to_numpy(zero_copy_only=False).astype(dtype)
 
     tr = TermRow(
         term=get("term"),

@@ -509,9 +509,29 @@ class Searcher:
             scores = np.asarray(
                 self.weighting.final(self, ids, scores), np.float64
             )
-        order = np.lexsort((ids, -scores))
-        if limit is not None:
-            order = order[:limit]
+        n = len(ids)
+        if limit is not None and n > 4 * limit + 64:
+            # O(n) exact top-k: partition on score, resolve the boundary
+            # tie-layer by doc_id asc (constant-score queries tie the whole
+            # list — the tie layer is handled by a second partition on ids,
+            # never a full sort)
+            k = limit
+            kth = np.partition(scores, n - k)[n - k]
+            greater = np.flatnonzero(scores > kth)
+            eq = np.flatnonzero(scores == kth)
+            need = k - len(greater)
+            if 0 < need < len(eq):
+                sel = eq[np.argpartition(ids[eq], need - 1)[:need]]
+            elif need <= 0:
+                sel = eq[:0]
+            else:
+                sel = eq
+            cand = np.concatenate([greater, sel])
+            order = cand[np.lexsort((ids[cand], -scores[cand]))][:limit]
+        else:
+            order = np.lexsort((ids, -scores))
+            if limit is not None:
+                order = order[:limit]
         return pa.table(
             {
                 "doc_id": pa.array(ids[order], pa.uint64()),
