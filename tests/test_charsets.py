@@ -68,11 +68,7 @@ def test_charset_analyzer_in_index(ray_session, tmp_path):
 
     from whoosh_novo_ray.search import Searcher, Term
     from whoosh_novo_ray.index import Index
-    from whoosh_novo_ray.index.build import (
-        IndexConfig,
-        TokenizePostings,
-        _run_bucket_shuffle,
-    )
+    from whoosh_novo_ray.index.build import IndexConfig
 
     texts = ["Straße und Häuser", "der Fluß läuft", "STRASE exact match"]
     tbl = pa.table(
@@ -81,15 +77,13 @@ def test_charset_analyzer_in_index(ray_session, tmp_path):
             "text": pa.array(texts, pa.string()),
         }
     )
+    from whoosh_novo_ray.index import build_index
+
     cfg = IndexConfig(analyzer=CharsetAnalyzer(), num_buckets=2)
     out = str(tmp_path / "csidx")
-    postings = ray.data.from_arrow(tbl).map_batches(
-        TokenizePostings(cfg), batch_format="pyarrow", zero_copy_batch=True
-    )
-    # CharsetAnalyzer isn't JSON-serializable into the manifest config, so
-    # drive the shuffle directly with a placeholder config
-    _run_bucket_shuffle(postings, out, IndexConfig(num_buckets=2), "cs", False, 3)
+    build_index(ray.data.from_arrow(tbl), out, cfg, lineage="cs")
     idx = Index(out)
+    assert type(idx.cfg.analyzer).__name__ == "CharsetAnalyzer"  # manifest RT
     s = Searcher(idx)
     ids, _ = s.postings(Term("strase"))
     assert ids.tolist() == [0, 2]  # 'Straße' folds to 'strase' (ß->s in the table)

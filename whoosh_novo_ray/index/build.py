@@ -85,8 +85,21 @@ class IndexConfig:
         d = asdict(self)
         d["heavy_terms"] = sorted(self.heavy_terms)
         from whoosh_novo_ray.analysis import NgramAnalyzer
+        from whoosh_novo_ray.charsets import CharsetAnalyzer
 
-        if isinstance(self.analyzer, NgramAnalyzer):
+        if isinstance(self.analyzer, CharsetAnalyzer):
+            # the default Sphinx table round-trips by name; custom charmaps
+            # are serialized as {codepoint: replacement}
+            from whoosh_novo_ray.charsets import default_charmap
+
+            if self.analyzer.charmap == default_charmap():
+                d["analyzer"] = {"type": "charset"}
+            else:
+                d["analyzer"] = {
+                    "type": "charset",
+                    "charmap": {str(k): v for k, v in self.analyzer.charmap.items()},
+                }
+        elif isinstance(self.analyzer, NgramAnalyzer):
             d["analyzer"] = {
                 "type": "ngram",
                 "minsize": self.analyzer.minsize,
@@ -108,7 +121,14 @@ class IndexConfig:
     @staticmethod
     def from_json(d: dict) -> "IndexConfig":
         a = d.pop("analyzer")
-        if a.get("type") == "ngram":
+        if a.get("type") == "charset":
+            from whoosh_novo_ray.charsets import CharsetAnalyzer
+
+            cm = a.get("charmap")
+            ana = CharsetAnalyzer(
+                {int(k): v for k, v in cm.items()} if cm is not None else None
+            )
+        elif a.get("type") == "ngram":
             from whoosh_novo_ray.analysis import NgramAnalyzer
 
             ana = NgramAnalyzer(minsize=a["minsize"], maxsize=a["maxsize"])

@@ -30,6 +30,18 @@ Posting = tuple[np.ndarray, np.ndarray]  # (ids sorted asc, scores)
 
 _EMPTY: Posting = (np.empty(0, np.uint64), np.empty(0, np.float64))
 
+
+def _in_sorted(values: np.ndarray, sorted_arr: np.ndarray) -> np.ndarray:
+    """Membership mask of ``values`` in an ASCENDING-sorted unique array —
+    searchsorted instead of np.isin's internal sort."""
+    if not len(sorted_arr) or not len(values):
+        return np.zeros(len(values), bool)
+    idx = np.searchsorted(sorted_arr, values)
+    ok = idx < len(sorted_arr)
+    out = np.zeros(len(values), bool)
+    out[ok] = sorted_arr[idx[ok]] == values[ok]
+    return out
+
 # lexicographic max codepoint; analyzer tokens (\w matches) can never contain
 # it, so `prefix + _MAX_CHAR` is a safe inclusive upper bound for the prefix
 _MAX_CHAR = "\U0010ffff"
@@ -451,8 +463,11 @@ class Searcher:
 
         Fully vectorized: candidate docs map to small indices, each term's
         (doc, position) occurrences become flat uint64 keys
-        (cand_idx << 32 | pos), and the adjacency chain is a sequence of
-        sorted-array membership tests — no per-document Python loop.
+        (cand_idx << 32 | pos) — which arrive ALREADY SORTED (ids ascend,
+        positions ascend within a doc) — and the adjacency chain is a
+        sequence of searchsorted membership tests over sorted arrays. The
+        final scores reuse the postings decoded for positions (no second
+        segment read per term).
         """
         words = list(q.words)
         if not words:
@@ -462,13 +477,13 @@ class Searcher:
             return _EMPTY
         cand = per_term[0][0]
         for ids, *_ in per_term[1:]:
-            cand = cand[np.isin(cand, ids)]
+            cand = cand[_in_sorted(cand, ids)]
             if not len(cand):
                 return _EMPTY
 
         def flat_keys(ids, pos_pair):
             flat, counts = pos_pair
-            sel = np.isin(ids, cand)
+            sel = _in_sorted(ids, cand)
             occ_sel = np.repeat(sel, counts)
             docs = np.repeat(ids, counts)[occ_sel]
             cand_idx = np.searchsorted(cand, docs).astype(np.uint64)
@@ -476,18 +491,26 @@ class Searcher:
 
         allowed = flat_keys(per_term[0][0], per_term[0][3])
         for t in range(1, len(words)):
-            nxt = np.sort(flat_keys(per_term[t][0], per_term[t][3]))
-            merged = [
-                shifted[np.isin(shifted, nxt)]
-                for s in range(1, q.slop + 1)
-                for shifted in [allowed + np.uint64(s)]
-            ]
-            allowed = np.unique(np.concatenate(merged)) if merged else nxt[:0]
+            nxt = flat_keys(per_term[t][0], per_term[t][3])  # sorted
+            if q.slop == 1:
+                shifted = allowed + np.uint64(1)
+                allowed = shifted[_in_sorted(shifted, nxt)]  # stays sorted
+            else:
+                merged = [
+                    shifted[_in_sorted(shifted, nxt)]
+                    for s in range(1, q.slop + 1)
+                    for shifted in [allowed + np.uint64(s)]
+                ]
+                allowed = np.unique(np.concatenate(merged)) if merged else nxt[:0]
             if not len(allowed):
                 return _EMPTY
         good = cand[np.unique((allowed >> np.uint64(32)).astype(np.int64))]
-        ids, scores, _counts = _merge_sum([self.postings(Q.Term(w)) for w in words])
-        keep = np.isin(ids, good)
+        parts = []
+        for w, (t_ids, t_tfs, t_lens, _pos) in zip(words, per_term):
+            scorer = self.scorer_for(w)
+            parts.append((t_ids, scorer.score_arrays(t_tfs, t_lens)))
+        ids, scores, _counts = _merge_sum(parts)
+        keep = _in_sorted(ids, good)
         return ids[keep], scores[keep]
 
     # -- top-k ----------------------------------------------------------------
