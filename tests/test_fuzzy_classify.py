@@ -99,3 +99,49 @@ def test_key_terms_and_more_like(built_index, pages_table):
     assert len(r) > 0
     # the source document itself should be among the most similar
     assert 0 in r["doc_id"].to_pylist()
+
+
+@pytest.mark.skipif(not HAVE_REFERENCE, reason="reference not available")
+def test_neardup_utils_differential():
+    """shingles / simhash / hamming / kmeans utils (reference
+    classify.py:208-330)."""
+    import random
+
+    from whoosh.classify import hamming_distance as rham
+    from whoosh.classify import kmeans as rkm
+    from whoosh.classify import shingles as rsh
+    from whoosh.classify import simhash as rsim
+
+    from whoosh_novo_ray.search.classify import (
+        feature_simhash,
+        hamming_distance,
+        kmeans_1d,
+        token_shingles,
+    )
+
+    rng = random.Random(4)
+    for _ in range(400):
+        s = "".join(rng.choices("abcdef ", k=rng.randrange(0, 20)))
+        size = rng.randrange(1, 4)
+        assert sorted(token_shingles(s, size)) == sorted(rsh(s, size)), (s, size)
+    for _ in range(200):
+        feats = [
+            (
+                "".join(rng.choices("abcxyz", k=rng.randrange(0, 6))),
+                rng.randrange(-3, 8),
+            )
+            for _ in range(rng.randrange(0, 12))
+        ]
+        for hb in (32, 24, 16):
+            assert feature_simhash(feats, hb) == rsim(feats, hb)
+    for _ in range(200):
+        a, b = rng.randrange(0, 2**40), rng.randrange(0, 2**40)
+        hb = rng.choice([16, 32, 40])
+        assert hamming_distance(a, b, hb) == rham(a, b, hb)
+    for _ in range(60):
+        data = [rng.uniform(-5, 5) for _ in range(rng.randrange(6, 40))]
+        k = rng.randrange(1, 5)
+        centers = rng.sample(data, k)
+        ml, mc = kmeans_1d(data, k, centers=list(centers))
+        rl, rc = rkm(list(data), k, centers=list(centers))
+        assert ml == rl and mc == pytest.approx(rc)

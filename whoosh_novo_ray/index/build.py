@@ -75,6 +75,10 @@ class IndexConfig:
     # Frequency/PositionBoosts formats, formats.py:190-214,345-430); weights
     # are float32-quantized like the reference's pack_float payloads
     with_weights: bool = False
+    # optional per-document boost column (the reference's _<field>_boost /
+    # _boost kwargs, writing.py): multiplies every posting weight of the doc.
+    # Requires with_weights.
+    boost_col: str | None = None
     # terms whose postings are split over `salt_k` shuffle keys by doc-id range
     heavy_terms: tuple = ()
     salt_k: int = 8
@@ -267,6 +271,11 @@ class TokenizePostings:
                 g_weight = np.add.reduceat(s_boost, starts)
             else:
                 g_weight = tf.astype(np.float64)
+            if cfg.boost_col is not None:
+                doc_boost = batch[cfg.boost_col].to_numpy(
+                    zero_copy_only=False
+                ).astype(np.float64)
+                g_weight = g_weight * doc_boost[g_doc_idx]
             cols["weight"] = pa.array(
                 np.concatenate([g_weight, np.zeros(n_docs, np.float64)]),
                 pa.float64(),

@@ -116,3 +116,84 @@ def more_like(searcher, text: str, numterms: int = 5, limit: int = 10) -> pa.Tab
             {"doc_id": pa.array([], pa.uint64()), "score": pa.array([], pa.float64())}
         )
     return searcher.search(Q.Or(*[Q.Term(t) for t, _ in kt]), limit=limit)
+
+
+# -- near-duplicate / clustering utilities (reference classify.py:208-330) ----
+
+
+def token_shingles(seq, size: int = 2):
+    """(shingle, count) pairs over a sequence (reference ``shingles``)."""
+    counts: dict = {}
+    for i in range(len(seq) - (size - 1)):
+        sh = seq[i : i + size]
+        counts[sh] = counts.get(sh, 0) + 1
+    return list(counts.items())
+
+
+def _varhash(s: str, hashbits: int) -> int:
+    """The reference's variable-width string hash (classify.py:236-250)."""
+    if s == "":
+        return 0
+    mask = 2**hashbits - 1
+    x = ord(s[0]) << 7
+    for c in s:
+        x = ((x * 1000003) ^ ord(c)) & mask
+    x ^= len(s)
+    return -2 if x == -1 else x
+
+
+def feature_simhash(features, hashbits: int = 32) -> int:
+    """Weighted-feature SimHash (reference ``classify.simhash``): hashbits=32
+    uses Python's builtin ``hash`` (matching the reference — NOT stable
+    across interpreter runs for strings; use ``ops.dedup.simhash_table`` for
+    the deterministic md5-based engine path)."""
+    hashfn = hash if hashbits == 32 else (lambda s: _varhash(s, hashbits))
+    votes = [0] * hashbits
+    for feature, weight in features:
+        h = hashfn(feature)
+        for i in range(hashbits):
+            votes[i] += weight if h & (1 << i) else -weight
+    out = 0
+    for i, v in enumerate(votes):
+        if v > 0:
+            out |= 1 << i
+    return out
+
+
+def hamming_distance(a: int, b: int, hashbits: int = 32) -> int:
+    return ((a ^ b) & ((1 << hashbits) - 1)).bit_count()
+
+
+def kmeans_1d(data, k: int, t: float = 0.0001, maxiter: int = 50, centers=None):
+    """One-dimensional Lloyd's k-means (reference ``classify.kmeans``,
+    adapted like it from Roger Zhang's public C version): returns
+    (labels, centroids). ``centers=None`` samples random initial centroids
+    (pass explicit centers for determinism)."""
+    import random as _random
+
+    n = len(data)
+    c = list(centers) if centers else _random.sample(list(data), k)
+    labels = [0] * n
+    error = float("inf")
+    it = 0
+    while True:
+        old_error = error
+        error = 0.0
+        sums = [0.0] * k
+        counts = [0] * k
+        for h in range(n):
+            best = float("inf")
+            for i in range(k):
+                d = (data[h] - c[i]) ** 2
+                if d < best:
+                    labels[h] = i
+                    best = d
+            sums[labels[h]] += data[h]
+            counts[labels[h]] += 1
+            error += best
+        for i in range(k):
+            c[i] = sums[i] / counts[i] if counts[i] else sums[i]
+        it += 1
+        if abs(error - old_error) < t or it > maxiter:
+            break
+    return labels, c

@@ -30,7 +30,9 @@ class Query:
         return out
 
     def needs_positions(self) -> bool:
-        return any(isinstance(leaf, Phrase) for leaf in self.leaves())
+        return any(
+            isinstance(leaf, (Phrase, Sequence, Ordered)) for leaf in self.leaves()
+        )
 
 
 @dataclass(frozen=True)
@@ -181,6 +183,77 @@ class Regex(Query):
     pattern: str
     boost: float = 1.0
     constantscore: bool = True
+
+
+@dataclass(frozen=True)
+class Sequence(Query):
+    """Sub-queries matching at adjacent positions (reference
+    query/positional.py:36-120): each child may be any term-expanding query
+    (Term / Prefix / Wildcard / Regex / TermRange / Or-of-terms); child i+1
+    must occur within ``slop`` positions after child i. Scored like the
+    union of the matched terms."""
+
+    children: tuple
+    slop: int = 1
+    boost: float = 1.0
+
+    def __init__(self, *children, slop: int = 1, boost: float = 1.0):
+        object.__setattr__(self, "children", tuple(children))
+        object.__setattr__(self, "slop", slop)
+        object.__setattr__(self, "boost", boost)
+
+    def leaves(self):
+        yield self
+        for c in self.children:
+            yield from c.leaves()
+
+    def needs_positions(self) -> bool:
+        return True
+
+
+@dataclass(frozen=True)
+class Ordered(Query):
+    """Sub-queries in document order at ANY distance (reference Ordered /
+    SpanBefore, positional.py:123-132)."""
+
+    children: tuple
+    boost: float = 1.0
+
+    def __init__(self, *children, boost: float = 1.0):
+        object.__setattr__(self, "children", tuple(children))
+        object.__setattr__(self, "boost", boost)
+
+    def leaves(self):
+        yield self
+        for c in self.children:
+            yield from c.leaves()
+
+    def needs_positions(self) -> bool:
+        return True
+
+
+@dataclass(frozen=True)
+class ConstantScore(Query):
+    """Wraps a query; every match scores ``score`` (reference
+    ConstantScoreQuery, query/wrappers.py)."""
+
+    child: Query
+    score: float = 1.0
+
+    def leaves(self):
+        yield from self.child.leaves()
+
+
+@dataclass(frozen=True)
+class WeightingQuery(Query):
+    """Evaluates the child under a different weighting model (reference
+    WeightingQuery, query/wrappers.py)."""
+
+    child: Query
+    weighting: object
+
+    def leaves(self):
+        yield from self.child.leaves()
 
 
 @dataclass(frozen=True)

@@ -255,6 +255,18 @@ class Searcher:
             keep = ~np.isin(a_ids, b_ids)
             return a_ids[keep], a_sc[keep]
 
+        if isinstance(q, Q.ConstantScore):
+            ids, _ = self.postings(q.child)
+            return ids, np.full(len(ids), float(q.score))
+
+        if isinstance(q, Q.WeightingQuery):
+            sub = Searcher(self.index, weighting=q.weighting)
+            sub._universe = self._universe
+            return sub.postings(q.child)
+
+        if isinstance(q, (Q.Sequence, Q.Ordered)):
+            return self._sequence(q)
+
         if isinstance(q, Q.Otherwise):
             # reference query/compound.py:578-590: b only if a matches nothing
             a_ids, a_sc = self.postings(q.a)
@@ -512,6 +524,114 @@ class Searcher:
         ids, scores, _counts = _merge_sum(parts)
         keep = _in_sorted(ids, good)
         return ids[keep], scores[keep]
+
+    def _child_terms(self, c: Q.Query) -> list[str]:
+        """Concrete terms a Sequence/Ordered child resolves to."""
+        if isinstance(c, Q.Term):
+            return [c.text]
+        if isinstance(c, (Q.Prefix, Q.Wildcard, Q.Regex, Q.TermRange)):
+            return self.expand(c)
+        if isinstance(c, Q.Or) and all(isinstance(x, Q.Term) for x in c.children):
+            return [x.text for x in c.children]
+        raise TypeError(
+            f"Sequence/Ordered child must expand to terms, got {type(c).__name__}"
+        )
+
+    def _sequence(self, q) -> Posting:
+        """Sequence: child i+1 occurs within slop positions after child i;
+        Ordered: child i+1 occurs ANYWHERE after child i. Each child may
+        expand to several terms (their occurrences union). Scored as the
+        summed union of every matched term, like Phrase."""
+        ordered_any_dist = isinstance(q, Q.Ordered)
+        kids = [self._child_terms(c) for c in q.children]
+        if not kids:
+            return _EMPTY
+        per_child = []
+        live_kids = []
+        for terms in kids:
+            pairs = [
+                (t, p)
+                for t in terms
+                for p in [self.term_postings(t, with_positions=True)]
+                if len(p[0])
+            ]
+            if not pairs:
+                return _EMPTY
+            live_kids.append([t for t, _ in pairs])
+            per_child.append([p for _, p in pairs])
+        kids = live_kids
+
+        # candidate docs: intersection of each child's term-union doc sets
+        def union_ids(parts):
+            u = np.unique(np.concatenate([p[0] for p in parts]))
+            return u
+
+        cand = union_ids(per_child[0])
+        for parts in per_child[1:]:
+            cand = cand[_in_sorted(cand, union_ids(parts))]
+            if not len(cand):
+                return _EMPTY
+
+        def child_keys(parts):
+            keys = []
+            for ids, _tfs, _lens, (flat, counts) in parts:
+                sel = _in_sorted(ids, cand)
+                occ_sel = np.repeat(sel, counts)
+                docs = np.repeat(ids, counts)[occ_sel]
+                cidx = np.searchsorted(cand, docs).astype(np.uint64)
+                keys.append((cidx << np.uint64(32)) | flat[occ_sel])
+            out = keys[0] if len(keys) == 1 else np.concatenate(keys)
+            out.sort()
+            return out
+
+        if ordered_any_dist:
+            # reference SpanBefore semantics (query/spans.py:869-901,
+            # left-folded by _tree_matcher): a FIRST-child occurrence must
+            # precede the MINIMUM position of EVERY later child — i.e.
+            # min(child_0) < min(child_i) per doc (ordering among the later
+            # children is NOT enforced; reference quirk preserved).
+            def per_doc_min(parts):
+                keys = child_keys(parts)  # sorted (cand_idx << 32 | pos)
+                docs = (keys >> np.uint64(32)).astype(np.int64)
+                starts = np.flatnonzero(np.diff(docs, prepend=-1))
+                out = np.full(len(cand), np.iinfo(np.int64).max, np.int64)
+                out[docs[starts]] = (
+                    keys[starts] & np.uint64(0xFFFFFFFF)
+                ).astype(np.int64)
+                return out
+
+            min0 = per_doc_min(per_child[0])
+            ok = min0 < np.iinfo(np.int64).max
+            for parts in per_child[1:]:
+                ok &= min0 < per_doc_min(parts)
+            good = cand[ok]
+            if not len(good):
+                return _EMPTY
+        else:
+            allowed = child_keys(per_child[0])
+            for parts in per_child[1:]:
+                nxt = child_keys(parts)
+                merged = [
+                    shifted[_in_sorted(shifted, nxt)]
+                    for s in range(1, q.slop + 1)
+                    for shifted in [allowed + np.uint64(s)]
+                ]
+                allowed = (
+                    merged[0]
+                    if len(merged) == 1
+                    else np.unique(np.concatenate(merged))
+                )
+                if not len(allowed):
+                    return _EMPTY
+            good = cand[np.unique((allowed >> np.uint64(32)).astype(np.int64))]
+        parts_scored = []
+        for terms, parts in zip(kids, per_child):
+            for t, (t_ids, t_tfs, t_lens, _p) in zip(terms, parts):
+                scorer = self.scorer_for(t)
+                parts_scored.append((t_ids, scorer.score_arrays(t_tfs, t_lens)))
+        ids, scores, _c = _merge_sum(parts_scored)
+        keep = _in_sorted(ids, good)
+        return ids[keep], scores[keep] * float(q.boost)
 
     # -- top-k ----------------------------------------------------------------
 
