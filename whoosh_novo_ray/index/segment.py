@@ -236,6 +236,10 @@ def _row_to_termrow(
     return tr
 
 
+def _read_stats_file(path: str, columns: list[str]) -> pa.Table:
+    return pq.read_table(path, columns=columns)
+
+
 def _scan_terms_file(path: str, filt, predicate) -> list[str]:
     """One bucket's term-dictionary scan (also the Ray-task body): range
     filter pushed into the parquet read (row-group stats pruning), exact
@@ -310,10 +314,17 @@ class Index:
 
     def iter_term_stats(self, columns=("term", "df", "weight")) -> pa.Table:
         """Full term dictionary (stats columns only) across all buckets,
-        merging salted duplicates by summation."""
-        tables = []
-        for bk in sorted(self._bucket_paths):
-            tables.append(pq.read_table(self._bucket_paths[bk], columns=list(columns)))
+        merging salted duplicates by summation. Bucket reads fan out as Ray
+        tasks when there are enough of them and a session is live."""
+        import ray as _ray
+
+        paths = [self._bucket_paths[bk] for bk in sorted(self._bucket_paths)]
+        cols = list(columns)
+        if len(paths) >= 4 and _ray.is_initialized():
+            fn = _ray.remote(num_cpus=1)(_read_stats_file)
+            tables = _ray.get([fn.remote(p, cols) for p in paths])
+        else:
+            tables = [_read_stats_file(p, cols) for p in paths]
         tbl = pa.concat_tables(tables)
         if self.cfg.heavy_terms:
             tbl = pa.TableGroupBy(tbl, "term").aggregate(
