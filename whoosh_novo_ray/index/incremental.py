@@ -108,6 +108,8 @@ class GenerationalIndex:
         cur = self.current_path()
         if cur is None:
             return self.create(docs, lineage)
+        # ids of the UPDATE DELTA only (8 bytes per updated doc, not the
+        # corpus) — they become the selective-delete list for the merge
         new_ids = np.array(
             [r["doc_id"] for r in docs.select_columns(["doc_id"]).take_all()],
             np.uint64,

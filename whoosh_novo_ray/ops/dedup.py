@@ -331,6 +331,9 @@ def minhash_lsh_candidates(
             }
         )
 
+    # the deduped candidate-pair set IS this function's return value —
+    # near-dup candidates are sparse by construction, so collecting them is
+    # result-sized, not corpus-sized
     pairs = (
         banded.groupby("band_key")
         .map_groups(emit_pairs, batch_format="pyarrow")
