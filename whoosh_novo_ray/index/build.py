@@ -886,6 +886,20 @@ def build_index(
     """
     cfg = cfg or IndexConfig()
     doc_count = docs.count()
+    # Defend against under-partitioned inputs: a single-block Dataset (e.g.
+    # ray.data.from_arrow, or read_parquet of one small file) would run the
+    # ENTIRE tokenize stage as one serial task. When the input's block count
+    # is visible (materialized) and too small for the cluster, repartition —
+    # the extra pass over raw text is far cheaper than serial tokenization.
+    try:
+        nb = docs.num_blocks()
+    except Exception:
+        nb = None  # lazy dataset: block count is the reader's choice
+    if nb is not None:
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        target = min(max(ncpu, 8), max(1, doc_count // 200))
+        if nb < max(2, target // 2):
+            docs = docs.repartition(target)
     if auto_heavy and not cfg.heavy_terms:
         kwargs = auto_heavy if isinstance(auto_heavy, dict) else {}
         detected = detect_heavy_terms(docs, cfg, doc_count=doc_count, **kwargs)

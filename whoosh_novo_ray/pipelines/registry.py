@@ -93,10 +93,16 @@ _INDEX_CACHE: dict[str, Any] = {}
 
 
 def _docs_ds(sf_dir: str, columns=("doc_id", "text")):
+    import ray
     import ray.data
 
+    # block to the CPU count: a single small parquet file would otherwise be
+    # ONE block and serialize every downstream map_batches stage
+    n_blocks = int(ray.cluster_resources().get("CPU", 8))
     return ray.data.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"), columns=list(columns)
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=list(columns),
+        override_num_blocks=n_blocks,
     )
 
 
