@@ -132,7 +132,17 @@ def build_pages_index(num_cpus: int, out_dir: str) -> dict:
 
 def query_latencies(index_dir: str, repeats: int = 20) -> dict:
     from whoosh_novo_ray.index import Index
-    from whoosh_novo_ray.search import And, Or, Phrase, Searcher, Term
+    from whoosh_novo_ray.search import (
+        And,
+        Or,
+        Ordered,
+        Phrase,
+        Prefix,
+        Searcher,
+        Sequence,
+        Term,
+        Variations,
+    )
 
     idx = Index(index_dir)
     qset = {
@@ -141,6 +151,9 @@ def query_latencies(index_dir: str, repeats: int = 20) -> dict:
         "q_or3": Or(Term("search"), Term("index"), Term("data")),
         "q_and2": And(Term("search"), Term("data")),
         "q_phrase": Phrase(["search", "index"]),
+        "q_variations": Variations("index"),
+        "q_sequence": Sequence(Term("search"), Prefix("ind")),
+        "q_ordered": Ordered(Term("search"), Term("data")),
     }
     out = {}
     total = 0.0
@@ -240,6 +253,9 @@ def run_ops(sf_dir: str) -> dict:
         "op_minhash_lsh",
         lambda: minhash_lsh_candidates(_docs()),
     )
+    from whoosh_novo_ray.ops import ngram_jaccard_pairs
+
+    timed("op_jaccard", lambda: ngram_jaccard_pairs(_docs()))
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     q = pq.read_table(emb_path).column("embedding")[0].as_py()
     timed(

@@ -96,6 +96,72 @@ def main():
             if a != b:
                 fails += 1
                 print("PREFIX FAIL", pre)
+
+        # round-2 query types -----------------------------------------------
+        from whoosh_novo_ray.search import (
+            Ordered,
+            Otherwise,
+            Phrase,
+            Sequence,
+            Variations,
+        )
+
+        for t1, t2 in itertools.combinations(terms[:6], 2):
+            runs += 1
+            a = sorted(d for d, _x in mine(Phrase([t1, t2]), None))
+            b = sorted(
+                h["doc_id"]
+                for h in rs.search(
+                    wq.Phrase("text", [t1, t2]), limit=None, optimize=False
+                )
+            )
+            if a != b:
+                fails += 1
+                print("PHRASE FAIL", t1, t2)
+            runs += 1
+            a = sorted(d for d, _x in mine(Ordered(Term(t1), Term(t2)), None))
+            b = sorted(
+                h["doc_id"]
+                for h in rs.search(
+                    wq.Ordered([wq.Term("text", t1), wq.Term("text", t2)]),
+                    limit=None,
+                    optimize=False,
+                )
+            )
+            if a != b:
+                fails += 1
+                print("ORDERED FAIL", t1, t2)
+        for t1 in terms[:6]:
+            runs += 1
+            if mine(Variations(t1), 20) != ref(
+                wq.Variations("text", t1), 20
+            ):
+                fails += 1
+                print("VARIATIONS FAIL", t1)
+            runs += 1
+            if mine(Otherwise(Term("zzznope"), Term(t1)), 20) != ref(
+                wq.Otherwise(wq.Term("text", "zzznope"), wq.Term("text", t1)), 20
+            ):
+                fails += 1
+                print("OTHERWISE FAIL", t1)
+        for t1, t2 in itertools.combinations(terms[:5], 2):
+            runs += 1
+            a = sorted(
+                d for d, _x in mine(Sequence(Term(t1), Prefix(t2[:2])), None)
+            )
+            b = sorted(
+                h["doc_id"]
+                for h in rs.search(
+                    wq.Sequence(
+                        [wq.Term("text", t1), wq.Prefix("text", t2[:2])]
+                    ),
+                    limit=None,
+                    optimize=False,
+                )
+            )
+            if a != b:
+                fails += 1
+                print("SEQUENCE FAIL", t1, t2)
     print(f"stress: {runs} runs, {fails} failures")
     ray.shutdown()
     return 1 if fails else 0
