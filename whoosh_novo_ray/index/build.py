@@ -854,7 +854,9 @@ def detect_heavy_terms(
         for t in ray.get(
             agg.map_batches(
                 over_threshold, batch_format="pyarrow", zero_copy_batch=True
-            ).to_arrow_refs()
+            )
+            .materialize()  # avoid to_arrow_refs' second schema-probe run
+            .to_arrow_refs()
         )
         if len(t)
     ]

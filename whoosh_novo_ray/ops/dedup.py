@@ -3,13 +3,15 @@
 Shuffle discipline at scale:
   * exact dedup = one hash-keyed groupby (combiner aggregation — Min — so the
     shuffle moves one row per (hash, block), not per doc);
-  * n-gram Jaccard = explode shingles -> groupby(shingle) pair emit ->
-    groupby(pair) count (pair emission is capped per shingle group: a shingle
-    shared by s docs emits s*(s-1)/2 pairs — ``max_group`` bounds the
-    quadratic blowup from boilerplate shingles, the web-scale skew analog of
-    stopword posting lists);
+  * n-gram Jaccard = explode shingles -> SHARDED pair emit -> SHARDED pair
+    reduce. Both shuffles key on a hash shard (64-way), never on the raw
+    shingle or pair: per-key map_groups pays one Python call per GROUP,
+    which is pathological with millions of tiny groups — inside a shard
+    everything is one vectorized numpy pass. ``max_group`` bounds the
+    quadratic pair blowup from boilerplate shingles (the web-scale skew
+    analog of stopword posting lists);
   * MinHash/LSH = per-doc signature (map_batches, no shuffle) -> band-bucket
-    groupby -> candidate pairs -> optional exact-Jaccard verify.
+    groupby -> candidate pairs -> candidate-only signature verify.
 """
 
 from __future__ import annotations
@@ -121,62 +123,135 @@ def ngram_jaccard_pairs(
     """
     sh = docs.map_batches(_Shingles(n), batch_format="pyarrow", zero_copy_batch=True)
 
-    def emit_pairs(group: pa.Table) -> pa.Table:
-        ids = group["doc_id"].to_numpy()
-        nsh = group["nsh"].to_numpy()
+    # Shard by shingle HASH (not one group per shingle): per-shingle
+    # map_groups would pay one Python invocation per distinct shingle —
+    # pathological at web scale. Each shard holds every row of its shingles,
+    # and pair emission is vectorized across ALL runs in the shard at once.
+    n_shards = 64
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        h = pd.util.hash_array(
+            np.asarray(batch["shingle"].to_pylist(), dtype=object),
+            categorize=False,
+        )
+        return batch.append_column(
+            "shard", pa.array((h % np.uint64(n_shards)).astype(np.int32))
+        )
+
+    def emit_pairs_shard(group: pa.Table) -> pa.Table:
         empty = pa.table(
             {
+                "pshard": pa.array([], pa.int32()),
                 "doc_a": pa.array([], pa.int64()),
                 "doc_b": pa.array([], pa.int64()),
                 "n_a": pa.array([], pa.int64()),
                 "n_b": pa.array([], pa.int64()),
             }
         )
-        if len(ids) < 2 or (max_group is not None and len(ids) > max_group):
+        if len(group) < 2:
             return empty
-        order = np.argsort(ids)
-        ids, nsh = ids[order], nsh[order]
-        a, b = np.triu_indices(len(ids), k=1)
+        g = group.sort_by([("shingle", "ascending"), ("doc_id", "ascending")])
+        ids = g["doc_id"].to_numpy()
+        nsh = g["nsh"].to_numpy()
+        shingle = g["shingle"].combine_chunks()
+        # run boundaries per distinct shingle
+        sh_codes = pc.dictionary_encode(shingle).indices.to_numpy(
+            zero_copy_only=False
+        )
+        nrows = len(ids)
+        change = np.empty(nrows, bool)
+        change[0] = True
+        change[1:] = sh_codes[1:] != sh_codes[:-1]
+        starts = np.flatnonzero(change)
+        lens = np.diff(np.append(starts, nrows))
+        if max_group is not None:
+            keep_run = (lens >= 2) & (lens <= max_group)
+        else:
+            keep_run = lens >= 2
+        # vectorized upper-triangle pair generation across every kept run:
+        # row at within-run offset w pairs with the (len-1-w) rows after it
+        run_of_row = np.repeat(np.arange(len(starts)), lens)
+        w = np.arange(nrows) - np.repeat(starts, lens)
+        a_counts = np.where(
+            keep_run[run_of_row], lens[run_of_row] - 1 - w, 0
+        ).astype(np.int64)
+        total = int(a_counts.sum())
+        if total == 0:
+            return empty
+        a_idx = np.repeat(np.arange(nrows), a_counts)
+        prefix = np.zeros(nrows, np.int64)
+        np.cumsum(a_counts[:-1], out=prefix[1:])
+        b_off = np.arange(total) - np.repeat(prefix, a_counts) + 1
+        b_idx = a_idx + b_off
+        da = ids[a_idx]
+        db = ids[b_idx]
+        # second-stage shard keyed on the PAIR so duplicates of (a, b)
+        # emitted from different shingle shards meet in one reducer
+        pshard = (
+            (da.astype(np.uint64) * np.uint64(2654435761)) ^ db.astype(np.uint64)
+        ) % np.uint64(n_shards)
         return pa.table(
             {
-                "doc_a": pa.array(ids[a], pa.int64()),
-                "doc_b": pa.array(ids[b], pa.int64()),
-                "n_a": pa.array(nsh[a], pa.int64()),
-                "n_b": pa.array(nsh[b], pa.int64()),
+                "pshard": pa.array(pshard.astype(np.int32), pa.int32()),
+                "doc_a": pa.array(da, pa.int64()),
+                "doc_b": pa.array(db, pa.int64()),
+                "n_a": pa.array(nsh[a_idx], pa.int64()),
+                "n_b": pa.array(nsh[b_idx], pa.int64()),
             }
         )
 
-    from ray.data.aggregate import Count, Max
-
-    agg = (
-        sh.groupby("shingle")
-        .map_groups(emit_pairs, batch_format="pyarrow")
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(Count(), Max("n_a"), Max("n_b"))
-    )
-
-    def finalize(batch: pa.Table) -> pa.Table:
-        inter = batch["count()"].to_numpy(zero_copy_only=False).astype(np.float64)
-        na = batch["max(n_a)"].to_numpy(zero_copy_only=False).astype(np.float64)
-        nb = batch["max(n_b)"].to_numpy(zero_copy_only=False).astype(np.float64)
-        jac = inter / (na + nb - inter)
+    def reduce_finalize(group: pa.Table) -> pa.Table:
+        """Per pair-shard: count duplicate (a, b) rows (= intersection),
+        compute jaccard, filter — one vectorized pass, not a
+        one-group-per-pair aggregate (Ray's multi-key aggregate pays per
+        GROUP; pair counts are in the millions)."""
+        empty = pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "jaccard": pa.array([], pa.float64()),
+            }
+        )
+        if not len(group):
+            return empty
+        da = group["doc_a"].to_numpy(zero_copy_only=False)
+        db = group["doc_b"].to_numpy(zero_copy_only=False)
+        na = group["n_a"].to_numpy(zero_copy_only=False)
+        nb = group["n_b"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((db, da))
+        da, db, na, nb = da[order], db[order], na[order], nb[order]
+        change = np.empty(len(da), bool)
+        change[0] = True
+        change[1:] = (da[1:] != da[:-1]) | (db[1:] != db[:-1])
+        starts = np.flatnonzero(change)
+        inter = np.diff(np.append(starts, len(da))).astype(np.float64)
+        fa = na[starts].astype(np.float64)
+        fb = nb[starts].astype(np.float64)
+        jac = inter / (fa + fb - inter)
         keep = jac >= threshold
-        kept = batch.filter(pa.array(keep))
+        if not keep.any():
+            return empty
+        sel = starts[keep]
         return pa.table(
             {
-                "doc_a": kept["doc_a"].cast(pa.int64()),
-                "doc_b": kept["doc_b"].cast(pa.int64()),
+                "doc_a": pa.array(da[sel], pa.int64()),
+                "doc_b": pa.array(db[sel], pa.int64()),
                 "jaccard": pa.array(np.round(jac[keep], 6), pa.float64()),
             }
         )
 
-    tables = [
-        t
-        for t in ray.get(
-            agg.map_batches(finalize, batch_format="pyarrow").to_arrow_refs()
-        )
-        if len(t)
-    ]
+    out_ds = (
+        sh.map_batches(add_shard, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("shard")
+        .map_groups(emit_pairs_shard, batch_format="pyarrow")
+        .groupby("pshard")
+        .map_groups(reduce_finalize, batch_format="pyarrow")
+    )
+    # materialize() first: bare to_arrow_refs() re-executes the pipeline a
+    # second time for a limit-1 schema probe — ruinous after an all-to-all
+    tables = [t for t in ray.get(out_ds.materialize().to_arrow_refs()) if len(t)]
     if not tables:
         return pa.table(
             {
@@ -368,7 +443,9 @@ def minhash_lsh_candidates(
         for t in ray.get(
             sigs_ds.map_batches(
                 keep_candidates, batch_format="pyarrow", zero_copy_batch=True
-            ).to_arrow_refs()
+            )
+            .materialize()  # avoid to_arrow_refs' second schema-probe run
+            .to_arrow_refs()
         )
         if len(t)
     ]

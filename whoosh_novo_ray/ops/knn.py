@@ -83,7 +83,7 @@ def brute_force_knn(
         zero_copy_batch=True,
         concurrency=concurrency or 4,
     )
-    tables = [t for t in ray.get(partial.to_arrow_refs()) if len(t)]
+    tables = [t for t in ray.get(partial.materialize().to_arrow_refs()) if len(t)]
     if not tables:
         return pa.table(
             {
@@ -192,6 +192,7 @@ def cosine_near_dup_pairs(
     refs = (
         embeddings.groupby(block_col)
         .map_groups(pairs_in_group, batch_format="pyarrow")
+        .materialize()  # avoid to_arrow_refs' second schema-probe run
         .to_arrow_refs()
     )
     tables = [t for t in ray.get(refs) if len(t)]

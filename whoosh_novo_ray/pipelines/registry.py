@@ -657,7 +657,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def _collect(ds) -> list[pa.Table]:
     import ray
 
-    return [t for t in ray.get(ds.to_arrow_refs()) if len(t)]
+    # materialize() avoids to_arrow_refs' second (schema-probe) execution
+    return [t for t in ray.get(ds.materialize().to_arrow_refs()) if len(t)]
 
 
 def oracle_sql() -> dict[str, str]:
