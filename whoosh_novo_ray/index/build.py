@@ -835,34 +835,54 @@ def detect_heavy_terms(
     n_sample = doc_count if sample_frac >= 1.0 else max(1, sampled.count())
     threshold = max(float(min_batch_df), heavy_df_frac * n_sample)
 
-    from ray.data.aggregate import Sum
+    # shard by term hash: a per-term groupby would pay one Python group
+    # call per VOCABULARY entry; each shard sums its term runs in one
+    # vectorized pass and applies the threshold locally
+    n_shards = 64
 
-    agg = (
+    def add_shard(batch: pa.Table) -> pa.Table:
+        h = stable_term_hash(batch["term"].to_pylist())
+        return batch.append_column(
+            "shard", pa.array((h % np.uint64(n_shards)).astype(np.int32))
+        )
+
+    def reduce_shard(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"term": pa.array([], pa.string()), "df": pa.array([], pa.int64())}
+        )
+        if not len(group):
+            return empty
+        g = group.sort_by("term")
+        terms = g["term"].combine_chunks()
+        codes = pc.dictionary_encode(terms).indices.to_numpy(zero_copy_only=False)
+        dfs = g["df"].to_numpy(zero_copy_only=False)
+        change = np.empty(len(codes), bool)
+        change[0] = True
+        change[1:] = codes[1:] != codes[:-1]
+        starts = np.flatnonzero(change)
+        sums = np.add.reduceat(dfs, starts)
+        keep = sums >= threshold
+        if not keep.any():
+            return empty
+        return pa.table(
+            {
+                "term": terms.take(pa.array(starts[keep])),
+                "df": pa.array(sums[keep].astype(np.int64), pa.int64()),
+            }
+        )
+
+    out = (
         sampled.map_batches(
             _BatchDf(cfg, min_batch_df), batch_format="pyarrow", zero_copy_batch=True
         )
-        .groupby("term")
-        .aggregate(Sum("df"))
+        .map_batches(add_shard, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("shard")
+        .map_groups(reduce_shard, batch_format="pyarrow")
     )
-
-    def over_threshold(batch: pa.Table) -> pa.Table:
-        keep = pc.greater_equal(batch["sum(df)"], threshold)
-        return batch.filter(keep)
-
-    tables = [
-        t
-        for t in ray.get(
-            agg.map_batches(
-                over_threshold, batch_format="pyarrow", zero_copy_batch=True
-            )
-            .materialize()  # avoid to_arrow_refs' second schema-probe run
-            .to_arrow_refs()
-        )
-        if len(t)
-    ]
+    tables = [t for t in ray.get(out.materialize().to_arrow_refs()) if len(t)]
     if not tables:
         return ()
-    heavy = pa.concat_tables(tables).sort_by([("sum(df)", "descending")])
+    heavy = pa.concat_tables(tables).sort_by([("df", "descending")])
     return tuple(heavy["term"].to_pylist()[:max_terms])
 
 

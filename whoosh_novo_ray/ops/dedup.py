@@ -23,11 +23,47 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data
-from ray.data.aggregate import Min
 
 from whoosh_novo_ray.analysis import simple_analyzer
 
 _RAW = simple_analyzer()
+
+
+# -- sharded-reduce helpers ----------------------------------------------------
+# groupby(high-cardinality-key).map_groups costs one Python call per GROUP;
+# these helpers implement the shard pattern: groupby(hash(key) % n_shards)
+# with a single vectorized pass over all of a shard's runs.
+
+N_SHARDS = 64
+
+
+def _run_bounds(change_mask: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(starts, lens) of equal-key runs given a boundary mask."""
+    starts = np.flatnonzero(change_mask)
+    lens = np.diff(np.append(starts, len(change_mask)))
+    return starts, lens
+
+
+def _triu_pair_indices(
+    starts: np.ndarray, lens: np.ndarray, keep_run: np.ndarray, nrows: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized upper-triangle (i < j) row-index pairs across every kept
+    run: the row at within-run offset w pairs with the (len-1-w) rows after
+    it."""
+    run_of_row = np.repeat(np.arange(len(starts)), lens)
+    w = np.arange(nrows) - np.repeat(starts, lens)
+    a_counts = np.where(keep_run[run_of_row], lens[run_of_row] - 1 - w, 0).astype(
+        np.int64
+    )
+    total = int(a_counts.sum())
+    if total == 0:
+        e = np.empty(0, np.int64)
+        return e, e
+    a_idx = np.repeat(np.arange(nrows), a_counts)
+    prefix = np.zeros(nrows, np.int64)
+    np.cumsum(a_counts[:-1], out=prefix[1:])
+    b_off = np.arange(total) - np.repeat(prefix, a_counts) + 1
+    return a_idx, a_idx + b_off
 
 
 # -- exact dedup --------------------------------------------------------------
@@ -37,10 +73,12 @@ class _TextMd5:
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pylist()
         h = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
+        shard = np.array([int(x[:4], 16) % N_SHARDS for x in h], np.int32)
         return pa.table(
             {
                 "doc_id": batch["doc_id"].cast(pa.int64()),
                 "text_md5": pa.array(h, pa.string()),
+                "shard": pa.array(shard, pa.int32()),
             }
         )
 
@@ -48,21 +86,38 @@ class _TextMd5:
 def exact_dedup_keep(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     """Exact dedup by content hash: keep the lowest doc_id per md5(text).
 
-    Returns (text_md5, doc_id) of survivors. The Min aggregation pre-combines
-    per block before the shuffle, so the exchange is one row per distinct
-    hash per block — safe at 100 TB.
+    Returns (text_md5, doc_id) of survivors. The shuffle keys on a HASH
+    SHARD of the digest, not the digest itself — a per-hash groupby would
+    pay one Python group call per distinct document, which is the whole
+    corpus at 100 TB. Each shard reduces all of its runs in one vectorized
+    pass.
     """
     hashed = docs.map_batches(_TextMd5(), batch_format="pyarrow", zero_copy_batch=True)
-    kept = hashed.groupby("text_md5").aggregate(Min("doc_id"))
-    return kept.map_batches(
-        lambda b: pa.table(
+
+    def keep_first(group: pa.Table) -> pa.Table:
+        if not len(group):
+            return pa.table(
+                {
+                    "text_md5": pa.array([], pa.string()),
+                    "doc_id": pa.array([], pa.int64()),
+                }
+            )
+        g = group.sort_by([("text_md5", "ascending"), ("doc_id", "ascending")])
+        md5s = g["text_md5"].combine_chunks()
+        codes = pc.dictionary_encode(md5s).indices.to_numpy(zero_copy_only=False)
+        change = np.empty(len(codes), bool)
+        change[0] = True
+        change[1:] = codes[1:] != codes[:-1]
+        starts = np.flatnonzero(change)
+        sel = pa.array(starts)
+        return pa.table(
             {
-                "text_md5": b["text_md5"],
-                "doc_id": pc.cast(b["min(doc_id)"], pa.int64()),
+                "text_md5": md5s.take(sel),
+                "doc_id": g["doc_id"].take(sel),
             }
-        ),
-        batch_format="pyarrow",
-    )
+        )
+
+    return hashed.groupby("shard").map_groups(keep_first, batch_format="pyarrow")
 
 
 # -- word n-gram shingles ------------------------------------------------------
@@ -127,7 +182,7 @@ def ngram_jaccard_pairs(
     # map_groups would pay one Python invocation per distinct shingle —
     # pathological at web scale. Each shard holds every row of its shingles,
     # and pair emission is vectorized across ALL runs in the shard at once.
-    n_shards = 64
+    n_shards = N_SHARDS
 
     def add_shard(batch: pa.Table) -> pa.Table:
         import pandas as pd
@@ -170,21 +225,9 @@ def ngram_jaccard_pairs(
             keep_run = (lens >= 2) & (lens <= max_group)
         else:
             keep_run = lens >= 2
-        # vectorized upper-triangle pair generation across every kept run:
-        # row at within-run offset w pairs with the (len-1-w) rows after it
-        run_of_row = np.repeat(np.arange(len(starts)), lens)
-        w = np.arange(nrows) - np.repeat(starts, lens)
-        a_counts = np.where(
-            keep_run[run_of_row], lens[run_of_row] - 1 - w, 0
-        ).astype(np.int64)
-        total = int(a_counts.sum())
-        if total == 0:
+        a_idx, b_idx = _triu_pair_indices(starts, lens, keep_run, nrows)
+        if not len(a_idx):
             return empty
-        a_idx = np.repeat(np.arange(nrows), a_counts)
-        prefix = np.zeros(nrows, np.int64)
-        np.cumsum(a_counts[:-1], out=prefix[1:])
-        b_off = np.arange(total) - np.repeat(prefix, a_counts) + 1
-        b_idx = a_idx + b_off
         da = ids[a_idx]
         db = ids[b_idx]
         # second-stage shard keyed on the PAIR so duplicates of (a, b)
@@ -371,9 +414,10 @@ def minhash_lsh_candidates(
     """Near-duplicate candidate pairs via MinHash banding.
 
     Signature stage is a pure map_batches; banding explodes each doc into
-    ``bands`` (band_key, doc_id) rows; one groupby(band_key) emits candidate
-    pairs; a final groupby dedups pairs. Returns (doc_a, doc_b, est_jaccard)
-    where est_jaccard is the signature-agreement fraction.
+    ``bands`` (band_key, doc_id) rows; sharded vectorized reducers emit and
+    dedup candidate pairs (no per-band-key Python groups). Returns
+    (doc_a, doc_b, est_jaccard) where est_jaccard is the
+    signature-agreement fraction.
     """
     assert num_perm % bands == 0
     r = num_perm // bands
@@ -392,28 +436,83 @@ def minhash_lsh_candidates(
 
     banded = sigs_ds.map_batches(_BandRows(bands, r), batch_format="pyarrow")
 
-    def emit_pairs(group: pa.Table) -> pa.Table:
-        ids = np.unique(group["doc_id"].to_numpy())
-        if len(ids) < 2:
-            return pa.table(
-                {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
-            )
-        a, b = np.triu_indices(len(ids), k=1)
+    def add_band_shard(batch: pa.Table) -> pa.Table:
+        # band_key is md5 hex: its leading nibble distribution is uniform
+        shard = np.array(
+            [int(k[:4], 16) % N_SHARDS for k in batch["band_key"].to_pylist()],
+            np.int32,
+        )
+        return batch.append_column("shard", pa.array(shard, pa.int32()))
+
+    def emit_pairs_shard(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "pshard": pa.array([], pa.int32()),
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+            }
+        )
+        if len(group) < 2:
+            return empty
+        g = group.sort_by([("band_key", "ascending"), ("doc_id", "ascending")])
+        ids = g["doc_id"].to_numpy()
+        keys = pc.dictionary_encode(g["band_key"].combine_chunks()).indices.to_numpy(
+            zero_copy_only=False
+        )
+        nrows = len(ids)
+        change = np.empty(nrows, bool)
+        change[0] = True
+        change[1:] = keys[1:] != keys[:-1]
+        starts, lens = _run_bounds(change)
+        a_idx, b_idx = _triu_pair_indices(starts, lens, lens >= 2, nrows)
+        if not len(a_idx):
+            return empty
+        da, db = ids[a_idx], ids[b_idx]
+        pshard = (
+            (da.astype(np.uint64) * np.uint64(2654435761)) ^ db.astype(np.uint64)
+        ) % np.uint64(N_SHARDS)
         return pa.table(
             {
-                "doc_a": pa.array(ids[a], pa.int64()),
-                "doc_b": pa.array(ids[b], pa.int64()),
+                "pshard": pa.array(pshard.astype(np.int32), pa.int32()),
+                "doc_a": pa.array(da, pa.int64()),
+                "doc_b": pa.array(db, pa.int64()),
+            }
+        )
+
+    def unique_pairs_shard(group: pa.Table) -> pa.Table:
+        if not len(group):
+            return pa.table(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                }
+            )
+        da = group["doc_a"].to_numpy(zero_copy_only=False)
+        db = group["doc_b"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((db, da))
+        da, db = da[order], db[order]
+        change = np.empty(len(da), bool)
+        change[0] = True
+        change[1:] = (da[1:] != da[:-1]) | (db[1:] != db[:-1])
+        sel = np.flatnonzero(change)
+        return pa.table(
+            {
+                "doc_a": pa.array(da[sel], pa.int64()),
+                "doc_b": pa.array(db[sel], pa.int64()),
             }
         )
 
     # the deduped candidate-pair set IS this function's return value —
     # near-dup candidates are sparse by construction, so collecting them is
-    # result-sized, not corpus-sized
+    # result-sized, not corpus-sized. Both shuffles key on 64-way hash
+    # shards (never on the raw band key or pair — one Python call per group
+    # would be pathological at web scale).
     pairs = (
-        banded.groupby("band_key")
-        .map_groups(emit_pairs, batch_format="pyarrow")
-        .groupby(["doc_a", "doc_b"])
-        .count()
+        banded.map_batches(add_band_shard, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("shard")
+        .map_groups(emit_pairs_shard, batch_format="pyarrow")
+        .groupby("pshard")
+        .map_groups(unique_pairs_shard, batch_format="pyarrow")
         .to_pandas()
     )
     if not len(pairs):
@@ -425,10 +524,9 @@ def minhash_lsh_candidates(
             }
         )
     # estimate jaccard from the CANDIDATES' signatures only: broadcast the
-    # (small) candidate-id set into a streaming filter over sigs_ds — the
-    # full signature dataset never reaches the driver (the signature stage
-    # recomputes rather than materializing; at 100 TB recompute is cheaper
-    # than holding every signature in the object store).
+    # (small) candidate-id set into a streaming filter over the
+    # object-store-materialized signatures — the full signature dataset
+    # never reaches the driver.
     cand_ids = pa.array(
         np.unique(np.concatenate([pairs["doc_a"].to_numpy(), pairs["doc_b"].to_numpy()])).astype(
             np.int64
