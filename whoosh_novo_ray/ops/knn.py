@@ -141,14 +141,23 @@ def lsh_knn(
     k: int = 10,
     nbits: int = 8,
     seed: int = 5,
+    nprobe: int = 1,
 ) -> pa.Table:
     """Approximate cosine top-k: score only vectors whose hyperplane-LSH
-    bucket matches the query's (single-probe). Same output schema as
+    bucket is within the probe set. ``nprobe=1`` scans the query's bucket
+    only; ``nprobe>1`` adds every bucket at Hamming distance < nprobe from
+    it (multi-probe: recall rises with the number of scanned buckets while
+    the scan stays a tiny fraction of the corpus). Same output schema as
     brute_force_knn; recall < 1 by design — the scale path."""
     q = np.asarray(query, np.float64)
     dim = q.shape[-1]
     h = _LshBucket(dim, nbits, seed)
     qb = int(h.bucket_of(q[None, :])[0])
+    probes = {qb}
+    frontier = {qb}
+    for _ in range(1, nprobe):
+        frontier = {b ^ (1 << i) for b in frontier for i in range(nbits)} - probes
+        probes |= frontier
     bucketed = embeddings.map_batches(
         _LshBucket,
         fn_constructor_args=(dim, nbits, seed),
@@ -156,7 +165,14 @@ def lsh_knn(
         zero_copy_batch=True,
         concurrency=2,
     )
-    cand = bucketed.filter(expr=f"lsh_bucket == {qb}")
+    probe_arr = pa.array(sorted(probes), pa.int64())
+
+    def keep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.is_in(batch["lsh_bucket"], value_set=probe_arr))
+
+    cand = bucketed.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
     return brute_force_knn(cand, q, k)
 
 

@@ -248,6 +248,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = ray.data.read_parquet(emb_path, columns=["vec_id", "embedding"])
         return lsh_knn(ds, np.asarray(q, np.float64), k=10).drop_columns(["query_i"])
 
+    def knn_lsh_multiprobe(sf_dir):
+        import ray.data
+        from whoosh_novo_ray.ops import lsh_knn
+
+        emb_path = os.path.join(sf_dir, "embeddings.parquet")
+        q = pq.read_table(emb_path).filter(pc.field("vec_id") == 0)["embedding"][0].as_py()
+        ds = ray.data.read_parquet(emb_path, columns=["vec_id", "embedding"])
+        return lsh_knn(ds, np.asarray(q, np.float64), k=10, nprobe=2).drop_columns(
+            ["query_i"]
+        )
+
     def near_dup_cosine(sf_dir):
         import ray.data
         from whoosh_novo_ray.ops import cosine_near_dup_pairs
@@ -637,6 +648,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": simhash,
         "knn_cosine_top10": knn,
         "knn_lsh_top10": knn_lsh,
+        "knn_lsh_multiprobe_top10": knn_lsh_multiprobe,
         "near_dup_cosine": near_dup_cosine,
         "numeric_range": numeric_range,
         "latest_event_per_user": latest_event_per_user,
@@ -952,6 +964,37 @@ FROM embeddings e
 JOIN buckets bu ON bu.vec_id = e.vec_id
 CROSS JOIN qb CROSS JOIN qe
 WHERE bu.bucket = qb.bucket
+ORDER BY cosine DESC, vec_id LIMIT 10""",
+        # multi-probe LSH (nprobe=2): every bucket within Hamming distance 1
+        # of the query's bucket is scanned, then exact cosine re-rank
+        "knn_lsh_multiprobe_top10": """WITH planes AS (
+  SELECT b.b, j.j,
+         md5_number_lower('lshp-5-' || b.b || '-' || j.j) / 18446744073709551616.0
+           - 0.5 AS w
+  FROM (SELECT unnest(range(8)) AS b) b,
+       (SELECT unnest(range((SELECT len(embedding) FROM embeddings LIMIT 1))) AS j) j
+),
+ev AS (
+  SELECT vec_id, unnest(embedding) AS x, unnest(range(len(embedding))) AS j
+  FROM embeddings
+),
+dots AS (
+  SELECT e.vec_id, p.b, sum(e.x * p.w) AS dp
+  FROM ev e JOIN planes p ON p.j = e.j GROUP BY 1, 2
+),
+buckets AS (
+  SELECT vec_id,
+         sum(CASE WHEN dp > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS bucket
+  FROM dots GROUP BY vec_id
+),
+qb AS (SELECT bucket FROM buckets WHERE vec_id = 0),
+qe AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id::BIGINT AS vec_id,
+       round(list_cosine_similarity(e.embedding, qe.qv), 6) AS cosine
+FROM embeddings e
+JOIN buckets bu ON bu.vec_id = e.vec_id
+CROSS JOIN qb CROSS JOIN qe
+WHERE bit_count(xor(bu.bucket, qb.bucket)) < 2
 ORDER BY cosine DESC, vec_id LIMIT 10""",
         # Stubbed image decode: dims derive from sha256(payload) bytes 0/1
         # (payload = utf-8 of text, so DuckDB's sha256(text) matches).
