@@ -64,3 +64,36 @@ def test_sessionize(events):
     # session_start of user1 session0 == ts of event 0
     assert out[0]["session_start"] == out[1]["session_start"]
     assert out[2]["session_start"] > out[1]["session_start"]
+
+
+def test_ivf_knn_recall_and_determinism(ray_session):
+    """IVF ANN: deterministic centroids + recall against brute force."""
+    import numpy as np
+    import ray
+    import ray.data
+
+    from whoosh_novo_ray.ops.knn import brute_force_knn, ivf_knn, train_ivf_centroids
+
+    ds = lambda: ray.data.read_parquet(
+        "/root/testdata/sf0.01/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    import pyarrow.parquet as pq
+
+    q = (
+        pq.read_table("/root/testdata/sf0.01/embeddings.parquet")["embedding"][0]
+        .as_py()
+    )
+    q = np.asarray(q, np.float64)
+    c1 = train_ivf_centroids(ds(), n_centroids=8, seed=5)
+    c2 = train_ivf_centroids(ds(), n_centroids=8, seed=5)
+    assert np.allclose(c1, c2)  # deterministic across runs
+
+    exact = brute_force_knn(ds(), q, k=10)["vec_id"].to_pylist()
+    approx = ivf_knn(ds(), q, k=10, n_centroids=8, nprobe=4, centroids=c1)[
+        "vec_id"
+    ].to_pylist()
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.5, (recall, exact, approx)
+    # probing every cell recovers the exact result
+    full = ivf_knn(ds(), q, k=10, n_centroids=8, nprobe=8, centroids=c1)
+    assert full["vec_id"].to_pylist() == exact

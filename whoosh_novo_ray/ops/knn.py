@@ -75,13 +75,19 @@ def brute_force_knn(
     embedding Dataset. Returns (query_i, vec_id, cosine rounded 6dp) sorted by
     (query_i, cosine desc, vec_id asc)."""
     # the query matrix ships once per actor via the constructor args (held in
-    # the object store), not per batch
+    # the object store), not per batch. The pool is sized BELOW the cluster
+    # CPU count: a fixed actor pool reserves its CPUs for the pipeline's
+    # lifetime, and a pool as large as the cluster starves the upstream read
+    # tasks (observed deadlock at num_cpus=4 with a 4-actor pool).
+    if concurrency is None:
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        concurrency = max(1, min(4, ncpu - 2))
     partial = embeddings.map_batches(
         _CosineTopK,
         fn_constructor_args=(np.asarray(query, np.float64), k, id_col, vec_col),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=concurrency or 4,
+        concurrency=concurrency,
     )
     tables = [t for t in ray.get(partial.materialize().to_arrow_refs()) if len(t)]
     if not tables:
@@ -158,12 +164,15 @@ def lsh_knn(
     for _ in range(1, nprobe):
         frontier = {b ^ (1 << i) for b in frontier for i in range(nbits)} - probes
         probes |= frontier
+    # one bucket actor + a small re-rank pool: fixed actor pools reserve
+    # their CPUs, so the combined pools must leave headroom for the read
+    # tasks even on a 4-CPU cluster (observed deadlock otherwise)
     bucketed = embeddings.map_batches(
         _LshBucket,
         fn_constructor_args=(dim, nbits, seed),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=2,
+        concurrency=1,
     )
     probe_arr = pa.array(sorted(probes), pa.int64())
 
@@ -173,7 +182,8 @@ def lsh_knn(
         return batch.filter(pc.is_in(batch["lsh_bucket"], value_set=probe_arr))
 
     cand = bucketed.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
-    return brute_force_knn(cand, q, k)
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    return brute_force_knn(cand, q, k, concurrency=max(1, min(2, ncpu - 3)))
 
 
 def cosine_near_dup_pairs(
@@ -221,3 +231,124 @@ def cosine_near_dup_pairs(
             }
         )
     return pa.concat_tables(tables).sort_by([("vec_a", "ascending"), ("vec_b", "ascending")])
+
+
+def _seeded_centroid_init(sample: np.ndarray, k: int, seed: int) -> np.ndarray:
+    """Deterministic k distinct initial centroids: rows of the sample picked
+    by md5-seeded indices (no RNG state, reproducible across processes)."""
+    from whoosh_novo_ray.ops.hashing import md5_u64
+
+    n = len(sample)
+    picked: list[int] = []
+    i = 0
+    while len(picked) < k:
+        idx = md5_u64(f"ivf-{seed}-{i}") % n
+        if idx not in picked:
+            picked.append(int(idx))
+        i += 1
+    return sample[np.array(picked)]
+
+
+def train_ivf_centroids(
+    embeddings: "ray.data.Dataset",
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    sample_rows: int = 10_000,
+    iters: int = 10,
+    seed: int = 5,
+) -> np.ndarray:
+    """Lloyd's k-means over a bounded sample (driver-side numpy — the
+    sample is fixed-size regardless of corpus size; assignment of the full
+    corpus stays distributed). Deterministic: md5-seeded init, fixed
+    iteration count."""
+    head = embeddings.limit(sample_rows)
+    parts = [t for t in ray.get(head.materialize().to_arrow_refs()) if len(t)]
+    mat = np.concatenate([_batch_mat(t, vec_col) for t in parts])
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    mat = mat / norms[:, None]
+    c = _seeded_centroid_init(mat, n_centroids, seed)
+    for _ in range(iters):
+        sims = mat @ c.T
+        lab = sims.argmax(axis=1)
+        for i in range(n_centroids):
+            m = lab == i
+            if m.any():
+                v = mat[m].mean(axis=0)
+                nv = np.linalg.norm(v)
+                if nv > 0:
+                    c[i] = v / nv
+    return c
+
+
+class _IvfAssign:
+    """map_batches actor: nearest-centroid id per embedding (centroids
+    shipped once per actor via constructor args)."""
+
+    def __init__(self, centroids: np.ndarray, vec_col: str):
+        self.c = np.asarray(centroids, np.float64)
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = _batch_mat(batch, self.vec_col)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        lab = ((mat / norms[:, None]) @ self.c.T).argmax(axis=1)
+        return batch.append_column(
+            "ivf_cell", pa.array(lab.astype(np.int64), pa.int64())
+        )
+
+
+def ivf_knn(
+    embeddings: "ray.data.Dataset",
+    query: np.ndarray,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: np.ndarray | None = None,
+    seed: int = 5,
+) -> pa.Table:
+    """IVF approximate cosine top-k: assign vectors to their nearest
+    centroid cell, scan only the ``nprobe`` cells nearest the query, exact
+    re-rank inside them. At scale the assignment is written once
+    (partitioned parquet by cell) and queries read only their probe cells;
+    here the assignment streams."""
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            embeddings, n_centroids, vec_col, seed=seed
+        )
+    q = np.asarray(query, np.float64).reshape(-1)
+    qn = q / (np.linalg.norm(q) or 1.0)
+    order = np.argsort(-(centroids @ qn))
+    probe = pa.array(sorted(int(x) for x in order[:nprobe]), pa.int64())
+
+    # one assign actor + a 2-actor re-rank pool: fixed pools RESERVE their
+    # CPUs for the pipeline's lifetime, so the combined pools must leave
+    # headroom for the read tasks even on a 4-CPU test cluster
+    assigned = embeddings.map_batches(
+        _IvfAssign,
+        fn_constructor_args=(centroids, vec_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=1,
+    )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.is_in(batch["ivf_cell"], value_set=probe))
+
+    cand = assigned.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+    # cap the re-rank pool so assign + re-rank actors coexist on small
+    # clusters (fixed-size actor pools deadlock when CPUs < total actors)
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    return brute_force_knn(
+        cand,
+        q,
+        k,
+        id_col=id_col,
+        vec_col=vec_col,
+        concurrency=max(1, min(2, ncpu - 3)),  # leaves room for assign + reads
+    )
