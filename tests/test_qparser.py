@@ -174,3 +174,18 @@ def test_datetime_field_syntax(ray_session):
     from whoosh_novo_ray.search import Phrase
 
     assert isinstance(q2, Phrase)
+
+
+def test_sequence_in_quotes(searcher, reference_searcher):
+    """SequencePlugin: a wildcard inside quotes matches in sequence."""
+    from whoosh.qparser import PhrasePlugin, SequencePlugin
+    from whoosh.qparser import QueryParser as RefQP
+
+    rqp = RefQP("text", reference_searcher.schema)
+    rqp.remove_plugin_class(PhrasePlugin)
+    rqp.add_plugin(SequencePlugin())
+    for qs in ['"search dat*"', '"se* data"']:
+        rr = reference_searcher.search(rqp.parse(qs), limit=None, optimize=False)
+        ref_ids = sorted(h["doc_id"] for h in rr)
+        mine = searcher.search(PARSER.parse(qs), limit=None)
+        assert sorted(mine["doc_id"].to_pylist()) == ref_ids, qs

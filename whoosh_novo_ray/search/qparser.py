@@ -8,6 +8,8 @@ Supported syntax (single default field):
   NOT a                        negation (requires doc universe at eval)
   a ANDNOT b / a ANDMAYBE b    binary operators
   "a b c" / "a b"~2            phrase, optional slop
+  "search dat*"                SequencePlugin: wildcards inside quotes
+                               match in sequence
   pre*                         prefix; wild*card / wi?ld -> wildcard
   [a TO b] / {a TO b}          term range (inclusive / exclusive)
   term~ / term~2 / term~2/3    fuzzy term (maxdist, optional prefix length)
@@ -171,6 +173,18 @@ class QueryParser:
             return q
         if kind == "phrase":
             text, slop = val
+            raw_words = text.split()
+            if any("*" in w or "?" in w for w in raw_words):
+                # SequencePlugin (reference qparser/plugins.py:758-800):
+                # quotes may contain term-expanding sub-queries, matched in
+                # sequence — e.g. "search dat*"
+                children = [self._parse_word(w) for w in raw_words]
+                children = [c for c in children if c is not NULL]
+                if not children:
+                    return NULL
+                if len(children) == 1:
+                    return children[0]
+                return Q.Sequence(*children, slop=slop)
             words = self.analyzer(text)
             if not words:
                 return NULL
