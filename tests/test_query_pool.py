@@ -2,7 +2,18 @@
 
 import pytest
 
-from whoosh_novo_ray.search import And, Or, Phrase, Searcher, Term
+from whoosh_novo_ray.search import (
+    And,
+    ConstantScore,
+    Or,
+    Phrase,
+    Searcher,
+    Sequence,
+    Term,
+    Variations,
+    WeightingQuery,
+)
+from whoosh_novo_ray.search.scoring import TFIDF
 from whoosh_novo_ray.state import QueryPool
 
 
@@ -21,8 +32,23 @@ def pool(ray_session, built_index):
         And(Term("search"), Term("data")),
         Phrase(["search", "data"]),
         Term("zzzznope"),
+        # round-2 query types ride the same evaluation path through the pool
+        Variations("searching"),
+        Sequence(Term("search"), Term("data")),
+        ConstantScore(Or(Term("search"), Term("data")), score=2.5),
+        WeightingQuery(Term("search"), TFIDF()),
     ],
-    ids=["term", "or3", "and2", "phrase", "absent"],
+    ids=[
+        "term",
+        "or3",
+        "and2",
+        "phrase",
+        "absent",
+        "variations",
+        "sequence",
+        "constscore",
+        "weighting",
+    ],
 )
 def test_pool_matches_local(pool, built_index, q):
     local = Searcher(built_index).search(q, limit=10).to_pydict()
