@@ -1,0 +1,137 @@
+"""Doc-shard scoring pool: per-shard evaluation + merge must be identical to
+the local Searcher (the reference MultiReader model — segments searched
+independently, results merged by (score desc, doc_id asc))."""
+
+import os
+
+import pytest
+
+from whoosh_novo_ray.search import (
+    And,
+    AndMaybe,
+    AndNot,
+    ConstantScore,
+    DisMax,
+    Every,
+    Or,
+    Phrase,
+    Prefix,
+    Require,
+    Searcher,
+    Sequence,
+    Term,
+    TermRange,
+    Variations,
+    WeightingQuery,
+    Wildcard,
+)
+from whoosh_novo_ray.search.fuzzy import FuzzyTerm
+from whoosh_novo_ray.search.scoring import TFIDF
+from whoosh_novo_ray.state.score_pool import ScorePool
+
+
+@pytest.fixture(scope="module")
+def spool(ray_session, built_index):
+    p = ScorePool(built_index.path, num_actors=2, num_shards=5)
+    yield p
+    p.shutdown()
+
+
+@pytest.mark.parametrize(
+    "q",
+    [
+        Term("search"),
+        Or(Term("search"), Term("data"), Term("index")),
+        And(Term("search"), Term("data")),
+        Phrase(["search", "data"]),
+        Term("zzzznope"),
+        AndNot(Term("search"), Term("data")),
+        Require(Term("search"), Term("data")),
+        AndMaybe(Term("search"), Term("data")),
+        DisMax(Term("search"), Term("data")),
+        Or(Term("search"), Term("data"), scale=0.5),
+        Every(),
+        Prefix("sea"),
+        Wildcard("se*ch"),
+        TermRange("sea", "sed"),
+        FuzzyTerm("serch", maxdist=1, prefixlength=1),
+        Variations("searching"),
+        Sequence(Term("search"), Term("data")),
+        ConstantScore(Or(Term("search"), Term("data")), score=2.5),
+        WeightingQuery(Term("search"), TFIDF()),
+    ],
+    ids=[
+        "term",
+        "or3",
+        "and2",
+        "phrase",
+        "absent",
+        "andnot",
+        "require",
+        "andmaybe",
+        "dismax",
+        "or_sqr",
+        "every",
+        "prefix",
+        "wildcard",
+        "termrange",
+        "fuzzy",
+        "variations",
+        "sequence",
+        "constscore",
+        "weighting",
+    ],
+)
+def test_scorepool_matches_local(spool, built_index, q):
+    local = Searcher(built_index).search(q, limit=10).to_pydict()
+    remote = spool.search(q, limit=10).to_pydict()
+    assert remote == local
+
+
+def test_scorepool_limit_none(spool, built_index):
+    q = Or(Term("search"), Term("data"))
+    local = Searcher(built_index).search(q, limit=None).to_pydict()
+    remote = spool.search(q, limit=None).to_pydict()
+    assert remote == local
+
+
+def test_scorepool_wand_parity(spool, built_index):
+    from whoosh_novo_ray.search.wand import searcher_wand_topk
+
+    terms = ["search", "data", "index"]
+    local, _ = searcher_wand_topk(Searcher(built_index), terms, 10)
+    remote, stats = spool.wand_topk(terms, 10)
+    assert remote.to_pydict() == local.to_pydict()
+    assert stats["total_blocks"] > 0
+
+
+def test_serving_build_is_resumable(built_index):
+    """Second build with the same generation is a no-op (lineage match)."""
+    from whoosh_novo_ray.index.docshard import build_serving_shards
+
+    man1 = build_serving_shards(built_index.path, num_shards=5)
+    man2 = build_serving_shards(built_index.path, num_shards=5)
+    assert man1["serving_lineage"] == man2["serving_lineage"]
+    assert man1["layout"] == "docshard"
+    # global stats survive into the serving manifest
+    assert man1["doc_count"] == built_index.doc_count
+    assert man1["total_field_length"] == built_index.total_field_length
+
+
+def test_shards_partition_doc_universe(built_index):
+    """Every doc appears in exactly one shard's docmeta."""
+    import glob
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from whoosh_novo_ray.index.docshard import serving_dir_for
+
+    files = sorted(
+        glob.glob(os.path.join(serving_dir_for(built_index.path), "docmeta", "*.parquet"))
+    )
+    ids = np.concatenate(
+        [pq.read_table(f, columns=["doc_id"])["doc_id"].to_numpy() for f in files]
+    )
+    assert len(ids) == built_index.doc_count
+    assert len(np.unique(ids)) == len(ids)

@@ -1,0 +1,156 @@
+"""Doc-sharded serving layout: re-partition a built index by DOCUMENT.
+
+The main index is term-hash-partitioned (optimal for the build shuffle and
+point term lookups), but distributed *query scoring* wants the reference's
+own segment model: doc-partitioned segments evaluated independently and
+merged (de-odex/whoosh-novo ``src/whoosh/reading.py:1012-1120`` MultiReader —
+each segment owns a doc range; ``searching.py``/``collectors.py`` merge the
+per-segment results). This module materializes that layout once per index
+generation: every term's postings are split by a deterministic doc-id hash
+into ``num_shards`` shards, re-encoded with the SAME block codec, and written
+as one parquet per shard. A ScoreServer actor (state/score_pool.py) then pins
+one-or-more shards and evaluates whole queries over its doc subset with
+GLOBAL collection stats, returning only its top-k — so no query ever ships a
+posting blob off the node that owns it.
+
+Scale notes:
+  * The serving build is a single decode -> shuffle -> encode Ray Data job —
+    the same cost shape as a compaction pass (index/merge.py). At 100 TB,
+    ``num_shards`` is sized so one shard's segment fits a serving worker's
+    heap (shards ≈ serving actors × small constant).
+  * Doc-sharding absorbs term skew by construction: a stopword-grade term's
+    postings split evenly across every shard, so no salting is needed in the
+    serving layout (heavy_terms is cleared) and per-shard work is balanced.
+  * The shard files double as resumable output: the shuffle writes one
+    atomic parquet per shard with lineage, and a re-run (resume=True) skips
+    shards already built for this index generation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from whoosh_novo_ray.index.build import (
+    MANIFEST_NAME,
+    _run_bucket_shuffle,
+)
+from whoosh_novo_ray.index.merge import DecodeSegmentRows, docmeta_rows_fn
+from whoosh_novo_ray.index.segment import Index
+
+SERVING_SUBDIR = "serving"
+
+
+def doc_shard_of(doc_ids: np.ndarray, num_shards: int) -> np.ndarray:
+    """Deterministic (process-independent) doc-id -> shard assignment."""
+    return (
+        pd.util.hash_array(np.asarray(doc_ids, np.uint64)) % np.uint64(num_shards)
+    ).astype(np.uint32)
+
+
+def _add_doc_shard(num_shards: int):
+    def add(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return batch.add_column(
+            0, "bucket", pa.array(doc_shard_of(ids, num_shards), pa.uint32())
+        )
+
+    return add
+
+
+def serving_dir_for(index_path: str) -> str:
+    return os.path.join(index_path, SERVING_SUBDIR)
+
+
+def build_serving_shards(
+    index_path: str,
+    num_shards: int = 8,
+    out_dir: str | None = None,
+    resume: bool = True,
+) -> dict:
+    """Build (or resume) the doc-sharded serving layout for an index.
+
+    Writes ``<index>/serving/segments/bucket=K.parquet`` (one doc shard per
+    file, term-sorted, same schema/codec as the main segments) plus
+    ``serving/docmeta/bucket=K.parquet`` (the shard's doc universe) and a
+    serving manifest whose doc_count / total_field_length are the GLOBAL
+    collection stats — a shard searcher scores with these, never its local
+    counts. Returns the serving manifest dict.
+    """
+    idx = Index(index_path)
+    cfg = idx.cfg
+    out_dir = out_dir or serving_dir_for(index_path)
+    lineage = (
+        f"serving:{idx.manifest.get('lineage', '')}"
+        f":{idx.manifest.get('generation', 0)}:{num_shards}"
+    )
+
+    man_path = os.path.join(out_dir, MANIFEST_NAME)
+    if resume and os.path.exists(man_path):
+        with open(man_path) as f:
+            old = json.load(f)
+        if old.get("serving_lineage") == lineage:
+            return old
+
+    wp = cfg.with_positions
+    wc = getattr(cfg, "with_chars", False)
+    ww = getattr(cfg, "with_weights", False)
+    wpb = ww and wp and getattr(cfg.analyzer, "boost_delim", None) is not None
+
+    seg_files = [
+        os.path.join(index_path, b["path"])
+        for b in idx.manifest["buckets"]
+        if b["path"]
+    ]
+    import glob as _glob
+
+    dm_files = sorted(_glob.glob(os.path.join(index_path, "docmeta", "*.parquet")))
+    streams = []
+    if seg_files:
+        streams.append(
+            ray.data.read_parquet(seg_files).map_batches(
+                DecodeSegmentRows(wp),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+        )
+    if dm_files:
+        streams.append(
+            ray.data.read_parquet(dm_files).map_batches(
+                docmeta_rows_fn(ww=ww, wp=wp, wpb=wpb, wc=wc),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+        )
+    if not streams:
+        raise ValueError(f"index at {index_path} has no segments or docmeta")
+    postings = streams[0] if len(streams) == 1 else streams[0].union(*streams[1:])
+    sharded = postings.map_batches(
+        _add_doc_shard(num_shards), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    # doc-sharded layout needs no heavy-term salting: skew splits by doc hash
+    cfg2 = dataclasses.replace(cfg, num_buckets=num_shards, heavy_terms=())
+    manifest = _run_bucket_shuffle(
+        sharded, out_dir, cfg2, lineage, resume=resume, doc_count=idx.doc_count
+    )
+    # global stats for shard searchers + a layout tag so nobody term-routes
+    # into doc shards by mistake
+    manifest["layout"] = "docshard"
+    manifest["serving_lineage"] = lineage
+    manifest["num_shards"] = num_shards
+    manifest["doc_count"] = idx.doc_count
+    manifest["total_field_length"] = idx.total_field_length
+    tmp = man_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, man_path)
+    return manifest

@@ -152,6 +152,48 @@ class DecodeSegmentRows:
         return pa.table(cols)
 
 
+def docmeta_rows_fn(
+    ww: bool, wp: bool, wpb: bool, wc: bool, del_set: np.ndarray | None = None
+):
+    """map_batches fn: docmeta table rows -> DOCMETA_TERM posting rows with
+    the payload columns (weight/positions/tboosts/chars) the target stream
+    carries. Shared by the merge job and the doc-shard serving build."""
+
+    def dm_to_rows(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        keep = (
+            ~np.isin(ids, del_set) if del_set is not None and len(del_set) else None
+        )
+        if keep is not None:
+            batch = batch.filter(pa.array(keep))
+            ids = ids[keep]
+        n = len(batch)
+        cols = {
+            "term": pa.array(np.full(n, DOCMETA_TERM, dtype=object), pa.string()),
+            "doc_id": pa.array(ids, pa.uint64()),
+            "tf": batch["length"].cast(pa.uint32()),
+            "len_byte": batch["len_byte"].cast(pa.uint8()),
+        }
+        if ww:
+            cols["weight"] = pa.array(np.zeros(n, np.float64), pa.float64())
+        if wp:
+            cols["positions"] = pa.ListArray.from_arrays(
+                pa.array(np.zeros(n + 1, np.int32)), pa.array([], pa.int32())
+            )
+            if wpb:
+                cols["tboosts"] = pa.ListArray.from_arrays(
+                    pa.array(np.zeros(n + 1, np.int32)),
+                    pa.array([], pa.float32()),
+                )
+        if wc:
+            cols["chars"] = pa.ListArray.from_arrays(
+                pa.array(np.zeros(n + 1, np.int32)), pa.array([], pa.int32())
+            )
+        return pa.table(cols)
+
+    return dm_to_rows
+
+
 def merge_indexes(
     index_dirs: list[str],
     out_dir: str,
@@ -203,37 +245,7 @@ def merge_indexes(
         else None
     )
 
-    def dm_to_rows(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        keep = (
-            ~np.isin(ids, del_set) if del_set is not None and len(del_set) else None
-        )
-        if keep is not None:
-            batch = batch.filter(pa.array(keep))
-            ids = ids[keep]
-        n = len(batch)
-        cols = {
-            "term": pa.array(np.full(n, DOCMETA_TERM, dtype=object), pa.string()),
-            "doc_id": pa.array(ids, pa.uint64()),
-            "tf": batch["length"].cast(pa.uint32()),
-            "len_byte": batch["len_byte"].cast(pa.uint8()),
-        }
-        if ww:
-            cols["weight"] = pa.array(np.zeros(n, np.float64), pa.float64())
-        if wp:
-            cols["positions"] = pa.ListArray.from_arrays(
-                pa.array(np.zeros(n + 1, np.int32)), pa.array([], pa.int32())
-            )
-            if wpb:
-                cols["tboosts"] = pa.ListArray.from_arrays(
-                    pa.array(np.zeros(n + 1, np.int32)),
-                    pa.array([], pa.float32()),
-                )
-        if wc:
-            cols["chars"] = pa.ListArray.from_arrays(
-                pa.array(np.zeros(n + 1, np.int32)), pa.array([], pa.int32())
-            )
-        return pa.table(cols)
+    dm_to_rows = docmeta_rows_fn(ww=ww, wp=wp, wpb=wpb, wc=wc, del_set=del_set)
 
     if dm_files:
         dm_rows = ray.data.read_parquet(dm_files).map_batches(

@@ -312,6 +312,39 @@ class Index:
                 out[tr.term].append(tr)
         return out
 
+    def term_stats_many(
+        self, terms: list[str]
+    ) -> dict[str, tuple[int, float, float]]:
+        """Global ``(df, total_weight, max_weight)`` per term, summed across
+        salted rows — a STATS-ONLY predicate-pushdown read (no posting
+        blobs leave storage). Used by the distributed score pool to ship
+        collection-level stats with a query."""
+        by_bucket: dict[int, set[str]] = {}
+        for t in terms:
+            for bk in buckets_for_query_term(self.cfg, t):
+                by_bucket.setdefault(bk, set()).add(t)
+        out: dict[str, tuple[int, float, float]] = {
+            t: (0, 0.0, 0.0) for t in terms
+        }
+        for bk, tset in sorted(by_bucket.items()):
+            p = self._bucket_paths.get(bk)
+            if p is None:
+                continue
+            tbl = pq.read_table(
+                p,
+                columns=["term", "df", "weight", "max_weight"],
+                filters=pc.field("term").isin(sorted(tset)),
+            )
+            for i in range(len(tbl)):
+                t = tbl["term"][i].as_py()
+                df, w, mx = out[t]
+                out[t] = (
+                    df + int(tbl["df"][i].as_py()),
+                    w + float(tbl["weight"][i].as_py()),
+                    max(mx, float(tbl["max_weight"][i].as_py())),
+                )
+        return out
+
     def iter_term_stats(self, columns=("term", "df", "weight")) -> pa.Table:
         """Full term dictionary (stats columns only) across all buckets,
         merging salted duplicates by summation. Bucket reads fan out as Ray

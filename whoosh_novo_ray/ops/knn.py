@@ -239,6 +239,12 @@ def _seeded_centroid_init(sample: np.ndarray, k: int, seed: int) -> np.ndarray:
     from whoosh_novo_ray.ops.hashing import md5_u64
 
     n = len(sample)
+    if n == 0:
+        raise ValueError("k-means sample is empty (no embedding rows)")
+    # fewer sample rows than requested centroids: k distinct picks are
+    # impossible — clamp (duplicate sample rows would yield dead centroids
+    # anyway, and the unclamped loop never terminates)
+    k = min(k, n)
     picked: list[int] = []
     i = 0
     while len(picked) < k:

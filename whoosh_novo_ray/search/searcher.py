@@ -59,8 +59,13 @@ def _prefix_range(prefix: str) -> tuple[str | None, str | None]:
 
 def _regex_literal_prefix(pattern: str) -> str:
     """Longest literal prefix implied by an anchored regex (empty if the
-    pattern is unanchored — an unanchored search can match anywhere)."""
-    if not pattern.startswith("^"):
+    pattern is unanchored — an unanchored search can match anywhere).
+
+    A top-level '|' makes any derived prefix unsound ('^ab|cd' matches
+    terms containing 'cd' with no 'ab' prefix), so patterns containing
+    an alternation yield no prefix at all — the reference's
+    Regex._find_prefix does the same (query/terms.py)."""
+    if "|" in pattern or not pattern.startswith("^"):
         return ""
     out = []
     i = 1
@@ -111,6 +116,14 @@ class Searcher:
             np.sort(doc_ids.astype(np.uint64)) if doc_ids is not None else None
         )
         self._term_cache: dict[tuple[str, bool], list[TermRow]] = {}
+
+    def _with_weighting(self, weighting: WeightingModel) -> "Searcher":
+        """Clone with a different weighting model (WeightingQuery subtrees);
+        subclasses override so shard searchers stay shard searchers."""
+        sub = Searcher(self.index, weighting=weighting)
+        sub._universe = self._universe
+        sub._term_cache = self._term_cache
+        return sub
 
     # -- posting access -------------------------------------------------------
 
@@ -260,9 +273,7 @@ class Searcher:
             return ids, np.full(len(ids), float(q.score))
 
         if isinstance(q, Q.WeightingQuery):
-            sub = Searcher(self.index, weighting=q.weighting)
-            sub._universe = self._universe
-            return sub.postings(q.child)
+            return self._with_weighting(q.weighting).postings(q.child)
 
         if isinstance(q, (Q.Sequence, Q.Ordered)):
             return self._sequence(q)

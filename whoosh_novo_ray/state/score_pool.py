@@ -1,0 +1,395 @@
+"""Distributed query SCORING: doc-shard actors evaluate whole queries.
+
+This is the scatter-gather the reference's segment model implies
+(de-odex/whoosh-novo ``src/whoosh/reading.py:1012-1120`` MultiReader +
+``collectors.py:423-508`` top-k): segments are doc-partitioned, each is
+searched independently, and the per-segment results merge by
+(score desc, doc_id asc). Here each ScoreServer actor pins one-or-more doc
+shards (built by index/docshard.py) and runs the SAME vectorized Searcher
+over its doc subset — with GLOBAL collection stats (doc_count, avg field
+length, per-term df/weight shipped with the query), so scores are
+bit-identical to a single-process search. Only the per-shard top-k
+(limit rows) ever leaves an actor; no posting blob crosses the network at
+query time, which is what survives a stopword-grade term over 10^10 docs.
+
+Driver responsibilities (cheap, metadata-only):
+  * rewrite multi-term queries (Prefix/Wildcard/Regex/TermRange/Fuzzy/
+    Variations) into concrete Term trees against the MAIN index's term
+    dictionary — expansion rules (single-term = scored, multi-term
+    constantscore) depend on the GLOBAL lexicon, not a shard's slice;
+  * fetch global per-term stats once per term (stats-only pushdown read,
+    cached across queries);
+  * k-way-merge the per-shard top-k tables with the reference tie-break.
+
+Queries whose semantics are inherently global-order-dependent (Otherwise's
+"b only if a matches NOTHING anywhere", NestedParent/NestedChildren block
+joins that need doc-contiguity) fall back to the driver-side Searcher.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+
+from whoosh_novo_ray.index.build import MANIFEST_NAME
+from whoosh_novo_ray.index.docshard import build_serving_shards, serving_dir_for
+from whoosh_novo_ray.index.segment import Index, _row_to_termrow
+from whoosh_novo_ray.search import query as Q
+from whoosh_novo_ray.search.searcher import Searcher, _in_sorted
+from whoosh_novo_ray.search.scoring import WeightingModel
+
+
+class _GlobalStatsView:
+    """Index-shaped object a ShardSearcher scores against: GLOBAL doc count
+    and average field length, with the shard's own doc universe."""
+
+    def __init__(self, doc_count: int, total_field_length: float, universe: np.ndarray):
+        self.doc_count = doc_count
+        self.total_field_length = total_field_length
+        self._universe = universe
+
+    @property
+    def avg_field_length(self) -> float:
+        return self.total_field_length / (self.doc_count or 1)
+
+    def all_doc_ids(self) -> np.ndarray:
+        return self._universe
+
+
+class ShardSearcher(Searcher):
+    """Searcher over pinned doc-shard tables with global stats.
+
+    Term lookups filter the in-memory shard tables (no I/O); term stats come
+    from the driver-shipped global map, so idf / SQR coordination / WAND
+    block-max thresholds all see the whole collection."""
+
+    def __init__(
+        self,
+        view: _GlobalStatsView,
+        tables: list[pa.Table],
+        gstats: dict[str, tuple[int, float, float]],
+        weighting: WeightingModel | None = None,
+    ):
+        super().__init__(view, weighting=weighting)  # type: ignore[arg-type]
+        self._tables = tables
+        self._gstats = gstats
+        self._universe = view._universe
+
+    def _with_weighting(self, weighting: WeightingModel) -> "ShardSearcher":
+        sub = ShardSearcher(self.index, self._tables, self._gstats, weighting)
+        sub._term_cache = self._term_cache
+        return sub
+
+    def prefetch_terms(self, terms: list[str], with_positions: bool = False) -> None:
+        missing = [t for t in set(terms) if (t, with_positions) not in self._term_cache]
+        if not missing:
+            return
+        for t in missing:
+            self._term_cache[(t, with_positions)] = []
+        vs = pa.array(sorted(missing))
+        for tbl in self._tables:
+            sub = tbl.filter(pc.is_in(tbl["term"], value_set=vs))
+            wp = with_positions and "pos_blob" in sub.column_names
+            wc = "chars_blob" in sub.column_names
+            for i in range(len(sub)):
+                tr = _row_to_termrow(sub, i, wp, wc)
+                self._term_cache[(tr.term, with_positions)].append(tr)
+
+    def term_stats(self, term: str) -> tuple[int, float, float]:
+        return self._gstats.get(term, (0, 0.0, 0.0))
+
+    def postings(self, q: Q.Query):
+        if isinstance(q, Q.ColumnQuery):
+            # the attrs table is collection-global: restrict matches to THIS
+            # shard's docs or the pool merge would multiply-count them
+            ids, sc = super().postings(q)
+            keep = _in_sorted(ids, self._universe)
+            return ids[keep], sc[keep]
+        return super().postings(q)
+
+
+@ray.remote
+class ScoreServer:
+    """Pins a set of doc shards; evaluates queries over them end-to-end."""
+
+    def __init__(self, serving_dir: str, shards: list[int]):
+        with open(os.path.join(serving_dir, MANIFEST_NAME)) as f:
+            man = json.load(f)
+        self._doc_count = int(man["doc_count"])
+        self._tfl = float(man["total_field_length"])
+        self._tables: list[pa.Table] = []
+        for b in man["buckets"]:
+            if b["bucket"] in shards and b["path"]:
+                self._tables.append(
+                    pq.read_table(os.path.join(serving_dir, b["path"]))
+                )
+        parts = []
+        for k in shards:
+            p = os.path.join(serving_dir, "docmeta", f"bucket={k:05d}.parquet")
+            if os.path.exists(p):
+                parts.append(
+                    pq.read_table(p, columns=["doc_id"])["doc_id"].to_numpy(
+                        zero_copy_only=False
+                    )
+                )
+        self._universe = (
+            np.sort(np.concatenate(parts).astype(np.uint64))
+            if parts
+            else np.empty(0, np.uint64)
+        )
+
+    def _searcher(self, gstats, weighting) -> ShardSearcher:
+        view = _GlobalStatsView(self._doc_count, self._tfl, self._universe)
+        return ShardSearcher(view, self._tables, gstats, weighting)
+
+    def score(
+        self,
+        q: Q.Query,
+        limit: int | None,
+        gstats: dict[str, tuple[int, float, float]],
+        weighting: WeightingModel | None = None,
+    ) -> pa.Table:
+        """Top-``limit`` (score desc, doc_id asc) over THIS actor's docs."""
+        return self._searcher(gstats, weighting).search(q, limit=limit)
+
+    def wand(
+        self,
+        terms: list[str],
+        k: int,
+        gstats: dict[str, tuple[int, float, float]],
+        weighting: WeightingModel | None = None,
+        strategy: str = "auto",
+    ) -> tuple[pa.Table, dict]:
+        from whoosh_novo_ray.search.wand import searcher_wand_topk
+
+        return searcher_wand_topk(
+            self._searcher(gstats, weighting), terms, k, strategy=strategy
+        )
+
+    def ping(self) -> bool:
+        return True
+
+
+def _merge_topk(parts: list[pa.Table], limit: int | None) -> pa.Table:
+    """k-way merge of per-shard result tables — the reference tie-break
+    (score desc, doc_id asc), truncated to limit. Shards partition the doc
+    space, so every global top-k doc appears in exactly one part and within
+    that part's top-k: concatenation + lexsort is exact."""
+    parts = [p for p in parts if len(p)]
+    if not parts:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.uint64()),
+                "score": pa.array([], pa.float64()),
+            }
+        )
+    ids = np.concatenate(
+        [p["doc_id"].to_numpy(zero_copy_only=False) for p in parts]
+    ).astype(np.uint64)
+    scores = np.concatenate(
+        [p["score"].to_numpy(zero_copy_only=False) for p in parts]
+    ).astype(np.float64)
+    order = np.lexsort((ids, -scores))
+    if limit is not None:
+        order = order[:limit]
+    return pa.table(
+        {
+            "doc_id": pa.array(ids[order], pa.uint64()),
+            "score": pa.array(scores[order], pa.float64()),
+        }
+    )
+
+
+class ScorePool:
+    """Pool of doc-shard scoring actors + the driver-side query planner."""
+
+    def __init__(
+        self,
+        index_path: str,
+        num_actors: int = 4,
+        num_shards: int | None = None,
+        serving_dir: str | None = None,
+    ):
+        self.index = Index(index_path)
+        num_shards = num_shards or max(num_actors, 8)
+        serving_dir = serving_dir or serving_dir_for(index_path)
+        man = build_serving_shards(
+            index_path, num_shards=num_shards, out_dir=serving_dir
+        )
+        all_shards = sorted(b["bucket"] for b in man["buckets"])
+        assignments: list[list[int]] = [[] for _ in range(num_actors)]
+        for i, k in enumerate(all_shards):
+            assignments[i % num_actors].append(k)
+        self._actors = [
+            ScoreServer.remote(serving_dir, ks) for ks in assignments if ks
+        ]
+        ray.get([a.ping.remote() for a in self._actors])
+        self._stats_cache: dict[str, tuple[int, float, float]] = {}
+        self._driver_searcher = Searcher(self.index)
+
+    # -- planning ------------------------------------------------------------
+
+    def _gstats(self, terms: list[str]) -> dict[str, tuple[int, float, float]]:
+        missing = [t for t in set(terms) if t not in self._stats_cache]
+        if missing:
+            self._stats_cache.update(self.index.term_stats_many(missing))
+        return {t: self._stats_cache[t] for t in set(terms)}
+
+    def _rewrite(self, q: Q.Query) -> Q.Query:
+        """Expand multi-term nodes against the GLOBAL term dictionary so
+        per-shard evaluation can't diverge from single-process semantics
+        (single-vs-multi expansion scoring, live-variant filtering)."""
+        ds = self._driver_searcher
+        if isinstance(q, (Q.Prefix, Q.Wildcard, Q.Regex, Q.TermRange)):
+            expanded = ds.expand(q)
+            if not expanded:
+                return Q.NULL
+            if len(expanded) == 1:
+                return Q.Term(expanded[0], boost=q.boost)
+            if q.constantscore:
+                return Q.ConstantScore(
+                    Q.Or(*[Q.Term(t) for t in expanded]), score=q.boost
+                )
+            return Q.Or(*[Q.Term(t, boost=q.boost) for t in expanded])
+        from whoosh_novo_ray.search.fuzzy import FuzzyTerm, evaluate_fuzzy
+
+        if isinstance(q, FuzzyTerm):
+            expanded = evaluate_fuzzy(ds, q)
+            if expanded is None:
+                return Q.NULL
+            if isinstance(expanded, tuple):
+                _tag, terms, boost = expanded
+                return Q.ConstantScore(
+                    Q.Or(*[Q.Term(t) for t in terms]), score=boost
+                )
+            return self._rewrite(expanded)
+        if isinstance(q, Q.Variations):
+            from whoosh_novo_ray.lang_morph import variations as _morph
+
+            cands = sorted(set(_morph(q.text)))
+            stats = self._gstats(cands)
+            live = [t for t in cands if stats[t][0] > 0]
+            if not live:
+                return Q.NULL
+            if len(live) == 1:
+                return Q.Term(live[0], boost=q.boost)
+            return Q.Or(*[Q.Term(t, boost=q.boost) for t in live])
+        if isinstance(q, Q.Or):
+            return Q.Or(
+                *[self._rewrite(c) for c in q.children],
+                scale=getattr(q, "scale", None),
+            )
+        if isinstance(q, (Q.And, Q.DisMax)):
+            return type(q)(*[self._rewrite(c) for c in q.children])
+        if isinstance(q, (Q.AndNot, Q.Require, Q.AndMaybe)):
+            return type(q)(self._rewrite(q.a), self._rewrite(q.b))
+        if isinstance(q, Q.ConstantScore):
+            return Q.ConstantScore(self._rewrite(q.child), score=q.score)
+        if isinstance(q, Q.WeightingQuery):
+            return Q.WeightingQuery(self._rewrite(q.child), q.weighting)
+        if isinstance(q, (Q.Sequence, Q.Ordered)):
+            kids = []
+            for c in q.children:
+                if isinstance(c, (Q.Prefix, Q.Wildcard, Q.Regex, Q.TermRange)):
+                    terms = ds.expand(c)
+                    if not terms:
+                        return Q.NULL
+                    kids.append(
+                        Q.Term(terms[0])
+                        if len(terms) == 1
+                        else Q.Or(*[Q.Term(t) for t in terms])
+                    )
+                else:
+                    kids.append(c)
+            if isinstance(q, Q.Sequence):
+                return Q.Sequence(*kids, slop=q.slop, boost=q.boost)
+            return Q.Ordered(*kids, boost=q.boost)
+        return q
+
+    def _stat_terms(self, q: Q.Query) -> list[str]:
+        """Every concrete term the query can score — Term leaves AND the
+        non-Term carriers (Phrase words, SpanTerm texts). These all need
+        global (df, weight) shipped to the shards; a missing entry would
+        score with df=0 idf."""
+        from whoosh_novo_ray.search.spans import SpanTerm
+
+        out: set[str] = set()
+        for leaf in q.leaves():
+            if isinstance(leaf, (Q.Term, SpanTerm)):
+                out.add(leaf.text)
+            elif isinstance(leaf, Q.Phrase):
+                out.update(leaf.words)
+        return sorted(out)
+
+    def _needs_fallback(self, q: Q.Query) -> bool:
+        """Global-order-dependent nodes evaluate driver-side."""
+        for leaf in q.leaves():
+            if isinstance(leaf, (Q.NestedParent, Q.NestedChildren)):
+                return True
+        # Otherwise does not yield itself from leaves(); walk containers
+        stack = [q]
+        while stack:
+            node = stack.pop()
+            if isinstance(node, Q.Otherwise):
+                return True
+            for attr in ("children",):
+                stack.extend(getattr(node, attr, ()) or ())
+            for attr in ("a", "b", "child", "subq", "parents", "parents_q"):
+                c = getattr(node, attr, None)
+                if isinstance(c, Q.Query):
+                    stack.append(c)
+        return False
+
+    # -- search --------------------------------------------------------------
+
+    def search(
+        self,
+        q: Q.Query,
+        limit: int | None = 10,
+        weighting: WeightingModel | None = None,
+    ) -> pa.Table:
+        if self._needs_fallback(q):
+            s = Searcher(self.index, weighting=weighting)
+            return s.search(q, limit=limit)
+        q2 = self._rewrite(q)
+        gstats = self._gstats(self._stat_terms(q2))
+        futs = [a.score.remote(q2, limit, gstats, weighting) for a in self._actors]
+        return _merge_topk(ray.get(futs), limit)
+
+    def wand_topk(
+        self,
+        terms: list[str],
+        k: int = 10,
+        weighting: WeightingModel | None = None,
+        strategy: str = "auto",
+    ) -> tuple[pa.Table, dict]:
+        """Distributed block-max WAND: each shard runs the skip-table
+        cursor loop over ITS blocks (global idf via shipped stats), merged
+        exactly like search()."""
+        gstats = self._gstats(list(terms))
+        futs = [
+            a.wand.remote(list(terms), k, gstats, weighting, strategy)
+            for a in self._actors
+        ]
+        results = ray.get(futs)
+        merged = _merge_topk([t for t, _s in results], k)
+        stats: dict[str, float] = {}
+        for _t, s in results:
+            for key, v in s.items():
+                if isinstance(v, (int, float)):
+                    stats[key] = stats.get(key, 0) + v
+                else:
+                    stats[key] = v
+        return merged, stats
+
+    def shutdown(self) -> None:
+        for a in self._actors:
+            ray.kill(a)
+        self._actors = []
