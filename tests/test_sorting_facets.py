@@ -213,3 +213,30 @@ def test_facet_groups_ordered_and_best(env):
         assert dlist == ranked, k
         bi = best["key"].index(k)
         assert best["doc_id"][bi] == dlist[0]
+
+
+def test_fieldfacet_from_parquet_path(env, ray_session, tmp_path):
+    """A parquet-path FieldFacet streams only the matched rows and produces
+    identical results to the in-memory-table form."""
+    import pyarrow.parquet as pq
+
+    s, attrs, _pages = env
+    p = str(tmp_path / "attrs.parquet")
+    pq.write_table(attrs, p)
+    q = Term("search")
+    t_mem = facet_counts(s, q, FieldFacet(attrs, "lang")).to_pydict()
+    t_path = facet_counts(s, q, FieldFacet(p, "lang")).to_pydict()
+    assert t_path == t_mem
+    s_mem = sorted_search(s, q, FieldFacet(attrs, "n")).to_pydict()
+    s_path = sorted_search(s, q, FieldFacet(p, "n")).to_pydict()
+    assert s_path == s_mem
+
+
+def test_fieldfacet_from_parquet_no_matches(env, ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    s, attrs, _pages = env
+    p = str(tmp_path / "attrs.parquet")
+    pq.write_table(attrs, p)
+    t = facet_counts(s, Term("zzzznope"), FieldFacet(p, "lang"))
+    assert len(t) == 0

@@ -368,12 +368,42 @@ class Index:
             )
         return tbl
 
-    def doc_meta(self) -> pa.Table:
-        """The per-document metadata table (doc_id, length, len_byte) written
-        alongside the segments, concatenated across buckets and sorted."""
+    def _docmeta_files(self) -> list[str]:
         import glob as _glob
 
-        files = sorted(_glob.glob(os.path.join(self.path, "docmeta", "*.parquet")))
+        return sorted(_glob.glob(os.path.join(self.path, "docmeta", "*.parquet")))
+
+    def docmeta_ds(self):
+        """The per-document metadata as a STREAMING ray Dataset — the form
+        pipelines should consume the doc universe in (anti-joins, facet
+        sources, exports). Driver-side ``doc_meta()`` / ``all_doc_ids()``
+        below exist for the local vectorized Searcher, whose Every/Not
+        evaluation needs the id array in memory; at cluster scale those
+        queries route through the ScorePool, where each shard actor holds
+        only ITS doc subset (state/score_pool.py)."""
+        import ray.data as _rd
+
+        files = self._docmeta_files()
+        if not files:
+            return _rd.from_arrow(
+                pa.table(
+                    {
+                        "doc_id": pa.array([], pa.uint64()),
+                        "length": pa.array([], pa.uint32()),
+                        "len_byte": pa.array([], pa.uint8()),
+                    }
+                )
+            )
+        return _rd.read_parquet(files)
+
+    def doc_meta(self) -> pa.Table:
+        """The per-document metadata table (doc_id, length, len_byte),
+        concatenated across buckets and sorted. Bucket reads fan out as Ray
+        tasks when a session is live. Driver-sized by design — prefer
+        ``docmeta_ds()`` in pipelines."""
+        import ray as _ray
+
+        files = self._docmeta_files()
         if not files:
             return pa.table(
                 {
@@ -382,21 +412,28 @@ class Index:
                     "len_byte": pa.array([], pa.uint8()),
                 }
             )
-        return pa.concat_tables([pq.read_table(f) for f in files]).sort_by("doc_id")
+        if len(files) >= 4 and _ray.is_initialized():
+            fn = _ray.remote(num_cpus=1)(pq.read_table)
+            tables = _ray.get([fn.remote(f) for f in files])
+        else:
+            tables = [pq.read_table(f) for f in files]
+        return pa.concat_tables(tables).sort_by("doc_id")
 
     def all_doc_ids(self) -> np.ndarray:
-        """Sorted array of every indexed document id (the Every universe)."""
-        import glob as _glob
+        """Sorted array of every indexed document id (the Every universe for
+        the LOCAL Searcher; ScorePool shards never call this — each actor
+        pins its own shard's docmeta)."""
+        import ray as _ray
 
-        files = sorted(_glob.glob(os.path.join(self.path, "docmeta", "*.parquet")))
-        parts = [
-            pq.read_table(f, columns=["doc_id"])["doc_id"].to_numpy(
-                zero_copy_only=False
-            )
-            for f in files
-        ]
-        if not parts:
+        files = self._docmeta_files()
+        if not files:
             return np.empty(0, np.uint64)
+        if len(files) >= 4 and _ray.is_initialized():
+            fn = _ray.remote(num_cpus=1)(_read_stats_file)
+            tables = _ray.get([fn.remote(f, ["doc_id"]) for f in files])
+        else:
+            tables = [pq.read_table(f, columns=["doc_id"]) for f in files]
+        parts = [t["doc_id"].to_numpy(zero_copy_only=False) for t in tables]
         return np.sort(np.concatenate(parts).astype(np.uint64))
 
     def expand_terms(

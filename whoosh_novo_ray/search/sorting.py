@@ -29,19 +29,73 @@ class Facet:
         raise NotImplementedError
 
 
+def matched_attrs(source, columns, doc_ids: np.ndarray) -> pa.Table:
+    """Attribute rows for the MATCHED doc ids only, streamed: the matched-id
+    set broadcasts into a map_batches filter over the attribute source — a
+    parquet path (str), list of paths, or a ray.data.Dataset — so the full
+    per-doc column never materializes in one process. This is how facet /
+    sort / collapse read stored fields at scale (the reference reads its
+    per-segment column files row-by-row; the cluster analog is a pruned
+    streaming filter)."""
+    import ray
+    import ray.data
+
+    columns = list(columns)
+    if isinstance(source, (str, list, tuple)):
+        n_blocks = int(ray.cluster_resources().get("CPU", 8))
+        ds = ray.data.read_parquet(
+            list(source) if isinstance(source, (list, tuple)) else source,
+            columns=columns,
+            override_num_blocks=n_blocks,
+        )
+    else:
+        ds = source.select_columns(columns)
+    schema = ds.schema()
+    id_arr = pa.array(np.asarray(doc_ids).astype(np.int64))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        col = batch["doc_id"]
+        return batch.filter(
+            pc.is_in(col, value_set=id_arr.cast(col.type))
+        )
+
+    out = ds.map_batches(
+        keep, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    tables = [t for t in ray.get(out.to_arrow_refs()) if len(t)]
+    if not tables:
+        return pa.table(
+            {
+                c: pa.array([], schema.base_schema.field(c).type)
+                for c in columns
+            }
+        )
+    return pa.concat_tables(tables)
+
+
 @dataclass
 class FieldFacet(Facet):
-    """Key = attrs[column] looked up by doc_id. ``attrs`` must have a doc_id
-    column (e.g. Index.doc_meta() or a projection of the source table)."""
+    """Key = attrs[column] looked up by doc_id.
 
-    attrs: pa.Table
+    ``attrs`` may be an in-memory pa.Table with a doc_id column (small /
+    already-filtered sets), or a parquet path / list of paths / Dataset —
+    then only the MATCHED docs' rows are streamed to the driver per query
+    (``matched_attrs``), never the whole column."""
+
+    attrs: object  # pa.Table | str | list[str] | ray.data.Dataset
     column: str
 
+    def _table_for(self, doc_ids) -> pa.Table:
+        if isinstance(self.attrs, pa.Table):
+            return self.attrs
+        return matched_attrs(self.attrs, ("doc_id", self.column), doc_ids)
+
     def keys_for(self, searcher, doc_ids):
-        ids = self.attrs["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        attrs = self._table_for(doc_ids)
+        ids = attrs["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
         order = np.argsort(ids)
         pos = order[np.searchsorted(ids[order], doc_ids)]
-        vals = self.attrs[self.column].take(pa.array(pos)).to_numpy(
+        vals = attrs[self.column].take(pa.array(pos)).to_numpy(
             zero_copy_only=False
         )
         return vals
@@ -205,7 +259,7 @@ def facet_counts(searcher, q, facet: Facet) -> pa.Table:
     """Count matched docs per facet key (reference FacetCollector + Count)."""
     ids, scores = searcher.postings(q)
     keys = _facet_keys(searcher, facet, ids, scores)
-    mask = np.array([k is not None for k in keys])
+    mask = np.array([k is not None for k in keys], dtype=bool)
     uniq, counts = np.unique(keys[mask].astype(str), return_counts=True)
     return pa.table(
         {
@@ -252,7 +306,7 @@ def facet_groups(searcher, q, facet: Facet, best_only: bool = False) -> pa.Table
     """
     ids, scores = searcher.postings(q)
     keys = _facet_keys(searcher, facet, ids, scores)
-    mask = np.array([k is not None for k in keys])
+    mask = np.array([k is not None for k in keys], dtype=bool)
     ids, scores, keys = ids[mask], scores[mask], keys[mask]
     order = np.lexsort((ids, -scores))
     ids, scores, keys = ids[order], scores[order], keys[order]
