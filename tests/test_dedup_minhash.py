@@ -1,0 +1,84 @@
+"""MinHash+LSH candidate verification: the est-jaccard join is distributed —
+pairs meet signatures inside sharded map_groups, never in a driver dict —
+and must survive a duplicate-heavy corpus (where "candidates" are a large
+fraction of the corpus) while matching a brute-force in-memory check."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _dup_heavy_corpus(n=120, dup_frac=0.5, seed=3):
+    """~dup_frac of docs are near-copies of earlier docs (one word changed)."""
+    rng = np.random.default_rng(seed)
+    vocab = [f"w{i}" for i in range(60)]
+    texts = []
+    for i in range(n):
+        if i > 0 and rng.random() < dup_frac:
+            src = texts[rng.integers(0, len(texts))].split()
+            j = int(rng.integers(0, len(src)))
+            src[j] = vocab[int(rng.integers(0, len(vocab)))]
+            texts.append(" ".join(src))
+        else:
+            texts.append(" ".join(rng.choice(vocab, size=25)))
+    return pa.table(
+        {
+            "doc_id": pa.array(np.arange(n), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def dup_env(ray_session):
+    import ray.data
+
+    tbl = _dup_heavy_corpus()
+    return tbl, ray.data.from_arrow(tbl).repartition(4)
+
+
+def _brute_force_estimates(tbl, pairs, n=3, num_perm=64, seed=7):
+    from whoosh_novo_ray.ops.dedup import _MinHashSig
+
+    sig = _MinHashSig(n, num_perm, seed)
+    sigs = {
+        int(d): sig.signature(t)
+        for d, t in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist())
+    }
+    return {
+        (a, b): float(np.mean(sigs[a] == sigs[b]))
+        for a, b in pairs
+    }
+
+
+def test_minhash_verify_matches_brute_force(dup_env):
+    from whoosh_novo_ray.ops.dedup import minhash_lsh_candidates
+
+    tbl, ds = dup_env
+    got = minhash_lsh_candidates(ds, n=3, num_perm=64, bands=16, seed=7)
+    assert len(got) > 10, "dup-heavy corpus must yield many candidates"
+    pairs = list(zip(got["doc_a"].to_pylist(), got["doc_b"].to_pylist()))
+    assert len(set(pairs)) == len(pairs), "pair dedup"
+    want = _brute_force_estimates(tbl, pairs)
+    for (a, b), est in zip(pairs, got["est_jaccard"].to_pylist()):
+        assert est == pytest.approx(round(want[(a, b)], 6), abs=1e-9)
+
+
+def test_minhash_threshold_filters_inside_join(dup_env):
+    from whoosh_novo_ray.ops.dedup import minhash_lsh_candidates
+
+    _tbl, ds = dup_env
+    full = minhash_lsh_candidates(ds, n=3, num_perm=64, bands=16, seed=7)
+    thr = minhash_lsh_candidates(
+        ds, n=3, num_perm=64, bands=16, seed=7, threshold=0.8
+    )
+    ests = dict(
+        zip(
+            zip(full["doc_a"].to_pylist(), full["doc_b"].to_pylist()),
+            full["est_jaccard"].to_pylist(),
+        )
+    )
+    want = sorted(k for k, v in ests.items() if v >= 0.8)
+    gotk = sorted(zip(thr["doc_a"].to_pylist(), thr["doc_b"].to_pylist()))
+    assert gotk == want
+    assert 0 < len(thr) < len(full)

@@ -410,14 +410,20 @@ def minhash_lsh_candidates(
     num_perm: int = 64,
     bands: int = 16,
     seed: int = 7,
+    threshold: float | None = None,
 ) -> pa.Table:
     """Near-duplicate candidate pairs via MinHash banding.
 
     Signature stage is a pure map_batches; banding explodes each doc into
     ``bands`` (band_key, doc_id) rows; sharded vectorized reducers emit and
-    dedup candidate pairs (no per-band-key Python groups). Returns
-    (doc_a, doc_b, est_jaccard) where est_jaccard is the
-    signature-agreement fraction.
+    dedup candidate pairs (no per-band-key Python groups). The est_jaccard
+    verify is a DISTRIBUTED two-pass hash-join of pairs against signatures
+    (shard by hash(doc) — signatures meet their pairs inside map_groups, the
+    driver never holds the signature set or the pre-filter pair set).
+    Returns (doc_a, doc_b, est_jaccard) where est_jaccard is the
+    signature-agreement fraction; ``threshold`` drops pairs below it INSIDE
+    the join (pass one on dup-heavy corpora so only survivors reach the
+    driver).
     """
     assert num_perm % bands == 0
     r = num_perm // bands
@@ -502,20 +508,24 @@ def minhash_lsh_candidates(
             }
         )
 
-    # the deduped candidate-pair set IS this function's return value —
-    # near-dup candidates are sparse by construction, so collecting them is
-    # result-sized, not corpus-sized. Both shuffles key on 64-way hash
-    # shards (never on the raw band key or pair — one Python call per group
-    # would be pathological at web scale).
-    pairs = (
+    # Both pair shuffles key on 64-way hash shards (never on the raw band
+    # key or pair — one Python call per group would be pathological at web
+    # scale). The pair set stays a DATASET through the verify join: on a
+    # dup-heavy crawl "candidate pairs" is a large fraction of the corpus,
+    # so neither the pairs nor the signatures may be collected to the
+    # driver before the estimate filter.
+    pairs_ds = (
         banded.map_batches(add_band_shard, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("shard")
         .map_groups(emit_pairs_shard, batch_format="pyarrow")
         .groupby("pshard")
         .map_groups(unique_pairs_shard, batch_format="pyarrow")
-        .to_pandas()
     )
-    if not len(pairs):
+    est_ds = _estimate_pairs_distributed(pairs_ds, sigs_ds, num_perm, threshold)
+    tables = [
+        t for t in ray.get(est_ds.materialize().to_arrow_refs()) if len(t)
+    ]
+    if not tables:
         return pa.table(
             {
                 "doc_a": pa.array([], pa.int64()),
@@ -523,49 +533,179 @@ def minhash_lsh_candidates(
                 "est_jaccard": pa.array([], pa.float64()),
             }
         )
-    # estimate jaccard from the CANDIDATES' signatures only: broadcast the
-    # (small) candidate-id set into a streaming filter over the
-    # object-store-materialized signatures — the full signature dataset
-    # never reaches the driver.
-    cand_ids = pa.array(
-        np.unique(np.concatenate([pairs["doc_a"].to_numpy(), pairs["doc_b"].to_numpy()])).astype(
-            np.int64
-        )
+    return pa.concat_tables(tables).sort_by(
+        [("doc_a", "ascending"), ("doc_b", "ascending")]
     )
 
-    def keep_candidates(batch: pa.Table) -> pa.Table:
-        return batch.filter(pc.is_in(batch["doc_id"], value_set=cand_ids))
 
-    cand_tables = [
-        t
-        for t in ray.get(
-            sigs_ds.map_batches(
-                keep_candidates, batch_format="pyarrow", zero_copy_batch=True
-            )
-            .materialize()  # avoid to_arrow_refs' second schema-probe run
-            .to_arrow_refs()
-        )
-        if len(t)
-    ]
-    cand = pa.concat_tables(cand_tables).combine_chunks()
-    cid = cand["doc_id"].to_numpy()
-    sig_col = cand["sig"].combine_chunks()
-    sig_mat = (
-        sig_col.values.to_numpy(zero_copy_only=False)
+_PAIR_PRIME = np.uint64(2654435761)
+
+
+def _join_shard_of(ids: np.ndarray) -> np.ndarray:
+    return (
+        (ids.astype(np.uint64) * _PAIR_PRIME) % np.uint64(N_SHARDS)
+    ).astype(np.int32)
+
+
+def _sig_list(mat: np.ndarray) -> pa.ListArray:
+    n, w = mat.shape if mat.ndim == 2 else (0, 0)
+    return pa.ListArray.from_arrays(
+        pa.array((np.arange(n + 1) * w).astype(np.int32), pa.int32()),
+        pa.array(mat.reshape(-1), pa.uint64()),
+    )
+
+
+def _empty_sig_list(n: int) -> pa.ListArray:
+    return pa.ListArray.from_arrays(
+        pa.array(np.zeros(n + 1, np.int32), pa.int32()),
+        pa.array([], pa.uint64()),
+    )
+
+
+def _sig_mat(col: pa.ChunkedArray | pa.Array, n_rows: int) -> np.ndarray:
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    return (
+        arr.values.to_numpy(zero_copy_only=False)
         .astype(np.uint64)
-        .reshape(len(cand), -1)
+        .reshape(n_rows, -1)
     )
-    row_of = {int(d): i for i, d in enumerate(cid)}
-    ai = np.fromiter((row_of[int(d)] for d in pairs["doc_a"]), np.int64, len(pairs))
-    bi = np.fromiter((row_of[int(d)] for d in pairs["doc_b"]), np.int64, len(pairs))
-    est = (sig_mat[ai] == sig_mat[bi]).mean(axis=1)
+
+
+def _empty_tagged() -> pa.Table:
     return pa.table(
         {
-            "doc_a": pa.array(pairs["doc_a"].to_numpy(), pa.int64()),
-            "doc_b": pa.array(pairs["doc_b"].to_numpy(), pa.int64()),
-            "est_jaccard": pa.array(np.round(est, 6), pa.float64()),
+            "jshard": pa.array([], pa.int32()),
+            "role": pa.array([], pa.int8()),
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "sig": pa.array([], pa.list_(pa.uint64())),
+            "sig_a": pa.array([], pa.list_(pa.uint64())),
         }
-    ).sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
+    )
+
+
+def _estimate_pairs_distributed(
+    pairs_ds: "ray.data.Dataset",
+    sigs_ds: "ray.data.Dataset",
+    num_perm: int,
+    threshold: float | None,
+) -> "ray.data.Dataset":
+    """Distributed est-jaccard verify: a two-pass hash-join of candidate
+    pairs against the signature dataset.
+
+    Pass 1 shards BOTH streams by hash(doc_a) (signatures by their doc_id),
+    so each map_groups call attaches sig_a to its pairs with a vectorized
+    searchsorted — no driver-side dict. Pass 2 re-shards the sig_a-carrying
+    pairs by hash(doc_b) against the signatures again, computes the
+    agreement fraction, and (optionally) drops pairs below ``threshold``
+    INSIDE the join. The driver only ever sees the final survivor table.
+    """
+
+    def tag_sigs(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(ids)
+        return pa.table(
+            {
+                "jshard": pa.array(_join_shard_of(ids), pa.int32()),
+                "role": pa.array(np.zeros(n, np.int8), pa.int8()),
+                "doc_a": pa.array(ids, pa.int64()),
+                "doc_b": pa.array(np.full(n, -1, np.int64), pa.int64()),
+                "sig": batch["sig"],
+                "sig_a": _empty_sig_list(n),
+            }
+        )
+
+    def tag_pairs(batch: pa.Table) -> pa.Table:
+        da = batch["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(da)
+        return pa.table(
+            {
+                "jshard": pa.array(_join_shard_of(da), pa.int32()),
+                "role": pa.array(np.ones(n, np.int8), pa.int8()),
+                "doc_a": batch["doc_a"],
+                "doc_b": batch["doc_b"],
+                "sig": _empty_sig_list(n),
+                "sig_a": _empty_sig_list(n),
+            }
+        )
+
+    def _attach(sigs: pa.Table, pairs: pa.Table, key_col: str) -> np.ndarray:
+        sid = sigs["doc_a"].to_numpy(zero_copy_only=False)
+        mat = _sig_mat(sigs["sig"], len(sigs))
+        order = np.argsort(sid)
+        keys = pairs[key_col].to_numpy(zero_copy_only=False)
+        pos = order[np.searchsorted(sid[order], keys)]
+        return mat[pos]
+
+    def join_on_a(group: pa.Table) -> pa.Table:
+        roles = group["role"].to_numpy(zero_copy_only=False)
+        pairs = group.filter(pa.array(roles == 1))
+        if not len(pairs):
+            return _empty_tagged()
+        sigs = group.filter(pa.array(roles == 0))
+        sig_a = _attach(sigs, pairs, "doc_a")
+        db = pairs["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(db)
+        return pa.table(
+            {
+                "jshard": pa.array(_join_shard_of(db), pa.int32()),
+                "role": pa.array(np.ones(n, np.int8), pa.int8()),
+                "doc_a": pairs["doc_a"],
+                "doc_b": pairs["doc_b"],
+                "sig": _empty_sig_list(n),
+                "sig_a": _sig_list(sig_a),
+            }
+        )
+
+    def join_on_b(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "est_jaccard": pa.array([], pa.float64()),
+            }
+        )
+        roles = group["role"].to_numpy(zero_copy_only=False)
+        pairs = group.filter(pa.array(roles == 1))
+        if not len(pairs):
+            return empty
+        sigs = group.filter(pa.array(roles == 0))
+        sig_b = _attach(sigs, pairs, "doc_b")
+        sig_a = _sig_mat(pairs["sig_a"], len(pairs))
+        est = (sig_a == sig_b).mean(axis=1)
+        keep = (
+            np.ones(len(est), bool) if threshold is None else est >= threshold
+        )
+        return pa.table(
+            {
+                "doc_a": pa.array(
+                    pairs["doc_a"].to_numpy(zero_copy_only=False)[keep],
+                    pa.int64(),
+                ),
+                "doc_b": pa.array(
+                    pairs["doc_b"].to_numpy(zero_copy_only=False)[keep],
+                    pa.int64(),
+                ),
+                "est_jaccard": pa.array(np.round(est[keep], 6), pa.float64()),
+            }
+        )
+
+    tagged_sigs = sigs_ds.map_batches(
+        tag_sigs, batch_format="pyarrow", zero_copy_batch=True
+    )
+    tagged_pairs = pairs_ds.map_batches(
+        tag_pairs, batch_format="pyarrow", zero_copy_batch=True
+    )
+    pass1 = (
+        tagged_sigs.union(tagged_pairs)
+        .groupby("jshard")
+        .map_groups(join_on_a, batch_format="pyarrow")
+    )
+    return (
+        tagged_sigs.union(pass1)
+        .groupby("jshard")
+        .map_groups(join_on_b, batch_format="pyarrow")
+    )
 
 
 # -- SimHash -------------------------------------------------------------------
