@@ -173,27 +173,40 @@ def query_latencies(index_dir: str, repeats: int = 20) -> dict:
 
 
 def pool_latencies(index_dir: str, repeats: int = 20) -> dict:
-    from whoosh_novo_ray.search import And, Or, Term
+    """Distributed serving path: doc-shard ScorePool actors evaluate the
+    whole query (global stats shipped), driver merges per-shard top-k —
+    only k rows per shard cross the network per query."""
+    from whoosh_novo_ray.search import And, Or, Phrase, Term
     from whoosh_novo_ray.search.wand import searcher_wand_topk
     from whoosh_novo_ray.search.searcher import Searcher
     from whoosh_novo_ray.index import Index
-    from whoosh_novo_ray.state import QueryPool
+    from whoosh_novo_ray.state.score_pool import ScorePool
 
-    pool = QueryPool(index_dir, num_actors=4)
-    out = {}
+    t0 = time.perf_counter()
+    pool = ScorePool(index_dir, num_actors=4, num_shards=8)
+    out = {"pool_serving_build": round(time.perf_counter() - t0, 3)}
     qset = {
         "pool_term": Term("search"),
         "pool_or3": Or(Term("search"), Term("index"), Term("data")),
         "pool_and2": And(Term("search"), Term("data")),
+        "pool_phrase": Phrase(["search", "index"]),
     }
     for name, q in qset.items():
-        pool.search(q, limit=10)  # warm actor caches
+        pool.search(q, limit=10)  # warm actor-side caches + driver stats
         samples = []
         for _ in range(repeats):
             t0 = time.perf_counter()
             pool.search(q, limit=10)
             samples.append(time.perf_counter() - t0)
         out[name] = round(statistics.median(samples), 5)
+    # distributed block-max WAND (per-shard cursor loops, driver merge)
+    pool.wand_topk(["search", "index", "data"], 10)
+    samples = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        pool.wand_topk(["search", "index", "data"], 10)
+        samples.append(time.perf_counter() - t0)
+    out["pool_wand_or3"] = round(statistics.median(samples), 5)
     pool.shutdown()
 
     idx = Index(index_dir)
@@ -258,13 +271,39 @@ def run_ops(sf_dir: str) -> dict:
     timed("op_jaccard", lambda: ngram_jaccard_pairs(_docs()))
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     q = pq.read_table(emb_path).column("embedding")[0].as_py()
+    qv = np.asarray(q, np.float64)
     timed(
         "op_knn",
         lambda: brute_force_knn(
             ray.data.read_parquet(emb_path, columns=["vec_id", "embedding"]),
-            np.asarray(q, np.float64),
+            qv,
             k=10,
         ),
+    )
+    # persisted ANN: build once (timed separately), then partition-pruned
+    # queries that read only the probe cells/buckets
+    from whoosh_novo_ray.ops.ann_index import (
+        build_ivf_index,
+        ivf_index_search,
+    )
+
+    ann_dir = f"/tmp/wnr_bench_ann_{os.path.basename(sf_dir.rstrip('/'))}"
+    timed(
+        "op_knn_ivf_build",
+        lambda: build_ivf_index(
+            ray.data.read_parquet(
+                emb_path,
+                columns=["vec_id", "embedding"],
+                override_num_blocks=n_blocks,
+            ),
+            ann_dir,
+            n_centroids=16,
+            lineage=f"bench:{sf_dir}",
+        ),
+    )
+    timed(
+        "op_knn_ivf_query",
+        lambda: ivf_index_search(ann_dir, qv, k=10, nprobe=4),
     )
     return times
 

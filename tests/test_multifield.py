@@ -121,3 +121,89 @@ def test_default_field_routing(mf_env):
     a = s.search(Term("search"))
     b = s.search(Term("search", field="body"))
     assert a.to_pydict() == b.to_pydict()
+
+
+@pytest.mark.skipif(not HAVE_REFERENCE, reason="reference not available")
+def test_multifield_parser_parity(mf_env, ref_mf):
+    """MultifieldParser: parsed unfielded queries match the reference
+    MultifieldParser's doc sets and scores (OrGroup expansion)."""
+    from whoosh.qparser import MultifieldParser as WMFP
+
+    from whoosh_novo_ray.search.qparser import MultifieldParser
+
+    idx, _ = mf_env
+    s = MultiFieldSearcher(idx, default_field="body")
+    mine_p = MultifieldParser(["title", "body"])
+    ref_p = WMFP(["title", "body"], ref_mf.schema)
+    for qs in ("search", "search data", "title:search data"):
+        mine = _mine(s, mine_p.parse(qs), limit=10)
+        ref = _ref(ref_mf, ref_p.parse(qs), limit=10)
+        assert [d for d, _ in mine] == [d for d, _ in ref], qs
+        assert [x for _, x in mine] == pytest.approx(
+            [x for _, x in ref], rel=1e-9
+        ), qs
+
+
+@pytest.mark.skipif(not HAVE_REFERENCE, reason="reference not available")
+def test_multifield_parser_fieldboost_parity(mf_env, ref_mf):
+    from whoosh.qparser import MultifieldParser as WMFP
+
+    from whoosh_novo_ray.search.qparser import MultifieldParser
+
+    idx, _ = mf_env
+    s = MultiFieldSearcher(idx, default_field="body")
+    mine_p = MultifieldParser(["title", "body"], fieldboosts={"title": 2.5})
+    ref_p = WMFP(["title", "body"], ref_mf.schema, fieldboosts={"title": 2.5})
+    mine = _mine(s, mine_p.parse("search"), limit=10)
+    ref = _ref(ref_mf, ref_p.parse("search"), limit=10)
+    assert [d for d, _ in mine] == [d for d, _ in ref]
+    assert [x for _, x in mine] == pytest.approx([x for _, x in ref], rel=1e-9)
+
+
+@pytest.mark.skipif(not HAVE_REFERENCE, reason="reference not available")
+def test_field_alias_parity(mf_env, ref_mf):
+    from whoosh.qparser import FieldAliasPlugin
+    from whoosh.qparser import MultifieldParser as WMFP
+
+    from whoosh_novo_ray.search.qparser import MultifieldParser
+
+    idx, _ = mf_env
+    s = MultiFieldSearcher(idx, default_field="body")
+    mine_p = MultifieldParser(["body"], aliases={"title": ["headline"]})
+    ref_p = WMFP(["body"], ref_mf.schema)
+    ref_p.add_plugin(FieldAliasPlugin({"title": ["headline"]}))
+    mine = _mine(s, mine_p.parse("headline:search"), limit=10)
+    ref = _ref(ref_mf, ref_p.parse("headline:search"), limit=10)
+    assert [d for d, _ in mine] == [d for d, _ in ref]
+    assert [x for _, x in mine] == pytest.approx([x for _, x in ref], rel=1e-9)
+
+
+@pytest.mark.skipif(not HAVE_REFERENCE, reason="reference not available")
+def test_copyfield_parity(mf_env, ref_mf):
+    from whoosh.qparser import CopyFieldPlugin
+    from whoosh.qparser import QueryParser as WQP
+
+    from whoosh_novo_ray.search.qparser import MultifieldParser
+
+    idx, _ = mf_env
+    s = MultiFieldSearcher(idx, default_field="body")
+    # explicit title: terms also search body (reference CopyFieldPlugin)
+    mine_p = MultifieldParser(["body"], copyfields={"title": "body"})
+    ref_p = WQP("body", ref_mf.schema)
+    ref_p.add_plugin(CopyFieldPlugin({"title": "body"}))
+    mine = _mine(s, mine_p.parse("title:search"), limit=10)
+    ref = _ref(ref_mf, ref_p.parse("title:search"), limit=10)
+    assert [d for d, _ in mine] == [d for d, _ in ref]
+    assert [x for _, x in mine] == pytest.approx([x for _, x in ref], rel=1e-9)
+
+
+def test_pseudo_field_removes_node(mf_env):
+    from whoosh_novo_ray.search.qparser import MultifieldParser
+
+    idx, _ = mf_env
+    s = MultiFieldSearcher(idx, default_field="body")
+    p = MultifieldParser(["body"], pseudo_fields={"reverse": lambda n: None})
+    q = p.parse("search reverse:anything")
+    a = s.search(q, limit=10)
+    b = s.search(p.parse("search"), limit=10)
+    assert a.to_pydict() == b.to_pydict()

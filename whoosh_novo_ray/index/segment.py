@@ -240,15 +240,64 @@ def _read_stats_file(path: str, columns: list[str]) -> pa.Table:
     return pq.read_table(path, columns=columns)
 
 
-def _scan_terms_file(path: str, filt, predicate) -> list[str]:
-    """One bucket's term-dictionary scan (also the Ray-task body): range
-    filter pushed into the parquet read (row-group stats pruning), exact
-    predicate applied to the surviving rows."""
-    tbl = pq.read_table(path, columns=["term"], filters=filt)
-    if not len(tbl):
-        return []
-    mask = predicate(tbl["term"])
-    return pc.filter(tbl["term"], mask).to_pylist()
+def _scan_terms_file(
+    path: str,
+    lo: str | None,
+    hi: str | None,
+    lo_excl: bool,
+    hi_excl: bool,
+    predicate,
+) -> tuple[list[str], int, int, int]:
+    """One bucket's term-dictionary scan (also the Ray-task body).
+
+    Row-group pruning is explicit: segments are term-sorted with 4k row
+    groups, so a [lo, hi] range reads ONLY the row groups whose term-column
+    min/max stats intersect it — the counters (groups_total, groups_read,
+    rows_read) make the pruning observable/testable. The exact range +
+    predicate then filter the surviving rows.
+    Returns (matching terms, rg_total, rg_read, rows_read)."""
+    pf = pq.ParquetFile(path)
+    md = pf.metadata
+    n_rg = md.num_row_groups
+    if n_rg == 0:
+        return [], 0, 0, 0
+    # physical index of the `term` column (list columns flatten, so the
+    # top-level field index does not equal the column-chunk index)
+    term_ci = None
+    rg0 = md.row_group(0)
+    for j in range(rg0.num_columns):
+        if rg0.column(j).path_in_schema == "term":
+            term_ci = j
+            break
+    keep_groups = []
+    for rg in range(n_rg):
+        st = md.row_group(rg).column(term_ci).statistics if term_ci is not None else None
+        if st is not None and st.has_min_max and st.min is not None:
+            mn, mx = st.min, st.max
+            if isinstance(mn, bytes):
+                mn, mx = mn.decode("utf-8", "replace"), mx.decode("utf-8", "replace")
+            if lo is not None and (mx < lo or (lo_excl and mx <= lo)):
+                continue
+            if hi is not None and (mn > hi or (hi_excl and mn >= hi)):
+                continue
+        keep_groups.append(rg)
+    if not keep_groups:
+        return [], n_rg, 0, 0
+    tbl = pf.read_row_groups(keep_groups, columns=["term"])
+    rows_read = len(tbl)
+    col = tbl["term"]
+    mask = None
+    if lo is not None:
+        mask = pc.greater(col, lo) if lo_excl else pc.greater_equal(col, lo)
+    if hi is not None:
+        m = pc.less(col, hi) if hi_excl else pc.less_equal(col, hi)
+        mask = m if mask is None else pc.and_(mask, m)
+    if mask is not None:
+        col = pc.filter(col, mask)
+    if not len(col):
+        return [], n_rg, len(keep_groups), rows_read
+    out = pc.filter(col, predicate(col)).to_pylist()
+    return out, n_rg, len(keep_groups), rows_read
 
 
 class Index:
@@ -453,17 +502,17 @@ class Index:
         so the range prunes to only the row groups whose [min, max] term
         stats intersect it. Buckets whose manifest min/max term fall outside
         the range are skipped without a read. With several buckets and a
-        live Ray session the per-bucket scans fan out as Ray tasks."""
-        filt = None
-        if lo is not None:
-            filt = pc.field("term") > lo if lo_excl else pc.field("term") >= lo
-        if hi is not None:
-            f = pc.field("term") < hi if hi_excl else pc.field("term") <= hi
-            filt = f if filt is None else filt & f
+        live Ray session the per-bucket scans fan out as Ray tasks.
+
+        ``self.last_expand_stats`` records the pruning of the most recent
+        call: buckets skipped via manifest stats, row groups read vs total,
+        and dictionary rows actually read."""
+        n_buckets = 0
         paths = []
         for b in self.manifest["buckets"]:
             if not b["path"]:
                 continue
+            n_buckets += 1
             if lo is not None and (
                 b["max_term"] < lo or (lo_excl and b["max_term"] <= lo)
             ):
@@ -478,9 +527,28 @@ class Index:
 
         if len(paths) >= 4 and _ray.is_initialized():
             fn = _ray.remote(num_cpus=1)(_scan_terms_file)
-            for lst in _ray.get([fn.remote(p, filt, predicate) for p in paths]):
-                found.update(lst)
+            results = _ray.get(
+                [
+                    fn.remote(p, lo, hi, lo_excl, hi_excl, predicate)
+                    for p in paths
+                ]
+            )
         else:
-            for p in paths:
-                found.update(_scan_terms_file(p, filt, predicate))
+            results = [
+                _scan_terms_file(p, lo, hi, lo_excl, hi_excl, predicate)
+                for p in paths
+            ]
+        rg_total = rg_read = rows_read = 0
+        for lst, nt, nr, rows in results:
+            found.update(lst)
+            rg_total += nt
+            rg_read += nr
+            rows_read += rows
+        self.last_expand_stats = {
+            "buckets_total": n_buckets,
+            "buckets_scanned": len(paths),
+            "row_groups_total": rg_total,
+            "row_groups_read": rg_read,
+            "rows_read": rows_read,
+        }
         return sorted(found)

@@ -198,8 +198,15 @@ def ivf_index_search(
     if not paths:
         return _empty_result()
     ds = ray.data.read_parquet(paths, columns=[man["id_col"], man["vec_col"]])
+    # task-based scorer: probe partitions are small, actor-pool startup
+    # would dominate the partition-pruned query
     return brute_force_knn(
-        ds, np.asarray(query, np.float64), k, id_col=man["id_col"], vec_col=man["vec_col"]
+        ds,
+        np.asarray(query, np.float64),
+        k,
+        id_col=man["id_col"],
+        vec_col=man["vec_col"],
+        use_actors=False,
     )
 
 
@@ -232,6 +239,13 @@ def lsh_index_search(
     if not paths:
         return _empty_result()
     ds = ray.data.read_parquet(paths, columns=[man["id_col"], man["vec_col"]])
+    # task-based scorer: probe partitions are small, actor-pool startup
+    # would dominate the partition-pruned query
     return brute_force_knn(
-        ds, np.asarray(query, np.float64), k, id_col=man["id_col"], vec_col=man["vec_col"]
+        ds,
+        np.asarray(query, np.float64),
+        k,
+        id_col=man["id_col"],
+        vec_col=man["vec_col"],
+        use_actors=False,
     )

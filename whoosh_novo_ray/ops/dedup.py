@@ -72,15 +72,33 @@ def _triu_pair_indices(
 class _TextMd5:
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pylist()
-        h = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
-        shard = np.array([int(x[:4], 16) % N_SHARDS for x in h], np.int32)
+        # hashlib md5 over the full text is C-bound per call; everything
+        # around it (hex encode, shard derivation) is batch-vectorized
+        digests = b"".join(hashlib.md5(t.encode("utf-8")).digest() for t in texts)
+        dmat = np.frombuffer(digests, np.uint8).reshape(-1, 16)
+        h = _hex_prefixes(dmat, 16)
+        shard = (
+            (dmat[:, 0].astype(np.int32) << 8) | dmat[:, 1].astype(np.int32)
+        ) % N_SHARDS
         return pa.table(
             {
                 "doc_id": batch["doc_id"].cast(pa.int64()),
                 "text_md5": pa.array(h, pa.string()),
-                "shard": pa.array(shard, pa.int32()),
+                "shard": pa.array(shard.astype(np.int32), pa.int32()),
             }
         )
+
+
+_HEX = np.frombuffer(b"0123456789abcdef", np.uint8)
+
+
+def _hex_prefixes(dmat: np.ndarray, nbytes: int) -> np.ndarray:
+    """Vectorized hex of the first ``nbytes`` of each digest row."""
+    sub = dmat[:, :nbytes]
+    out = np.empty((len(sub), 2 * nbytes), np.uint8)
+    out[:, 0::2] = _HEX[sub >> 4]
+    out[:, 1::2] = _HEX[sub & 0x0F]
+    return out.view(f"S{2 * nbytes}").reshape(-1).astype(str)
 
 
 def exact_dedup_keep(docs: "ray.data.Dataset") -> "ray.data.Dataset":
@@ -379,27 +397,71 @@ class _MinHashSig:
 
 
 class _BandRows:
-    """Explode signatures into (band_key, doc_id) rows; band_key is the md5
-    hex prefix of '<band>:<v1>,<v2>,...' — identical to the SQL oracle's
-    ``substr(md5(bi || ':' || array_to_string(...)), 1, 16)``."""
+    """Explode signatures into (band_key, doc_id, shard) rows; band_key is
+    the md5 hex prefix of '<band>:<v1>,<v2>,...' — identical to the SQL
+    oracle's ``substr(md5(bi || ':' || array_to_string(...)), 1, 16)``.
+
+    The '<v1>,<v2>,...' strings are assembled with Arrow kernels (uint64 ->
+    decimal string cast + element-wise join) instead of per-row Python
+    formatting; only the md5 calls themselves stay per-row (C-bound). The
+    band shard rides along so no second pass re-parses the hex key."""
 
     def __init__(self, bands: int, r: int):
         self.bands = bands
         self.r = r
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out_key, out_doc = [], []
-        bands, r = self.bands, self.r
-        for did, sig in zip(batch["doc_id"].to_pylist(), batch["sig"].to_pylist()):
-            for bi in range(bands):
-                chunk = ",".join(str(v) for v in sig[bi * r : (bi + 1) * r])
-                key = hashlib.md5(f"{bi}:{chunk}".encode()).hexdigest()[:16]
-                out_key.append(key)
-                out_doc.append(did)
+        n = len(batch)
+        if not n:
+            return pa.table(
+                {
+                    "band_key": pa.array([], pa.string()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "shard": pa.array([], pa.int32()),
+                }
+            )
+        sig = batch["sig"].combine_chunks()
+        mat = (
+            sig.values.to_numpy(zero_copy_only=False)
+            .astype(np.uint64)
+            .reshape(n, -1)
+        )
+        doc = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keys, docs, shards = [], [], []
+        r = self.r
+        for bi in range(self.bands):
+            cols = [
+                pc.cast(pa.array(mat[:, bi * r + j], pa.uint64()), pa.string())
+                for j in range(r)
+            ]
+            joined = (
+                pc.binary_join_element_wise(*cols, ",") if r > 1 else cols[0]
+            )
+            payload = pc.binary_join_element_wise(
+                pa.array(np.full(n, str(bi), dtype=object), pa.string()),
+                joined,
+                ":",
+            )
+            digests = b"".join(
+                hashlib.md5(s.encode()).digest() for s in payload.to_pylist()
+            )
+            dmat = np.frombuffer(digests, np.uint8).reshape(-1, 16)
+            keys.append(_hex_prefixes(dmat, 8))
+            docs.append(doc)
+            shards.append(
+                (
+                    (dmat[:, 0].astype(np.int32) << 8)
+                    | dmat[:, 1].astype(np.int32)
+                )
+                % N_SHARDS
+            )
         return pa.table(
             {
-                "band_key": pa.array(out_key, pa.string()),
-                "doc_id": pa.array(out_doc, pa.int64()),
+                "band_key": pa.array(np.concatenate(keys), pa.string()),
+                "doc_id": pa.array(np.concatenate(docs), pa.int64()),
+                "shard": pa.array(
+                    np.concatenate(shards).astype(np.int32), pa.int32()
+                ),
             }
         )
 
@@ -441,14 +503,6 @@ def minhash_lsh_candidates(
     sigs_ds = sigs_ds.materialize()
 
     banded = sigs_ds.map_batches(_BandRows(bands, r), batch_format="pyarrow")
-
-    def add_band_shard(batch: pa.Table) -> pa.Table:
-        # band_key is md5 hex: its leading nibble distribution is uniform
-        shard = np.array(
-            [int(k[:4], 16) % N_SHARDS for k in batch["band_key"].to_pylist()],
-            np.int32,
-        )
-        return batch.append_column("shard", pa.array(shard, pa.int32()))
 
     def emit_pairs_shard(group: pa.Table) -> pa.Table:
         empty = pa.table(
@@ -515,8 +569,7 @@ def minhash_lsh_candidates(
     # so neither the pairs nor the signatures may be collected to the
     # driver before the estimate filter.
     pairs_ds = (
-        banded.map_batches(add_band_shard, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("shard")
+        banded.groupby("shard")
         .map_groups(emit_pairs_shard, batch_format="pyarrow")
         .groupby("pshard")
         .map_groups(unique_pairs_shard, batch_format="pyarrow")

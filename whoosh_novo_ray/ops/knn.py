@@ -70,10 +70,16 @@ def brute_force_knn(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     concurrency: int | None = None,
+    use_actors: bool = True,
 ) -> pa.Table:
     """Exact cosine top-k of ``query`` (vector or (m,d) matrix) against the
     embedding Dataset. Returns (query_i, vec_id, cosine rounded 6dp) sorted by
-    (query_i, cosine desc, vec_id asc)."""
+    (query_i, cosine desc, vec_id asc).
+
+    ``use_actors=False`` runs the scorer as plain Ray TASKS (no pool
+    spin-up/reservation): right for small partition-pruned candidate sets
+    (the persisted-ANN query path), where the per-task query-closure ship is
+    one vector and the actor pool's ~1 s startup would dominate."""
     # the query matrix ships once per actor via the constructor args (held in
     # the object store), not per batch. The pool is sized BELOW the cluster
     # CPU count: a fixed actor pool reserves its CPUs for the pipeline's
@@ -82,13 +88,21 @@ def brute_force_knn(
     if concurrency is None:
         ncpu = int(ray.cluster_resources().get("CPU", 8))
         concurrency = max(1, min(4, ncpu - 2))
-    partial = embeddings.map_batches(
-        _CosineTopK,
-        fn_constructor_args=(np.asarray(query, np.float64), k, id_col, vec_col),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=concurrency,
-    )
+    if use_actors:
+        partial = embeddings.map_batches(
+            _CosineTopK,
+            fn_constructor_args=(np.asarray(query, np.float64), k, id_col, vec_col),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=concurrency,
+        )
+    else:
+        scorer = _CosineTopK(np.asarray(query, np.float64), k, id_col, vec_col)
+        partial = embeddings.map_batches(
+            scorer.__call__,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
     tables = [t for t in ray.get(partial.materialize().to_arrow_refs()) if len(t)]
     if not tables:
         return pa.table(

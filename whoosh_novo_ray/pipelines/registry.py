@@ -188,6 +188,29 @@ def _search_table(sf_dir: str, q, limit: int) -> pa.Table:
     )
 
 
+def _pool_for(sf_dir: str):
+    """Doc-shard ScorePool over the cached index (built + actors spawned
+    once per process; queries evaluate inside the shard actors and only
+    top-k rows reach the driver)."""
+    from whoosh_novo_ray.state.score_pool import ScorePool
+
+    key = ("pool", sf_dir)
+    if key not in _INDEX_CACHE:
+        idx = _index_for(sf_dir)
+        _INDEX_CACHE[key] = ScorePool(idx.path, num_actors=4, num_shards=8)
+    return _INDEX_CACHE[key]
+
+
+def _pool_search_table(sf_dir: str, q, limit: int) -> pa.Table:
+    t = _pool_for(sf_dir).search(q, limit=limit)
+    return pa.table(
+        {
+            "doc_id": t["doc_id"].cast(pa.int64()),
+            "score": pa.array(np.round(t["score"].to_numpy(), 6), pa.float64()),
+        }
+    )
+
+
 # query terms chosen from the documents vocabulary (common/mid/absent)
 _T_COMMON = "table"
 _T_MID = "query"
@@ -378,9 +401,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).sort_by([("source", "ascending"), ("doc_id", "ascending")])
 
     def bm25_or_wand(sf_dir):
-        from whoosh_novo_ray.search.wand import searcher_wand_topk
-
-        t, _stats = searcher_wand_topk(_searcher_for(sf_dir), [_T_MID, _T_MID2], 10)
+        # distributed block-max WAND: each doc-shard actor runs the
+        # skip-table cursor loop over ITS blocks, driver k-way merges
+        t, _stats = _pool_for(sf_dir).wand_topk([_T_MID, _T_MID2], 10)
         return pa.table(
             {
                 "doc_id": t["doc_id"].cast(pa.int64()),
@@ -479,15 +502,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
-    def fielded_and(sf_dir):
+    def _mf_searcher(sf_dir):
         from whoosh_novo_ray.index.build import IndexConfig as _IC
         from whoosh_novo_ray.index.multifield import (
             MultiFieldIndex,
             MultiFieldSearcher,
             build_multifield_index,
         )
-        from whoosh_novo_ray.search import And as _And
-        from whoosh_novo_ray.search import Term as _Term
 
         out = os.path.join(
             "/tmp/wnr_indexes",
@@ -503,10 +524,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 },
                 lineage=f"mf:{sf_dir}",
             )
-        s = MultiFieldSearcher(MultiFieldIndex(out), default_field="text")
-        t = s.search(
+        return MultiFieldSearcher(MultiFieldIndex(out), default_field="text")
+
+    def fielded_and(sf_dir):
+        from whoosh_novo_ray.search import And as _And
+        from whoosh_novo_ray.search import Term as _Term
+
+        t = _mf_searcher(sf_dir).search(
             _And(_Term(_T_MID), _Term("src5", field="source")), limit=10**9
         )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "score": pa.array(np.round(t["score"].to_numpy(), 6), pa.float64()),
+            }
+        )
+
+    def multifield_parse(sf_dir):
+        """MultifieldParser: unfielded terms fan out over (text OR source)
+        with a source fieldboost — reference MultifieldPlugin semantics."""
+        from whoosh_novo_ray.search.qparser import MultifieldParser
+
+        p = MultifieldParser(
+            ["text", "source"], fieldboosts={"source": 2.0}
+        )
+        t = _mf_searcher(sf_dir).search(p.parse(f"{_T_MID} src7"), limit=10)
         return pa.table(
             {
                 "doc_id": t["doc_id"].cast(pa.int64()),
@@ -639,17 +681,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- inverted index + BM25 core ---
         "term_stats": term_stats,
         "doc_lengths": doc_lengths,
-        "bm25_top10_common": lambda sf: _search_table(sf, Term(_T_COMMON), 10),
-        "bm25_top10_mid": lambda sf: _search_table(sf, Term(_T_MID), 10),
-        "bm25_top100_mid": lambda sf: _search_table(sf, Term(_T_MID), 100),
-        "bm25_absent": lambda sf: _search_table(sf, Term(_T_ABSENT), 10),
-        "bm25_or_top10": lambda sf: _search_table(sf, Or(Term(_T_MID), Term(_T_MID2)), 10),
+        # the bm25 family routes through the doc-shard ScorePool: per-shard
+        # actor evaluation with global stats + driver top-k merge (the
+        # distributed serving path), rank-identical to the local Searcher
+        "bm25_top10_common": lambda sf: _pool_search_table(sf, Term(_T_COMMON), 10),
+        "bm25_top10_mid": lambda sf: _pool_search_table(sf, Term(_T_MID), 10),
+        "bm25_top100_mid": lambda sf: _pool_search_table(sf, Term(_T_MID), 100),
+        "bm25_absent": lambda sf: _pool_search_table(sf, Term(_T_ABSENT), 10),
+        "bm25_or_top10": lambda sf: _pool_search_table(sf, Or(Term(_T_MID), Term(_T_MID2)), 10),
         "bm25_or_top10_wand": bm25_or_wand,
-        "bm25_and_top10": lambda sf: _search_table(sf, And(Term(_T_MID), Term(_T_MID2)), 10),
-        "bm25_andnot_top10": lambda sf: _search_table(
+        "bm25_and_top10": lambda sf: _pool_search_table(sf, And(Term(_T_MID), Term(_T_MID2)), 10),
+        "bm25_andnot_top10": lambda sf: _pool_search_table(
             sf, AndNot(Term(_T_MID), Term(_T_MID2)), 10
         ),
-        "phrase_top10": lambda sf: _search_table(sf, Phrase([_T_MID, _T_MID2]), 10),
+        "phrase_top10": lambda sf: _pool_search_table(
+            sf, Phrase([_T_MID, _T_MID2]), 10
+        ),
         "phrase_slop2_top10": phrase_slop2,
         "fuzzy_docs": fuzzy_docs,
         "suggest_terms": suggest_terms,
@@ -682,6 +729,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_agg_daily": window_agg,
         "sessionize": sessions,
         "fielded_and": fielded_and,
+        "multifield_parse": multifield_parse,
     }
 
 
@@ -1078,6 +1126,23 @@ SELECT b.doc_id::BIGINT AS doc_id,
        round(b.score + ln(ss.N / (ss.df + 1)) + 1, 6) AS score
 FROM bm b JOIN src USING (doc_id) CROSS JOIN srcstats ss
 WHERE b.term = '{_T_MID}'""",
+        # MultifieldParser "query src7" over fields (text, source) with
+        # source fieldboost 2.0: And(Or(text:query, source:query^2),
+        # Or(text:src7, source:src7^2)). Neither token appears in the OTHER
+        # field's vocabulary, so matches = query-in-text AND source=src7;
+        # the single-token source field scores exactly its idf (dl == avg
+        # == 1, tf part cancels — same simplification as fielded_and).
+        "multifield_parse": f"""WITH {_BASE_CTES},
+src AS (SELECT doc_id FROM documents WHERE lower(source) = 'src7'),
+srcstats AS (
+  SELECT (SELECT count(*) FROM src)::DOUBLE AS df,
+         (SELECT count(*) FROM documents)::DOUBLE AS N
+)
+SELECT b.doc_id::BIGINT AS doc_id,
+       round(b.score + 2.0 * (ln(ss.N / (ss.df + 1)) + 1), 6) AS score
+FROM bm b JOIN src USING (doc_id) CROSS JOIN srcstats ss
+WHERE b.term = '{_T_MID}'
+ORDER BY score DESC, doc_id LIMIT 10""",
         # Variations expansion is deterministic (LiteMorph) — the candidate
         # list is embedded as an IN-list; unindexed candidates simply don't
         # match, mirroring the engine's live-term filter.

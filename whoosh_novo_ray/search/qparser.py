@@ -299,3 +299,158 @@ class QueryParser:
         if ban is not None:
             q = Q.AndNot(q, ban)
         return q
+
+
+# ---------------------------------------------------------------------------
+# Multifield parsing (reference MultifieldParser, qparser/default.py:393-427)
+# ---------------------------------------------------------------------------
+
+
+def _map_fielded(q: Q.Query, fn):
+    """Rebuild an AST, applying ``fn`` to every field-carrying leaf (Term /
+    Phrase). ``fn`` may return a replacement node or a LIST of sibling nodes
+    (the CopyFieldPlugin inline mode); lists splice into the surrounding
+    group (a lone top-level list becomes an And, the parser's default
+    group)."""
+
+    def walk(node):
+        if isinstance(node, (Q.Term, Q.Phrase)):
+            return fn(node)
+        if isinstance(node, Q.Or):
+            kids = _splice(node.children)
+            if len(kids) == 1:
+                return kids[0]
+            return Q.Or(*kids, scale=getattr(node, "scale", None))
+        if isinstance(node, (Q.And, Q.DisMax)):
+            kids = _splice(node.children)
+            if not kids:
+                return NULL
+            return kids[0] if len(kids) == 1 else type(node)(*kids)
+        if isinstance(node, (Q.AndNot, Q.Require, Q.AndMaybe, Q.Otherwise)):
+            return type(node)(_one(node.a), _one(node.b))
+        if isinstance(node, Q.ConstantScore):
+            return Q.ConstantScore(_one(node.child), score=node.score)
+        if isinstance(node, Q.WeightingQuery):
+            return Q.WeightingQuery(_one(node.child), node.weighting)
+        if isinstance(node, Q.Sequence):
+            return Q.Sequence(*_splice(node.children), slop=node.slop, boost=node.boost)
+        if isinstance(node, Q.Ordered):
+            return Q.Ordered(*_splice(node.children), boost=node.boost)
+        return node
+
+    def _splice(children):
+        # a node removed by a rewrite (pseudo field -> None) drops out of
+        # its group, exactly as the reference deletes the syntax node
+        out = []
+        for c in children:
+            r = walk(c)
+            for x in r if isinstance(r, list) else [r]:
+                if not isinstance(x, Q.NullQuery):
+                    out.append(x)
+        return out
+
+    def _one(node):
+        r = walk(node)
+        return Q.And(*r) if isinstance(r, list) else r
+
+    return _one(q)
+
+
+class MultifieldParser(QueryParser):
+    """Parser whose unfielded terms search a LIST of default fields.
+
+    Reference parity (behavior, not code):
+      * MultifieldPlugin (qparser/plugins.py:1157-1203): an unfielded
+        Term/Phrase becomes an Or of per-field copies; each copy's boost is
+        SET to ``fieldboosts.get(field, 1.0)`` (the reference overwrites the
+        node boost — quirk preserved).
+      * FieldAliasPlugin (:1205-1239): ``aliases`` maps real field ->
+        [alias...]; aliased explicit fields rewrite to the real name BEFORE
+        the other filters (priority 90 < 109 < 110).
+      * CopyFieldPlugin (:1241-1307): an explicitly-fielded node whose field
+        is in ``copyfields`` becomes Or(original, copy-in-mapped-field) —
+        or two inline siblings with ``copy_inline=True`` (the group=None
+        mode). Under a multifield parser the "or parser.fieldname" fallback
+        is None, so only explicit fields copy — reference behavior.
+      * PseudoFieldPlugin (:1309-1350): ``pseudo_fields`` maps a field name
+        to fn(node) -> node | None; None removes the node (NullQuery).
+    """
+
+    def __init__(
+        self,
+        fieldnames: list[str],
+        fieldboosts: dict[str, float] | None = None,
+        aliases: dict[str, list[str]] | None = None,
+        copyfields: dict[str, str] | None = None,
+        copy_inline: bool = False,
+        pseudo_fields: dict | None = None,
+        **kwargs,
+    ):
+        super().__init__(**kwargs)
+        self.fieldnames = list(fieldnames)
+        self.fieldboosts = dict(fieldboosts or {})
+        self.alias_of = {
+            a: real for real, als in (aliases or {}).items() for a in als
+        }
+        self.copyfields = dict(copyfields or {})
+        self.copy_inline = copy_inline
+        self.pseudo_fields = dict(pseudo_fields or {})
+
+    @staticmethod
+    def _with_field(node, field, boost=None):
+        if isinstance(node, Q.Term):
+            return Q.Term(
+                node.text,
+                boost=node.boost if boost is None else boost,
+                field=field,
+            )
+        return Q.Phrase(
+            list(node.words),
+            slop=node.slop,
+            field=field,
+            boost=node.boost if boost is None else boost,
+        )
+
+    def parse(self, s: str) -> Q.Query:
+        q = super().parse(s)
+        if self.pseudo_fields:
+
+            def pseudo(node):
+                fn = self.pseudo_fields.get(node.field)
+                if fn is None:
+                    return node
+                out = fn(node)
+                return NULL if out is None else out
+
+            q = _map_fielded(q, pseudo)
+        if self.alias_of:
+
+            def unalias(node):
+                real = self.alias_of.get(node.field)
+                return node if real is None else self._with_field(node, real)
+
+            q = _map_fielded(q, unalias)
+        if self.copyfields:
+
+            def copyfield(node):
+                dest = self.copyfields.get(node.field)
+                if dest is None:
+                    return node
+                copy = self._with_field(node, dest)
+                if self.copy_inline:
+                    return [node, copy]
+                return Q.Or(node, copy)
+
+            q = _map_fielded(q, copyfield)
+
+        def multifield(node):
+            if node.field is not None:
+                return node
+            return Q.Or(
+                *[
+                    self._with_field(node, f, boost=self.fieldboosts.get(f, 1.0))
+                    for f in self.fieldnames
+                ]
+            )
+
+        return _map_fielded(q, multifield)

@@ -126,11 +126,15 @@ class Phrase(Query):
     words: tuple
     slop: int = 1
     field: str | None = None
+    boost: float = 1.0
 
-    def __init__(self, words, slop: int = 1, field: str | None = None):
+    def __init__(
+        self, words, slop: int = 1, field: str | None = None, boost: float = 1.0
+    ):
         object.__setattr__(self, "words", tuple(words))
         object.__setattr__(self, "slop", slop)
         object.__setattr__(self, "field", field)
+        object.__setattr__(self, "boost", boost)
 
 
 @dataclass(frozen=True)

@@ -534,7 +534,8 @@ class Searcher:
             parts.append((t_ids, scorer.score_arrays(t_tfs, t_lens)))
         ids, scores, _counts = _merge_sum(parts)
         keep = _in_sorted(ids, good)
-        return ids[keep], scores[keep]
+        boost = float(getattr(q, "boost", 1.0))
+        return ids[keep], scores[keep] * boost if boost != 1.0 else scores[keep]
 
     def _child_terms(self, c: Q.Query) -> list[str]:
         """Concrete terms a Sequence/Ordered child resolves to."""
