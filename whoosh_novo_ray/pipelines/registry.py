@@ -453,17 +453,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).sort_by("user_id")
 
     def key_terms_doc0(sf_dir):
-        from whoosh_novo_ray.search.classify import key_terms_from_text
-
-        text = (
-            pq.read_table(
-                os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
-            )
-            .filter(pc.field("doc_id") == 0)["text"][0]
-            .as_py()
+        # key terms from the STORED per-doc term vectors (built once next
+        # to the index) — no query-time re-analysis; identical scores to
+        # the key_terms_from_text fallback
+        from whoosh_novo_ray.index.vectors import (
+            build_doc_vectors,
+            key_terms_from_vectors,
         )
-        kt = key_terms_from_text(
-            _searcher_for(sf_dir), [text], numterms=5, normalize=False
+
+        idx = _index_for(sf_dir)
+        build_doc_vectors(
+            _docs_ds(sf_dir),
+            idx.path,
+            idx.cfg,
+            n_shards=8,
+            lineage=f"vec:{sf_dir}",
+            resume=True,
+        )
+        kt = key_terms_from_vectors(
+            _searcher_for(sf_dir), idx.path, [0], numterms=5, normalize=False
         )
         return pa.table(
             {
