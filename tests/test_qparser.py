@@ -189,3 +189,25 @@ def test_sequence_in_quotes(searcher, reference_searcher):
         ref_ids = sorted(h["doc_id"] for h in rr)
         mine = searcher.search(PARSER.parse(qs), limit=None)
         assert sorted(mine["doc_id"].to_pylist()) == ref_ids, qs
+
+
+def test_function_plugin_syntax():
+    """Reference FunctionPlugin (#name[args] atom) — experimental syntax:
+    the registered fn receives the following atom's query + parsed args."""
+    from whoosh_novo_ray.search import query as Q
+    from whoosh_novo_ray.search.qparser import QueryParser
+
+    def boostfn(qs, factor="2"):
+        return Q.ConstantScore(qs[0], score=float(factor))
+
+    p = QueryParser(functions={"boost": boostfn})
+    q = p.parse("#boost[3] search data")
+    assert isinstance(q, Q.And)
+    assert isinstance(q.children[0], Q.ConstantScore)
+    assert q.children[0].score == 3.0
+    # kwargs form
+    q2 = p.parse("#boost[factor=5] search")
+    assert q2.score == 5.0
+    # unregistered names fall through to plain word parsing
+    q3 = p.parse("#unknown search")
+    assert [t for t in q3.terms()] == ["unknown", "search"]

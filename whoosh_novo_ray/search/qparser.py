@@ -36,6 +36,7 @@ from whoosh_novo_ray.search import query as Q
 _TOKEN_RX = re.compile(
     r"""
     (?P<lparen>\() | (?P<rparen>\)) |
+    (?P<func>\#(?P<fn_name>[A-Za-z_][A-Za-z0-9._]*)(\[(?P<fn_args>[^\]]*)\])?) |
     (?P<dtq>(?P<dt_field>[A-Za-z_][A-Za-z0-9_]*):'(?P<dt_text>[^']*)') |
     (?P<phrase>"(?P<phr>[^"]*)"(~(?P<slop>\d+))?) |
     (?P<brange>\[(?P<b_lo>\S+)\s+TO\s+(?P<b_hi>\S+)\]) |
@@ -55,6 +56,26 @@ class ParseError(ValueError):
     pass
 
 
+def _parse_fn_args(argstring: str | None) -> tuple[list, dict]:
+    """FunctionPlugin argument split (reference plugins.py:620-640):
+    comma-separated, ``key=value`` pairs become kwargs, values stay
+    strings."""
+    args: list = []
+    kwargs: dict = {}
+    if not argstring:
+        return args, kwargs
+    for part in argstring.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        if "=" in part:
+            k, v = part.split("=", 1)
+            kwargs[k.strip()] = v.strip()
+        else:
+            args.append(part)
+    return args, kwargs
+
+
 NULL = Q.NULL
 
 
@@ -63,12 +84,21 @@ class QueryParser:
         self,
         analyzer: StandardAnalyzer | None = None,
         datetime_fields: dict | None = None,
+        functions: dict | None = None,
     ):
         """``datetime_fields`` maps a field name to (attrs, column,
         basedate) — the DateParserPlugin wiring: ``field:'<natural
-        language>'`` becomes a native DateRange filter over that column."""
+        language>'`` becomes a native DateRange filter over that column.
+
+        ``functions`` maps names to callables for the reference's
+        (self-described experimental) FunctionPlugin syntax
+        (qparser/plugins.py:558-640): ``#name[arg1,key=val] atom`` calls
+        ``fn([atom_query], *args, **kwargs)`` on the immediately-following
+        atom (``fn([], ...)`` when the function ends the input) and splices
+        the returned query in."""
         self.analyzer = analyzer or StandardAnalyzer()
         self.datetime_fields = datetime_fields or {}
+        self.functions = functions or {}
 
     # -- lexing ----------------------------------------------------------------
 
@@ -80,6 +110,10 @@ class QueryParser:
                 out.append(("(", None))
             elif m.group("rparen"):
                 out.append((")", None))
+            elif m.group("func") is not None:
+                out.append(
+                    ("func", (m.group("fn_name"), m.group("fn_args"), m.group(0)))
+                )
             elif m.group("dtq") is not None:
                 out.append(("dtq", (m.group("dt_field"), m.group("dt_text"))))
             elif m.group("phrase") is not None:
@@ -132,7 +166,7 @@ class QueryParser:
             if kind == "AND":
                 self._next()
                 parts.append(self._parse_binop())
-            elif kind in ("word", "phrase", "range", "dtq", "(", "NOT"):
+            elif kind in ("word", "phrase", "range", "dtq", "(", "NOT", "func"):
                 parts.append(self._parse_binop())  # implicit AND
             else:
                 break
@@ -212,6 +246,20 @@ class QueryParser:
             return Q.Phrase(words)
         if kind == "word":
             return self._parse_word(val)
+        if kind == "func":
+            name, argstring, raw = val
+            fn = self.functions.get(name)
+            if fn is None:
+                # unregistered name: fall through to plain word parsing,
+                # like the reference's create() returning None
+                return self._parse_word(raw)
+            args, kwargs = _parse_fn_args(argstring)
+            qs = []
+            if self._peek()[0] in ("word", "phrase", "range", "dtq", "("):
+                sub = self._parse_atom()
+                if sub is not NULL:
+                    qs.append(sub)
+            return fn(qs, *args, **kwargs)
         raise ParseError(f"unexpected token {kind}")
 
     def _parse_word(self, w: str) -> Q.Query:
