@@ -135,3 +135,43 @@ def test_shards_partition_doc_universe(built_index):
     )
     assert len(ids) == built_index.doc_count
     assert len(np.unique(ids)) == len(ids)
+
+
+def test_scorepool_over_generational_multiindex(ray_session, tmp_path):
+    """A MERGE_SMALL generation (several doc-disjoint segment sets) serves
+    through the pool with results identical to its MultiIndex searcher."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from whoosh_novo_ray.index import IndexConfig
+    from whoosh_novo_ray.index.incremental import GenerationalIndex
+
+    words = ["alpha", "beta", "gamma", "search", "data", "index"]
+    gi = GenerationalIndex(
+        str(tmp_path / "gi"), IndexConfig(num_buckets=4), policy="merge_small"
+    )
+    for b in range(3):
+        n = 40
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(np.arange(b * n, (b + 1) * n), pa.int64()),
+                "text": pa.array(
+                    [
+                        " ".join(words[(i + j) % len(words)] for j in range(7))
+                        for i in range(b * n, (b + 1) * n)
+                    ]
+                ),
+            }
+        )
+        gi.add_documents(ray.data.from_arrow(tbl), lineage=f"b{b}")
+    idx = gi.open()
+    pool = ScorePool.for_generational(gi, num_actors=2, num_shards=4)
+    try:
+        for q in (Term("search"), Or(Term("search"), Term("data")),
+                  And(Term("alpha"), Term("beta"))):
+            local = Searcher(idx).search(q, limit=10).to_pydict()
+            remote = pool.search(q, limit=10).to_pydict()
+            assert remote == local, q
+    finally:
+        pool.shutdown()

@@ -71,7 +71,7 @@ def serving_dir_for(index_path: str) -> str:
 
 
 def build_serving_shards(
-    index_path: str,
+    index_path: str | list[str],
     num_shards: int = 8,
     out_dir: str | None = None,
     resume: bool = True,
@@ -84,14 +84,24 @@ def build_serving_shards(
     serving manifest whose doc_count / total_field_length are the GLOBAL
     collection stats — a shard searcher scores with these, never its local
     counts. Returns the serving manifest dict.
+
+    ``index_path`` may be a LIST of member index dirs (a generational
+    MultiIndex with doc-disjoint members): the serving build unions their
+    posting streams, so a MERGE_SMALL generation serves from one shard set
+    regardless of how many segment sets back it.
     """
-    idx = Index(index_path)
+    members = [index_path] if isinstance(index_path, str) else list(index_path)
+    idxs = [Index(p) for p in members]
+    idx = idxs[0]
     cfg = idx.cfg
-    out_dir = out_dir or serving_dir_for(index_path)
-    lineage = (
-        f"serving:{idx.manifest.get('lineage', '')}"
-        f":{idx.manifest.get('generation', 0)}:{num_shards}"
-    )
+    if out_dir is None:
+        if len(members) > 1:
+            raise ValueError("multi-member serving build needs an explicit out_dir")
+        out_dir = serving_dir_for(members[0])
+    lineage = "serving:" + ";".join(
+        f"{i.manifest.get('lineage', '')}:{i.manifest.get('generation', 0)}"
+        for i in idxs
+    ) + f":{num_shards}"
 
     man_path = os.path.join(out_dir, MANIFEST_NAME)
     if resume and os.path.exists(man_path):
@@ -106,13 +116,18 @@ def build_serving_shards(
     wpb = ww and wp and getattr(cfg.analyzer, "boost_delim", None) is not None
 
     seg_files = [
-        os.path.join(index_path, b["path"])
-        for b in idx.manifest["buckets"]
+        os.path.join(p, b["path"])
+        for p, i in zip(members, idxs)
+        for b in i.manifest["buckets"]
         if b["path"]
     ]
     import glob as _glob
 
-    dm_files = sorted(_glob.glob(os.path.join(index_path, "docmeta", "*.parquet")))
+    dm_files = sorted(
+        f
+        for p in members
+        for f in _glob.glob(os.path.join(p, "docmeta", "*.parquet"))
+    )
     streams = []
     if seg_files:
         streams.append(
@@ -137,18 +152,20 @@ def build_serving_shards(
         _add_doc_shard(num_shards), batch_format="pyarrow", zero_copy_batch=True
     )
 
+    doc_count = sum(i.doc_count for i in idxs)
+    total_fl = float(sum(i.total_field_length for i in idxs))
     # doc-sharded layout needs no heavy-term salting: skew splits by doc hash
     cfg2 = dataclasses.replace(cfg, num_buckets=num_shards, heavy_terms=())
     manifest = _run_bucket_shuffle(
-        sharded, out_dir, cfg2, lineage, resume=resume, doc_count=idx.doc_count
+        sharded, out_dir, cfg2, lineage, resume=resume, doc_count=doc_count
     )
     # global stats for shard searchers + a layout tag so nobody term-routes
     # into doc shards by mistake
     manifest["layout"] = "docshard"
     manifest["serving_lineage"] = lineage
     manifest["num_shards"] = num_shards
-    manifest["doc_count"] = idx.doc_count
-    manifest["total_field_length"] = idx.total_field_length
+    manifest["doc_count"] = doc_count
+    manifest["total_field_length"] = total_fl
     tmp = man_path + ".tmp"
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1)

@@ -212,14 +212,24 @@ class ScorePool:
 
     def __init__(
         self,
-        index_path: str,
+        index_path: str | list[str],
         num_actors: int = 4,
         num_shards: int | None = None,
         serving_dir: str | None = None,
     ):
-        self.index = Index(index_path)
+        """``index_path`` may be a list of doc-disjoint member index dirs
+        (a generational MultiIndex): the serving shards union them, so a
+        MERGE_SMALL generation serves through the same actor pool."""
+        if isinstance(index_path, str):
+            self.index = Index(index_path)
+            serving_dir = serving_dir or serving_dir_for(index_path)
+        else:
+            from whoosh_novo_ray.index.multi import MultiIndex
+
+            self.index = MultiIndex(list(index_path))
+            if serving_dir is None:
+                raise ValueError("multi-member ScorePool needs serving_dir")
         num_shards = num_shards or max(num_actors, 8)
-        serving_dir = serving_dir or serving_dir_for(index_path)
         man = build_serving_shards(
             index_path, num_shards=num_shards, out_dir=serving_dir
         )
@@ -233,6 +243,21 @@ class ScorePool:
         ray.get([a.ping.remote() for a in self._actors])
         self._stats_cache: dict[str, tuple[int, float, float]] = {}
         self._driver_searcher = Searcher(self.index)
+
+    @classmethod
+    def for_generational(cls, gi, num_actors: int = 4, num_shards: int | None = None):
+        """Serving pool over a GenerationalIndex's CURRENT generation: the
+        shard set is rebuilt (resumably, keyed by member lineages) under
+        ``<root>/serving-gen-N`` whenever the generation changes."""
+        gen = gi.current_generation()
+        members = gi._members(gi.current_path())
+        serving_dir = os.path.join(gi.root, f"serving-gen-{gen:06d}")
+        return cls(
+            members,
+            num_actors=num_actors,
+            num_shards=num_shards,
+            serving_dir=serving_dir,
+        )
 
     # -- planning ------------------------------------------------------------
 
