@@ -175,3 +175,115 @@ def test_scorepool_over_generational_multiindex(ray_session, tmp_path):
             assert remote == local, q
     finally:
         pool.shutdown()
+
+
+def test_scorepool_on_salted_index(ray_session, tmp_path, pages_table):
+    """Heavy-term salting splits posting rows across buckets; the serving
+    rebuild must reassemble them doc-sharded with identical ranks."""
+    import ray.data
+
+    from whoosh_novo_ray.index import Index, IndexConfig, build_index
+
+    out = str(tmp_path / "salted")
+    docs = ray.data.from_arrow(pages_table.select(["doc_id", "text"]))
+    cfg = IndexConfig(
+        num_buckets=4, heavy_terms=("search", "data"), salt_k=4, salt_shift=4
+    )
+    build_index(docs, out, cfg, lineage="salted")
+    idx = Index(out)
+    pool = ScorePool(out, num_actors=2, num_shards=4)
+    try:
+        for q in (
+            Term("search"),
+            Or(Term("search"), Term("data"), Term("index")),
+            Phrase(["search", "data"]),
+        ):
+            local = Searcher(idx).search(q, limit=10).to_pydict()
+            remote = pool.search(q, limit=10).to_pydict()
+            assert remote == local, q
+    finally:
+        pool.shutdown()
+
+
+def test_scorepool_on_weighted_boosted_index(ray_session, tmp_path):
+    """Token-boost weights (word^2 postings) must survive the serving
+    re-encode: pooled BM25-on-weights ranks equal the local searcher."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from whoosh_novo_ray.analysis import StandardAnalyzer
+    from whoosh_novo_ray.index import Index, IndexConfig, build_index
+
+    rng = np.random.default_rng(11)
+    words = ["alpha", "beta", "gamma", "delta", "search"]
+    texts = []
+    for _ in range(120):
+        toks = [
+            w + ("^2" if rng.random() < 0.3 else "")
+            for w in rng.choice(words, size=9)
+        ]
+        texts.append(" ".join(toks))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    out = str(tmp_path / "weighted")
+    cfg = IndexConfig(
+        num_buckets=2,
+        with_weights=True,
+        analyzer=StandardAnalyzer(boost_delim="^"),
+    )
+    build_index(ray.data.from_arrow(tbl), out, cfg, lineage="w")
+    idx = Index(out)
+    pool = ScorePool(out, num_actors=2, num_shards=4)
+    try:
+        for q in (Term("search"), Or(Term("alpha"), Term("beta"))):
+            local = Searcher(idx).search(q, limit=10).to_pydict()
+            remote = pool.search(q, limit=10).to_pydict()
+            assert remote == local, q
+    finally:
+        pool.shutdown()
+
+
+@pytest.fixture(scope="module")
+def attrs_parquet(pages_table, tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    p = str(tmp_path_factory.mktemp("attrs") / "attrs.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pages_table["doc_id"],
+                "lang": pages_table["lang"],
+            }
+        ),
+        p,
+    )
+    return p
+
+
+def test_pool_facet_counts_matches_local(spool, built_index, attrs_parquet):
+    from whoosh_novo_ray.search.sorting import FieldFacet, facet_counts
+
+    q = Term("search")
+    local = facet_counts(
+        Searcher(built_index), q, FieldFacet(attrs_parquet, "lang")
+    ).to_pydict()
+    pooled = spool.facet_counts(q, attrs_parquet, "lang").to_pydict()
+    assert pooled == local
+    assert sum(pooled["count"]) > 0
+
+
+def test_pool_collapse_matches_local(spool, built_index, attrs_parquet):
+    from whoosh_novo_ray.search.sorting import FieldFacet, collapse_search
+
+    q = Or(Term("search"), Term("data"))
+    local = collapse_search(
+        Searcher(built_index), q, FieldFacet(attrs_parquet, "lang"), per_key=2
+    ).to_pydict()
+    pooled = spool.collapse_search(q, attrs_parquet, "lang", per_key=2).to_pydict()
+    assert pooled == local

@@ -359,37 +359,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def facet_lang(sf_dir):
         """FacetCollector analog: matching-doc counts per lang for a term.
-        Distributed: broadcast matched-id filter + Dataset groupby count."""
-        ids, _ = _searcher_for(sf_dir).postings(Term(_T_MID))
-        id_arr = pa.array(ids.astype(np.int64))
-
-        def keep(batch: pa.Table) -> pa.Table:
-            return batch.filter(pc.is_in(batch["doc_id"], value_set=id_arr))
-
-        g = (
-            _docs_ds(sf_dir, ("doc_id", "lang"))
-            .map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
-            .groupby("lang")
-            .count()
+        Distributed end-to-end: shard actors evaluate the query over their
+        docs AND read only their matches' attribute rows; the driver sums
+        the per-key partials."""
+        t = _pool_for(sf_dir).facet_counts(
+            Term(_T_MID), os.path.join(sf_dir, "documents.parquet"), "lang"
         )
-        t = pa.concat_tables(_collect(g))
         return pa.table(
             {
-                "lang": t["lang"],
-                "n": t["count()"].cast(pa.int64()),
+                "lang": t["key"],
+                "n": t["count"].cast(pa.int64()),
             }
         ).sort_by("lang")
 
     def collapse_source(sf_dir):
         """CollapseCollector via the engine's collapse_search operator; the
         source attribute comes from a matched-ids-only streamed filter."""
-        from whoosh_novo_ray.search.sorting import FieldFacet, collapse_search
-
-        s = _searcher_for(sf_dir)
-        # parquet-path facet: only the MATCHED docs' source values stream to
-        # the driver (FieldFacet.matched_attrs), never the whole column
-        facet = FieldFacet(os.path.join(sf_dir, "documents.parquet"), "source")
-        t = collapse_search(s, Term(_T_MID), facet, per_key=2)
+        # distributed collapse: shards return their per-key best candidates
+        # (a superset of the global winners), driver re-collapses — exact
+        t = _pool_for(sf_dir).collapse_search(
+            Term(_T_MID),
+            os.path.join(sf_dir, "documents.parquet"),
+            "source",
+            per_key=2,
+        )
         return pa.table(
             {
                 "source": t["key"],

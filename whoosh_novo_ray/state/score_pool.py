@@ -173,6 +173,86 @@ class ScoreServer:
             self._searcher(gstats, weighting), terms, k, strategy=strategy
         )
 
+    def _matched_keys(self, q, gstats, attrs_path, column, weighting):
+        """(ids, scores, keys) for THIS shard's matches: the facet key
+        column read with a doc-id pushdown filter — only the shard's
+        matched rows leave the attrs parquet."""
+        s = self._searcher(gstats, weighting)
+        ids, scores = s.postings(q)
+        if not len(ids):
+            return ids, scores, np.empty(0, object)
+        tbl = pq.read_table(
+            attrs_path,
+            columns=["doc_id", column],
+            filters=pc.field("doc_id").isin([int(x) for x in ids]),
+        )
+        aid = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.argsort(aid)
+        pos = order[np.searchsorted(aid[order], ids)]
+        keys = (
+            tbl[column].take(pa.array(pos)).to_numpy(zero_copy_only=False)
+        )
+        return ids, scores, keys
+
+    def facet_counts(
+        self, q, gstats, attrs_path: str, column: str, weighting=None
+    ) -> pa.Table:
+        """Partial per-key matched-doc counts over THIS shard."""
+        ids, _scores, keys = self._matched_keys(
+            q, gstats, attrs_path, column, weighting
+        )
+        if not len(ids):
+            return pa.table(
+                {"key": pa.array([], pa.string()), "count": pa.array([], pa.int64())}
+            )
+        uniq, counts = np.unique(keys.astype(str), return_counts=True)
+        return pa.table(
+            {
+                "key": pa.array(uniq, pa.string()),
+                "count": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def collapse_candidates(
+        self,
+        q,
+        gstats,
+        attrs_path: str,
+        column: str,
+        per_key: int,
+        weighting=None,
+    ) -> pa.Table:
+        """THIS shard's best ``per_key`` hits per collapse key — a superset
+        of the global winners (any global winner is within its shard's
+        per-key top), so the driver's re-collapse over the union is exact."""
+        ids, scores, keys = self._matched_keys(
+            q, gstats, attrs_path, column, weighting
+        )
+        if not len(ids):
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.uint64()),
+                    "key": pa.array([], pa.string()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        order = np.lexsort((ids, -scores))
+        ids, scores, keys = ids[order], scores[order], keys[order]
+        seen: dict = {}
+        keep = np.zeros(len(ids), bool)
+        for i, k in enumerate(keys):
+            c = seen.get(k, 0)
+            if c < per_key:
+                keep[i] = True
+                seen[k] = c + 1
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep], pa.uint64()),
+                "key": pa.array(keys[keep].astype(str), pa.string()),
+                "score": pa.array(scores[keep], pa.float64()),
+            }
+        )
+
     def ping(self) -> bool:
         return True
 
@@ -413,6 +493,77 @@ class ScorePool:
                 else:
                     stats[key] = v
         return merged, stats
+
+    def facet_counts(
+        self, q, attrs_path: str, column: str, weighting=None
+    ) -> pa.Table:
+        """Distributed FacetCollector: per-shard partial key counts (each
+        actor reads only ITS matches' attribute rows) summed on the driver.
+        Result identical to sorting.facet_counts over a FieldFacet."""
+        q2 = self._rewrite(q)
+        gstats = self._gstats(self._stat_terms(q2))
+        futs = [
+            a.facet_counts.remote(q2, gstats, attrs_path, column, weighting)
+            for a in self._actors
+        ]
+        parts = [t for t in ray.get(futs) if len(t)]
+        if not parts:
+            return pa.table(
+                {"key": pa.array([], pa.string()), "count": pa.array([], pa.int64())}
+            )
+        tbl = pa.concat_tables(parts)
+        g = pa.TableGroupBy(tbl, "key").aggregate([("count", "sum")])
+        g = g.rename_columns(["key", "count"])
+        return g.sort_by("key")
+
+    def collapse_search(
+        self, q, attrs_path: str, column: str, per_key: int = 1,
+        limit=None, weighting=None,
+    ) -> pa.Table:
+        """Distributed CollapseCollector: shards return their per-key best
+        candidates (a superset of the global winners); the driver re-runs
+        the collapse over the tiny union — exact."""
+        q2 = self._rewrite(q)
+        gstats = self._gstats(self._stat_terms(q2))
+        futs = [
+            a.collapse_candidates.remote(
+                q2, gstats, attrs_path, column, per_key, weighting
+            )
+            for a in self._actors
+        ]
+        parts = [t for t in ray.get(futs) if len(t)]
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.uint64()),
+                "key": pa.array([], pa.string()),
+                "score": pa.array([], pa.float64()),
+            }
+        )
+        if not parts:
+            return empty
+        tbl = pa.concat_tables(parts)
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        scores = tbl["score"].to_numpy(zero_copy_only=False)
+        keys = tbl["key"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -scores))
+        ids, scores, keys = ids[order], scores[order], keys[order]
+        seen: dict = {}
+        keep = np.zeros(len(ids), bool)
+        for i, k in enumerate(keys):
+            c = seen.get(k, 0)
+            if c < per_key:
+                keep[i] = True
+                seen[k] = c + 1
+        ids, scores, keys = ids[keep], scores[keep], keys[keep]
+        if limit is not None:
+            ids, scores, keys = ids[:limit], scores[:limit], keys[:limit]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.uint64()),
+                "key": pa.array(keys.astype(str), pa.string()),
+                "score": pa.array(scores, pa.float64()),
+            }
+        )
 
     def shutdown(self) -> None:
         for a in self._actors:
