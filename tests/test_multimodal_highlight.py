@@ -142,3 +142,20 @@ def test_pinpoint_fragmenter():
     ft = PinpointFragmenter(maxchars=100, surround=10, autotrim=True)
     for fr in ft.fragments(text, spans):
         assert not text[fr.start : fr.end].startswith("a ")
+
+
+def test_highlight_dataset_matches_scalar(ray_session, pages_table):
+    """The distributed highlight stage equals per-doc highlight()."""
+    import ray.data
+
+    from whoosh_novo_ray.search.highlight import highlight, highlight_dataset
+
+    sub = pages_table.select(["doc_id", "text"]).slice(0, 60)
+    ds = highlight_dataset(
+        ray.data.from_arrow(sub).repartition(2), ["search", "data"]
+    )
+    got = {
+        r["doc_id"]: r["snippet"] for r in ds.take_all()
+    }
+    for d, t in zip(sub["doc_id"].to_pylist(), sub["text"].to_pylist()):
+        assert got[d] == highlight(t, {"search", "data"})

@@ -248,3 +248,79 @@ def highlight(
     frags = sorted(frags, key=basic_fragment_score, reverse=True)[:top]
     frags.sort(key=lambda f: f.start)
     return sep.join(formatter.format_fragment(text, f) for f in frags)
+
+
+class HighlightStage:
+    """map_batches actor: snippet per document, for highlighting result
+    sets / whole corpora at scale. The analyzer / fragmenter / formatter
+    build ONCE per actor (``__init__``), each batch is plain per-row string
+    work (inherently scalar, but embarrassingly parallel across actors)."""
+
+    def __init__(
+        self,
+        terms,
+        analyzer=None,
+        fragmenter=None,
+        formatter=None,
+        top: int = 3,
+        sep: str = "...",
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ):
+        self.terms = {t.lower() for t in terms}
+        self.analyzer = analyzer or StandardAnalyzer()
+        self.fragmenter = fragmenter or ContextFragmenter()
+        self.formatter = formatter or UppercaseFormatter()
+        self.top = top
+        self.sep = sep
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch):
+        import pyarrow as pa
+
+        snippets = [
+            highlight(
+                t,
+                self.terms,
+                analyzer=self.analyzer,
+                fragmenter=self.fragmenter,
+                formatter=self.formatter,
+                top=self.top,
+                sep=self.sep,
+            )
+            for t in batch[self.text_col].to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": batch[self.id_col],
+                "snippet": pa.array(snippets, pa.string()),
+            }
+        )
+
+
+def highlight_dataset(
+    docs,
+    terms,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    concurrency: int | None = None,
+    **kwargs,
+):
+    """Distributed highlighting: (doc_id, snippet) Dataset over an input
+    docs Dataset — the batch path for "show snippets for every hit of a
+    crawl-wide filter" workloads."""
+    import ray
+    import ray.data  # noqa: F401
+
+    if concurrency is None:
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        concurrency = max(1, min(4, ncpu - 2))
+    return docs.map_batches(
+        HighlightStage,
+        fn_constructor_args=(list(terms),),
+        fn_constructor_kwargs={"text_col": text_col, "id_col": id_col, **kwargs},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+    )
