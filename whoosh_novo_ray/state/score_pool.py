@@ -144,10 +144,19 @@ class ScoreServer:
             if parts
             else np.empty(0, np.uint64)
         )
+        # decoded-TermRow cache shared across queries: the pinned tables are
+        # immutable, so rows only ever need filtering once per (term,
+        # with_positions). Bounded: cleared past 50k entries (stopword-grade
+        # terms dominate reuse long before that).
+        self._tcache: dict = {}
 
     def _searcher(self, gstats, weighting) -> ShardSearcher:
         view = _GlobalStatsView(self._doc_count, self._tfl, self._universe)
-        return ShardSearcher(view, self._tables, gstats, weighting)
+        s = ShardSearcher(view, self._tables, gstats, weighting)
+        if len(self._tcache) > 50_000:
+            self._tcache.clear()
+        s._term_cache = self._tcache
+        return s
 
     def score(
         self,
