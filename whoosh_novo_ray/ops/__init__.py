@@ -10,7 +10,12 @@ from whoosh_novo_ray.ops.dedup import (
     ngram_jaccard_pairs,
     simhash_table,
 )
-from whoosh_novo_ray.ops.knn import brute_force_knn, cosine_near_dup_pairs, lsh_knn
+from whoosh_novo_ray.ops.knn import (
+    brute_force_knn,
+    cosine_near_dup_pairs,
+    lsh_blocked_near_dup,
+    lsh_knn,
+)
 
 __all__ = [
     "doc_length_table",
@@ -24,4 +29,5 @@ __all__ = [
     "brute_force_knn",
     "lsh_knn",
     "cosine_near_dup_pairs",
+    "lsh_blocked_near_dup",
 ]

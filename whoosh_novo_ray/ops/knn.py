@@ -200,6 +200,36 @@ def lsh_knn(
     return brute_force_knn(cand, q, k, concurrency=max(1, min(2, ncpu - 3)))
 
 
+def lsh_blocked_near_dup(
+    embeddings: "ray.data.Dataset",
+    threshold: float = 0.3,
+    nbits: int = 8,
+    seed: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pa.Table:
+    """Embedding near-duplicate pairs with the LSH bucket as the blocking
+    key — the scale path the ``cosine_near_dup_pairs`` docstring promises:
+    candidate pairs compare only WITHIN a hyperplane bucket (corpus-linear
+    work, bounded per-group quadratic), recall trades with ``nbits``."""
+    dim = len(embeddings.take(1)[0][vec_col])
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    bucketed = embeddings.map_batches(
+        _LshBucket,
+        fn_constructor_args=(dim, nbits, seed),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=max(1, min(2, ncpu - 2)),
+    )
+    return cosine_near_dup_pairs(
+        bucketed,
+        threshold=threshold,
+        block_col="lsh_bucket",
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+
+
 def cosine_near_dup_pairs(
     embeddings: "ray.data.Dataset",
     threshold: float = 0.95,

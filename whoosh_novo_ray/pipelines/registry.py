@@ -345,6 +345,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return cosine_near_dup_pairs(ds, threshold=0.9)
 
+    def near_dup_lsh_blocked(sf_dir):
+        """Embedding near-dups blocked by the LSH bucket (the scale path:
+        pairwise cosine only WITHIN a hyperplane bucket)."""
+        from whoosh_novo_ray.ops import lsh_blocked_near_dup
+
+        return lsh_blocked_near_dup(
+            _emb_ds(sf_dir), threshold=0.3, nbits=8, seed=5
+        )
+
+    def bpe_token_counts(sf_dir):
+        """BPE-ish pre-tokenizer token budget per document."""
+        from whoosh_novo_ray.ops.textstats import bpe_token_table
+
+        tables = _collect(bpe_token_table(_docs_ds(sf_dir)))
+        return pa.concat_tables(tables).sort_by("doc_id")
+
     def numeric_range(sf_dir):
         ds = _docs_ds(sf_dir, ("doc_id", "n_chars")).filter(
             expr="n_chars >= 500 and n_chars <= 900"
@@ -717,6 +733,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh_multiprobe_top10": knn_lsh_multiprobe,
         "knn_ivf_top10": knn_ivf,
         "near_dup_cosine": near_dup_cosine,
+        "near_dup_lsh_blocked": near_dup_lsh_blocked,
+        "bpe_token_counts": bpe_token_counts,
         "numeric_range": numeric_range,
         "latest_event_per_user": latest_event_per_user,
         "key_terms_doc0": key_terms_doc0,
@@ -1064,6 +1082,45 @@ JOIN buckets bu ON bu.vec_id = e.vec_id
 CROSS JOIN qb CROSS JOIN qe
 WHERE bit_count(xor(bu.bucket, qb.bucket)) < 2
 ORDER BY cosine DESC, vec_id LIMIT 10""",
+        # LSH-blocked embedding near-dups: pairs compared only within the
+        # same hyperplane bucket (nbits=8, seed=5 — the knn_lsh bucket CTE),
+        # cosine >= 0.3, a < b
+        "near_dup_lsh_blocked": """WITH planes AS (
+  SELECT b.b, j.j,
+         md5_number_lower('lshp-5-' || b.b || '-' || j.j) / 18446744073709551616.0
+           - 0.5 AS w
+  FROM (SELECT unnest(range(8)) AS b) b,
+       (SELECT unnest(range((SELECT len(embedding) FROM embeddings LIMIT 1))) AS j) j
+),
+ev AS (
+  SELECT vec_id, unnest(embedding) AS x, unnest(range(len(embedding))) AS j
+  FROM embeddings
+),
+dots AS (
+  SELECT e.vec_id, p.b, sum(e.x * p.w) AS dp
+  FROM ev e JOIN planes p ON p.j = e.j GROUP BY 1, 2
+),
+buckets AS (
+  SELECT vec_id,
+         sum(CASE WHEN dp > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS bucket
+  FROM dots GROUP BY vec_id
+)
+SELECT a.vec_id::BIGINT AS vec_a, b.vec_id::BIGINT AS vec_b,
+       round(list_cosine_similarity(a.embedding, b.embedding), 6) AS cosine
+FROM embeddings a
+JOIN buckets ba ON ba.vec_id = a.vec_id
+JOIN buckets bb ON TRUE
+JOIN embeddings b ON b.vec_id = bb.vec_id
+WHERE ba.bucket = bb.bucket AND a.vec_id < b.vec_id
+  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.3
+ORDER BY vec_a, vec_b""",
+        # BPE-ish pre-tokenizer budget: the same ASCII pattern runs under
+        # Python re (engine) and DuckDB RE2 (oracle)
+        "bpe_token_counts": r"""
+SELECT doc_id::BIGINT AS doc_id,
+       len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+'))::BIGINT
+         AS n_bpe_tokens
+FROM documents ORDER BY doc_id""",
         # Persisted IVF ANN: centroids = embeddings of vec_id < 8 (a
         # deterministic, SQL-expressible seeding); every vector assigned to
         # its max-cosine cell (tie -> lower cell, matching numpy argmax);
