@@ -269,6 +269,9 @@ def run_ops(sf_dir: str) -> dict:
     from whoosh_novo_ray.ops import ngram_jaccard_pairs
 
     timed("op_jaccard", lambda: ngram_jaccard_pairs(_docs()))
+    from whoosh_novo_ray.ops.textstats import bpe_token_table
+
+    timed("op_bpe_tokens", lambda: bpe_token_table(_docs()).count())
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     q = pq.read_table(emb_path).column("embedding")[0].as_py()
     qv = np.asarray(q, np.float64)
@@ -304,6 +307,19 @@ def run_ops(sf_dir: str) -> dict:
     timed(
         "op_knn_ivf_query",
         lambda: ivf_index_search(ann_dir, qv, k=10, nprobe=4),
+    )
+    from whoosh_novo_ray.ops import lsh_blocked_near_dup
+
+    timed(
+        "op_near_dup_lsh",
+        lambda: lsh_blocked_near_dup(
+            ray.data.read_parquet(
+                emb_path,
+                columns=["vec_id", "embedding"],
+                override_num_blocks=n_blocks,
+            ),
+            threshold=0.3,
+        ),
     )
     return times
 

@@ -761,6 +761,150 @@ def _estimate_pairs_distributed(
     )
 
 
+_POP8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(
+    axis=1
+).astype(np.uint8)
+
+
+def popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array (byte-table fallback for
+    numpy < 2's missing bitwise_count)."""
+    if hasattr(np, "bitwise_count"):
+        return np.bitwise_count(x).astype(np.int64)
+    b = np.ascontiguousarray(x).view(np.uint8).reshape(-1, 8)
+    return _POP8[b].sum(axis=1).astype(np.int64)
+
+
+def simhash_near_dup_pairs(
+    docs: "ray.data.Dataset",
+    k: int = 3,
+    bands: int = 4,
+) -> pa.Table:
+    """Near-duplicate pairs by SimHash Hamming distance <= ``k``.
+
+    Banded blocking: the 64-bit simhash splits into ``bands`` equal slices;
+    by pigeonhole any pair within ``k <= bands - 1`` differing bits shares
+    at least one identical band, so candidates = same-band-value pairs (a
+    guaranteed superset) and the exact popcount verify runs inside the
+    sharded reducers — no all-pairs comparison, no driver-side signature
+    set. Returns (doc_a, doc_b, hamming) sorted.
+    """
+    assert 64 % bands == 0
+    width = 64 // bands
+    assert k <= bands - 1, "banding guarantee needs k <= bands - 1"
+    sigs = docs.map_batches(
+        _SimHash(), batch_format="pyarrow", zero_copy_batch=True
+    )
+    mask = np.uint64((1 << width) - 1)
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        h = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hu = h.view(np.uint64)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keys, docs_, sims = [], [], []
+        for b in range(bands):
+            val = (hu >> np.uint64(b * width)) & mask
+            keys.append((np.uint64(b) << np.uint64(width)) | val)
+            docs_.append(ids)
+            sims.append(hu)
+        key = np.concatenate(keys)
+        shard = ((key * _PAIR_PRIME) % np.uint64(N_SHARDS)).astype(np.int32)
+        return pa.table(
+            {
+                "shard": pa.array(shard, pa.int32()),
+                "band_key": pa.array(key, pa.uint64()),
+                "doc_id": pa.array(np.concatenate(docs_), pa.int64()),
+                "sim": pa.array(np.concatenate(sims), pa.uint64()),
+            }
+        )
+
+    def emit_pairs(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "pshard": pa.array([], pa.int32()),
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "hamming": pa.array([], pa.int64()),
+            }
+        )
+        if len(group) < 2:
+            return empty
+        g = group.sort_by([("band_key", "ascending"), ("doc_id", "ascending")])
+        keys = g["band_key"].to_numpy(zero_copy_only=False)
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        sims = g["sim"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        change = np.empty(len(ids), bool)
+        change[0] = True
+        change[1:] = keys[1:] != keys[:-1]
+        starts, lens = _run_bounds(change)
+        a_idx, b_idx = _triu_pair_indices(starts, lens, lens >= 2, len(ids))
+        if not len(a_idx):
+            return empty
+        ham = popcount64(sims[a_idx] ^ sims[b_idx])
+        keep = ham <= k
+        if not keep.any():
+            return empty
+        da, db = ids[a_idx[keep]], ids[b_idx[keep]]
+        lo, hi = np.minimum(da, db), np.maximum(da, db)
+        pshard = (
+            (lo.astype(np.uint64) * _PAIR_PRIME) ^ hi.astype(np.uint64)
+        ) % np.uint64(N_SHARDS)
+        return pa.table(
+            {
+                "pshard": pa.array(pshard.astype(np.int32), pa.int32()),
+                "doc_a": pa.array(lo, pa.int64()),
+                "doc_b": pa.array(hi, pa.int64()),
+                "hamming": pa.array(ham[keep], pa.int64()),
+            }
+        )
+
+    def dedup_pairs(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "hamming": pa.array([], pa.int64()),
+            }
+        )
+        if not len(group):
+            return empty
+        da = group["doc_a"].to_numpy(zero_copy_only=False)
+        db = group["doc_b"].to_numpy(zero_copy_only=False)
+        hm = group["hamming"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((db, da))
+        da, db, hm = da[order], db[order], hm[order]
+        sel = np.flatnonzero(
+            np.concatenate([[True], (da[1:] != da[:-1]) | (db[1:] != db[:-1])])
+        )
+        return pa.table(
+            {
+                "doc_a": pa.array(da[sel], pa.int64()),
+                "doc_b": pa.array(db[sel], pa.int64()),
+                "hamming": pa.array(hm[sel], pa.int64()),
+            }
+        )
+
+    out = (
+        sigs.map_batches(band_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("shard")
+        .map_groups(emit_pairs, batch_format="pyarrow")
+        .groupby("pshard")
+        .map_groups(dedup_pairs, batch_format="pyarrow")
+    )
+    tables = [t for t in ray.get(out.materialize().to_arrow_refs()) if len(t)]
+    if not tables:
+        return pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "hamming": pa.array([], pa.int64()),
+            }
+        )
+    return pa.concat_tables(tables).sort_by(
+        [("doc_a", "ascending"), ("doc_b", "ascending")]
+    )
+
+
 # -- SimHash -------------------------------------------------------------------
 
 

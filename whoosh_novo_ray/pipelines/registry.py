@@ -345,6 +345,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return cosine_near_dup_pairs(ds, threshold=0.9)
 
+    def simhash_near_dup(sf_dir):
+        """SimHash Hamming-band near-dup pairs (<= 3 differing bits)."""
+        from whoosh_novo_ray.ops.dedup import simhash_near_dup_pairs
+
+        return simhash_near_dup_pairs(_docs_ds(sf_dir), k=3, bands=4)
+
     def near_dup_lsh_blocked(sf_dir):
         """Embedding near-dups blocked by the LSH bucket (the scale path:
         pairwise cosine only WITHIN a hyperplane bucket)."""
@@ -734,6 +740,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf_top10": knn_ivf,
         "near_dup_cosine": near_dup_cosine,
         "near_dup_lsh_blocked": near_dup_lsh_blocked,
+        "simhash_near_dup": simhash_near_dup,
         "bpe_token_counts": bpe_token_counts,
         "numeric_range": numeric_range,
         "latest_event_per_user": latest_event_per_user,
@@ -1019,6 +1026,40 @@ SELECT d.doc_id::BIGINT AS doc_id,
                      THEN v.s - 18446744073709551616 ELSE v.s END, 0)::BIGINT AS simhash
 FROM documents d LEFT JOIN vals v USING (doc_id)
 ORDER BY doc_id""",
+        # SimHash near-dup pairs: same simhash CTEs, pairs with
+        # bit_count(xor) <= 3 (engine uses 4x16-bit band blocking — a
+        # guaranteed superset at k<=3 — so the exhaustive SQL join is the
+        # exact same set)
+        "simhash_near_dup": f"""WITH tokarr AS (
+  SELECT doc_id, {raw_tok} AS arr FROM documents
+),
+tok AS (SELECT doc_id, unnest(arr) AS term FROM tokarr),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+th AS (SELECT doc_id, tf, md5_number_lower(term)::HUGEINT AS h FROM tf),
+votes AS (
+  SELECT doc_id, b.bit,
+         sum(CASE WHEN (h // (1::HUGEINT << b.bit)) % 2 = 1 THEN tf ELSE -tf END) AS vote
+  FROM th CROSS JOIN (SELECT unnest(range(64)) AS bit) b
+  GROUP BY 1, 2
+),
+halves AS (
+  SELECT doc_id,
+         sum(CASE WHEN vote > 0 AND bit < 32 THEN (1::BIGINT << bit) ELSE 0 END) AS lo,
+         sum(CASE WHEN vote > 0 AND bit >= 32 THEN (1::BIGINT << (bit - 32)) ELSE 0 END) AS hi
+  FROM votes GROUP BY doc_id
+),
+vals AS (SELECT doc_id, hi::HUGEINT * 4294967296 + lo AS s FROM halves),
+sh AS (
+  SELECT d.doc_id,
+         coalesce(CASE WHEN v.s >= 9223372036854775808
+                       THEN v.s - 18446744073709551616 ELSE v.s END, 0)::BIGINT AS simhash
+  FROM documents d LEFT JOIN vals v USING (doc_id)
+)
+SELECT a.doc_id::BIGINT AS doc_a, b.doc_id::BIGINT AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+ORDER BY doc_a, doc_b""",
         # LSH-bucketed ANN: hyperplane entries md5_u64('lshp-5-<bit>-<dim>')/2^64
         # - 0.5 (float64 on both sides), single-probe bucket filter, exact
         # cosine re-rank (nbits=8, seed=5).
