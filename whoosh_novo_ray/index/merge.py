@@ -35,9 +35,29 @@ from whoosh_novo_ray.index.build import (
 from whoosh_novo_ray.index.segment import Index, _row_to_termrow
 
 
+def _blob_concat(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Concatenated bytes of a large_binary column as uint8 — rows are
+    stored back-to-back in the values buffer, so the whole batch's blobs
+    come out as ONE zero-copy slice (no per-row Python)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    offs = np.frombuffer(
+        col.buffers()[1], np.int64, count=len(col) + 1, offset=col.offset * 8
+    )
+    data = np.frombuffer(col.buffers()[2], np.uint8)
+    return data[offs[0] : offs[-1]]
+
+
 class DecodeSegmentRows:
     """map_batches callable: segment term rows -> flat posting rows
-    (term, doc_id, tf, len_byte[, positions])."""
+    (term, doc_id, tf, len_byte[, weight][, positions, tboosts][, chars]).
+
+    Fully batch-vectorized: every term row's blobs concatenate into one
+    buffer per kind (zero-copy off the Arrow values buffers), ONE varint
+    pass decodes the whole batch, and the per-block absolute resets replay
+    through a single segmented cumsum over the flattened block structure —
+    no per-row Python loop. This is the hot half of every compaction /
+    merge / serving-shard build."""
 
     def __init__(self, with_positions: bool, delete_ids: np.ndarray | None = None):
         self.with_positions = with_positions
@@ -45,109 +65,117 @@ class DecodeSegmentRows:
             np.sort(delete_ids.astype(np.uint64)) if delete_ids is not None else None
         )
 
+    def _empty(self, wp: bool, wc: bool, ww: bool, wpb: bool) -> pa.Table:
+        cols = {
+            "term": pa.array([], pa.string()),
+            "doc_id": pa.array([], pa.uint64()),
+            "tf": pa.array([], pa.uint32()),
+            "len_byte": pa.array([], pa.uint8()),
+        }
+        if ww:
+            cols["weight"] = pa.array([], pa.float64())
+        if wp:
+            cols["positions"] = pa.array([], pa.list_(pa.int32()))
+            if wpb:
+                cols["tboosts"] = pa.array([], pa.list_(pa.float32()))
+        if wc:
+            cols["chars"] = pa.array([], pa.list_(pa.int32()))
+        return pa.table(cols)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from whoosh_novo_ray.codec import decode_positions_flat, varint_decode
+
         wp = self.with_positions and "pos_blob" in batch.column_names
         wc = "chars_blob" in batch.column_names
         ww = "wts_blob" in batch.column_names
-        wpb = "pboosts_blob" in batch.column_names
-        terms, ids, tfs, lens = [], [], [], []
-        weights = []
-        pos_flats, pos_counts = [], []
-        tb_flats = []
-        ch_flats, ch_counts = [], []
-        for i in range(len(batch)):
-            tr = _row_to_termrow(batch, i, with_positions=wp, with_chars=wc)
-            t_ids, t_tfs, t_lens = tr.decode_all()
-            if ww:
-                # weighted index: decode_all returned float weights in the
-                # tf slot — keep them as the weight column and recover the
-                # true integer tfs separately
-                t_w = t_tfs
-                t_tfs = tr.decode_tfs()
-            keep = None
-            if self.delete_ids is not None and len(self.delete_ids):
-                keep = ~np.isin(t_ids, self.delete_ids)
+        wpb = wp and "pboosts_blob" in batch.column_names
+        if not len(batch):
+            return self._empty(wp, wc, ww, wpb)
+        df = batch["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+        total = int(df.sum())
+        if total == 0:
+            return self._empty(wp, wc, ww, wpb)
+        terms = np.repeat(
+            np.asarray(batch["term"].to_pylist(), dtype=object), df
+        )
+        # doc ids: one varint pass + segmented cumsum with resets at every
+        # block start (blocks flatten across rows; every row starts on one)
+        deltas = varint_decode(_blob_concat(batch["ids_blob"]), total)
+        bc = batch["block_counts"].combine_chunks()
+        block_counts = bc.values.to_numpy(zero_copy_only=False).astype(np.int64)
+        block_counts = block_counts[block_counts > 0]
+        c = np.cumsum(deltas, dtype=np.uint64)
+        bstarts = np.cumsum(block_counts) - block_counts
+        corr = c[bstarts] - deltas[bstarts]
+        ids = c - np.repeat(corr, block_counts)
+        tfs = varint_decode(_blob_concat(batch["tfs_blob"]), total)
+        lens = _blob_concat(batch["lens_blob"])
+        weights = (
+            _blob_concat(batch["wts_blob"]).view(np.float32).astype(np.float64)
+            if ww
+            else None
+        )
+        pos_flat = pos_counts = tb_flat = None
+        if wp:
+            pos_flat, pos_counts = decode_positions_flat(
+                _blob_concat(batch["pos_blob"]), tfs
+            )
+            if wpb:
+                tb_flat = (
+                    _blob_concat(batch["pboosts_blob"])
+                    .view(np.float32)
+                    .astype(np.float64)
+                )
+        ch_flat = ch_counts = None
+        if wc:
+            ch_flat, ch_counts = decode_positions_flat(
+                _blob_concat(batch["chars_blob"]), tfs * np.uint64(2)
+            )
+        if self.delete_ids is not None and len(self.delete_ids):
+            keep = ~np.isin(ids, self.delete_ids)
             if wp:
-                flat, counts = tr.decode_all_positions_flat()
+                occ = np.repeat(keep, pos_counts)
+                pos_flat = pos_flat[occ]
                 if wpb:
-                    tb_flat, _tb_counts = tr.decode_all_position_boosts()
-                if keep is not None:
-                    occ_keep = np.repeat(keep, counts)
-                    flat = flat[occ_keep]
-                    if wpb:
-                        tb_flat = tb_flat[occ_keep]
-                    counts = counts[keep]
-                pos_flats.append(flat)
-                pos_counts.append(counts)
-                if wpb:
-                    tb_flats.append(tb_flat)
+                    tb_flat = tb_flat[occ]
+                pos_counts = pos_counts[keep]
             if wc:
-                ch, ccounts = tr.decode_all_chars()
-                flat2 = ch.reshape(-1).astype(np.uint64)
-                c2 = (ccounts * 2).astype(np.int64)
-                if keep is not None:
-                    occ_keep2 = np.repeat(keep, c2)
-                    flat2, c2 = flat2[occ_keep2], c2[keep]
-                ch_flats.append(flat2)
-                ch_counts.append(c2)
-            if keep is not None:
-                t_ids, t_tfs, t_lens = t_ids[keep], t_tfs[keep], t_lens[keep]
-                if ww:
-                    t_w = t_w[keep]
-            terms.append(np.full(len(t_ids), tr.term, dtype=object))
-            ids.append(t_ids)
-            tfs.append(t_tfs)
-            lens.append(t_lens)
+                occ2 = np.repeat(keep, ch_counts)
+                ch_flat = ch_flat[occ2]
+                ch_counts = ch_counts[keep]
+            terms, ids, tfs, lens = terms[keep], ids[keep], tfs[keep], lens[keep]
             if ww:
-                weights.append(t_w)
-        if not ids:
-            cols = {
-                "term": pa.array([], pa.string()),
-                "doc_id": pa.array([], pa.uint64()),
-                "tf": pa.array([], pa.uint32()),
-                "len_byte": pa.array([], pa.uint8()),
-            }
-            if ww:
-                cols["weight"] = pa.array([], pa.float64())
-            if wp:
-                cols["positions"] = pa.array([], pa.list_(pa.int32()))
-                if wpb:
-                    cols["tboosts"] = pa.array([], pa.list_(pa.float32()))
-            if wc:
-                cols["chars"] = pa.array([], pa.list_(pa.int32()))
-            return pa.table(cols)
+                weights = weights[keep]
+            if not len(ids):
+                return self._empty(wp, wc, ww, wpb)
         cols = {
-            "term": pa.array(np.concatenate(terms), pa.string()),
-            "doc_id": pa.array(np.concatenate(ids), pa.uint64()),
-            "tf": pa.array(np.concatenate(tfs).astype(np.uint32), pa.uint32()),
-            "len_byte": pa.array(np.concatenate(lens), pa.uint8()),
+            "term": pa.array(terms, pa.string()),
+            "doc_id": pa.array(ids, pa.uint64()),
+            "tf": pa.array(tfs.astype(np.uint32), pa.uint32()),
+            "len_byte": pa.array(lens, pa.uint8()),
         }
         if ww:
-            cols["weight"] = pa.array(
-                np.concatenate(weights).astype(np.float64), pa.float64()
-            )
+            cols["weight"] = pa.array(weights, pa.float64())
         if wp:
-            counts = np.concatenate(pos_counts).astype(np.int64)
+            counts = pos_counts.astype(np.int64)
             offsets = np.zeros(len(counts) + 1, np.int32)
             np.cumsum(counts, out=offsets[1:])
             cols["positions"] = pa.ListArray.from_arrays(
                 pa.array(offsets, pa.int32()),
-                pa.array(np.concatenate(pos_flats).astype(np.int32), pa.int32()),
+                pa.array(pos_flat.astype(np.int32), pa.int32()),
             )
             if wpb:
                 cols["tboosts"] = pa.ListArray.from_arrays(
                     pa.array(offsets, pa.int32()),
-                    pa.array(
-                        np.concatenate(tb_flats).astype(np.float32), pa.float32()
-                    ),
+                    pa.array(tb_flat.astype(np.float32), pa.float32()),
                 )
         if wc:
-            c2 = np.concatenate(ch_counts).astype(np.int64)
+            c2 = ch_counts.astype(np.int64)
             off2 = np.zeros(len(c2) + 1, np.int32)
             np.cumsum(c2, out=off2[1:])
             cols["chars"] = pa.ListArray.from_arrays(
                 pa.array(off2, pa.int32()),
-                pa.array(np.concatenate(ch_flats).astype(np.int32), pa.int32()),
+                pa.array(ch_flat.astype(np.int32), pa.int32()),
             )
         return pa.table(cols)
 
