@@ -291,6 +291,9 @@ def run_ops(sf_dir: str) -> dict:
     )
 
     ann_dir = f"/tmp/wnr_bench_ann_{os.path.basename(sf_dir.rstrip('/'))}"
+    import shutil
+
+    shutil.rmtree(ann_dir, ignore_errors=True)  # time a REAL build, not resume
     timed(
         "op_knn_ivf_build",
         lambda: build_ivf_index(

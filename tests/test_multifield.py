@@ -135,7 +135,7 @@ def test_multifield_parser_parity(mf_env, ref_mf):
     s = MultiFieldSearcher(idx, default_field="body")
     mine_p = MultifieldParser(["title", "body"])
     ref_p = WMFP(["title", "body"], ref_mf.schema)
-    for qs in ("search", "search data", "title:search data"):
+    for qs in ("search", "search data", "title:search data", '"search data"'):
         mine = _mine(s, mine_p.parse(qs), limit=10)
         ref = _ref(ref_mf, ref_p.parse(qs), limit=10)
         assert [d for d, _ in mine] == [d for d, _ in ref], qs

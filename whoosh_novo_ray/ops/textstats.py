@@ -108,38 +108,38 @@ def langid_table(docs: "ray.data.Dataset", threshold: float = 0.08) -> "ray.data
 
 
 _BPE_RX = r" ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+_BPE_COMPILED = None  # compiled lazily once per worker process
 
 
-class _BpeTokens:
+def _bpe_counts(batch: pa.Table) -> pa.Table:
     """BPE-ish pre-tokenizer counts: the GPT-2-style split (leading-space
     word pieces / digit runs / punctuation runs / whitespace) WITHOUT the
     lookahead clauses, so the exact same pattern runs under Python re and
     DuckDB's RE2 (ASCII classes — identical semantics in both engines).
     The per-doc match count approximates the doc's BPE token budget before
-    merges — the standard cheap "how many tokens will this cost" signal."""
-
-    def __init__(self):
+    merges — the standard cheap "how many tokens will this cost" signal.
+    Task-based (not an actor pool): the only state is one compiled regex,
+    cached per worker process."""
+    global _BPE_COMPILED
+    if _BPE_COMPILED is None:
         import re
 
-        self.rx = re.compile(_BPE_RX)
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
-        counts = np.fromiter(
-            (len(self.rx.findall(t)) for t in texts), np.int64, len(texts)
-        )
-        return pa.table(
-            {
-                "doc_id": batch["doc_id"].cast(pa.int64()),
-                "n_bpe_tokens": pa.array(counts, pa.int64()),
-            }
-        )
+        _BPE_COMPILED = re.compile(_BPE_RX)
+    texts = batch["text"].to_pylist()
+    counts = np.fromiter(
+        (len(_BPE_COMPILED.findall(t)) for t in texts), np.int64, len(texts)
+    )
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "n_bpe_tokens": pa.array(counts, pa.int64()),
+        }
+    )
 
 
 def bpe_token_table(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     return docs.map_batches(
-        _BpeTokens, batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=2,
+        _bpe_counts, batch_format="pyarrow", zero_copy_batch=True
     )
 
 
