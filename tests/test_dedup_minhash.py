@@ -82,3 +82,25 @@ def test_minhash_threshold_filters_inside_join(dup_env):
     gotk = sorted(zip(thr["doc_a"].to_pylist(), thr["doc_b"].to_pylist()))
     assert gotk == want
     assert 0 < len(thr) < len(full)
+
+
+def test_curated_corpus_removes_near_dups(dup_env):
+    """The composed curation pipeline drops the higher id of every
+    near-dup pair and exact-dup copy while keeping the rest."""
+    from whoosh_novo_ray.ops.dedup import exact_dedup_keep, minhash_lsh_candidates
+    from whoosh_novo_ray.pipelines.curation import curated_corpus
+
+    tbl, ds = dup_env
+    out = curated_corpus(ds, min_tokens=5, stop_ratio=0.0, dup_threshold=0.8)
+    got = set(out["doc_id"].to_pylist())
+
+    pairs = minhash_lsh_candidates(ds, threshold=0.8)
+    losers = set(pairs["doc_b"].to_pylist())
+    keepers = set(
+        r["doc_id"] for r in exact_dedup_keep(ds).take_all()
+    )
+    want = keepers - losers
+    assert got == want
+    assert losers, "dup-heavy corpus must produce losers"
+    # the bpe budget column rides along
+    assert all(n > 0 for n in out["n_bpe_tokens"].to_pylist())

@@ -1,0 +1,143 @@
+"""Training-data curation pipeline: the composed "clean a web crawl" flow.
+
+    documents
+      ├─ exact dedup          (keep lowest doc_id per content md5)
+      ├─ MinHash near-dup     (drop the higher id of any pair with
+      │                        est_jaccard >= dup_threshold)
+      ├─ quality + language   (raw token count / stopword-ratio filters —
+      │                        streaming map_batches)
+      └─ BPE token budget     (per-doc pre-tokenizer count)
+      => curated (doc_id, n_bpe_tokens)
+
+Every stage is one of the engine's existing distributed ops; the final
+combination is ONE sharded groupby over role-tagged id streams (a bitmask
+union join — no driver-side id sets, the same shard-join shape as the
+MinHash verify). Only the near-dup LOSER list is table-sized on the driver,
+and that list IS the removal set — the thing the pipeline exists to produce.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from whoosh_novo_ray.ops.dedup import N_SHARDS, _PAIR_PRIME
+
+_SURVIVOR = np.uint8(1)
+_QUALITY = np.uint8(2)
+_LOSER = np.uint8(4)
+
+
+def _tag(ds: "ray.data.Dataset", role: int, with_n: bool = False):
+    r = np.uint8(role)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = (
+            batch["n_bpe_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
+            if with_n
+            else np.zeros(len(ids), np.int64)
+        )
+        shard = (
+            (ids.astype(np.uint64) * _PAIR_PRIME) % np.uint64(N_SHARDS)
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "shard": pa.array(shard, pa.int32()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "role": pa.array(np.full(len(ids), r, np.uint8), pa.uint8()),
+                "n": pa.array(n, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def curated_corpus(
+    docs: "ray.data.Dataset",
+    min_tokens: int = 50,
+    stop_ratio: float = 0.08,
+    dup_threshold: float = 0.9,
+) -> pa.Table:
+    """Curated (doc_id, n_bpe_tokens), sorted by doc_id.
+
+    A doc survives iff it is the exact-dedup keeper of its content hash,
+    passes the quality/language gate (raw tokens >= min_tokens AND
+    stopword_ratio >= stop_ratio — the langid-en rule), and is not the
+    higher id of any near-duplicate pair (est_jaccard >= dup_threshold).
+    """
+    from whoosh_novo_ray.ops.dedup import exact_dedup_keep, minhash_lsh_candidates
+    from whoosh_novo_ray.ops.textstats import bpe_token_table, quality_table
+
+    survivors = _tag(
+        exact_dedup_keep(docs).select_columns(["doc_id"]), _SURVIVOR
+    )
+    quality = _tag(
+        quality_table(docs).filter(
+            expr=f"n_tokens_raw >= {min_tokens} and stopword_ratio >= {stop_ratio}"
+        ),
+        _QUALITY,
+    )
+    # threshold applied INSIDE the distributed verify join: only true
+    # near-dup pairs reach the driver (the removal set itself)
+    pairs = minhash_lsh_candidates(docs, threshold=dup_threshold)
+    losers = pa.table(
+        {
+            "doc_id": pa.array(
+                np.unique(pairs["doc_b"].to_numpy(zero_copy_only=False)),
+                pa.int64(),
+            )
+        }
+    )
+    streams = [survivors, quality, _tag(bpe_token_table(docs), 8, with_n=True)]
+    if len(losers):
+        streams.append(_tag(ray.data.from_arrow(losers), _LOSER))
+    tagged = streams[0].union(*streams[1:])
+
+    def combine(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_bpe_tokens": pa.array([], pa.int64()),
+            }
+        )
+        if not len(group):
+            return empty
+        g = group.sort_by("doc_id")
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        roles = g["role"].to_numpy(zero_copy_only=False)
+        ns = g["n"].to_numpy(zero_copy_only=False)
+        change = np.empty(len(ids), bool)
+        change[0] = True
+        change[1:] = ids[1:] != ids[:-1]
+        starts = np.flatnonzero(change)
+        bits = np.bitwise_or.reduceat(roles, starts)
+        n_bpe = np.maximum.reduceat(ns, starts)  # the bpe row carries it
+        keep = (
+            ((bits & _SURVIVOR) > 0)
+            & ((bits & _QUALITY) > 0)
+            & ((bits & _LOSER) == 0)
+        )
+        if not keep.any():
+            return empty
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[starts][keep], pa.int64()),
+                "n_bpe_tokens": pa.array(n_bpe[keep], pa.int64()),
+            }
+        )
+
+    out = tagged.groupby("shard").map_groups(combine, batch_format="pyarrow")
+    tables = [t for t in ray.get(out.materialize().to_arrow_refs()) if len(t)]
+    if not tables:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_bpe_tokens": pa.array([], pa.int64()),
+            }
+        )
+    return pa.concat_tables(tables).sort_by("doc_id")

@@ -345,6 +345,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return cosine_near_dup_pairs(ds, threshold=0.9)
 
+    def curated_docs(sf_dir):
+        """The composed curation pipeline: exact dedup + MinHash near-dup
+        removal + quality/language gate + BPE budget, combined in one
+        sharded bitmask join."""
+        from whoosh_novo_ray.pipelines.curation import curated_corpus
+
+        return curated_corpus(
+            _docs_ds(sf_dir), min_tokens=40, stop_ratio=0.08, dup_threshold=0.9
+        )
+
     def simhash_near_dup(sf_dir):
         """SimHash Hamming-band near-dup pairs (<= 3 differing bits)."""
         from whoosh_novo_ray.ops.dedup import simhash_near_dup_pairs
@@ -741,6 +751,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_cosine": near_dup_cosine,
         "near_dup_lsh_blocked": near_dup_lsh_blocked,
         "simhash_near_dup": simhash_near_dup,
+        "curated_docs": curated_docs,
         "bpe_token_counts": bpe_token_counts,
         "numeric_range": numeric_range,
         "latest_event_per_user": latest_event_per_user,
@@ -1025,6 +1036,71 @@ SELECT d.doc_id::BIGINT AS doc_id,
        coalesce(CASE WHEN v.s >= 9223372036854775808
                      THEN v.s - 18446744073709551616 ELSE v.s END, 0)::BIGINT AS simhash
 FROM documents d LEFT JOIN vals v USING (doc_id)
+ORDER BY doc_id""",
+        # Composed curation: exact-dedup keepers ∩ quality gate (raw tokens
+        # >= 40 AND stopword_ratio >= 0.08) minus MinHash near-dup losers
+        # (est >= 0.9 drops doc_b), with the BPE budget joined on — every
+        # fragment is an already-oracled query's SQL
+        "curated_docs": f"""WITH tokarr AS (
+  SELECT doc_id, {raw_tok} AS arr FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(arr, i + 1, i + 3), ' ') AS shingle
+  FROM (SELECT doc_id, arr, unnest(range(len(arr) - 2)) AS i FROM tokarr
+        WHERE len(arr) >= 3)
+),
+perms AS (
+  SELECT i,
+         (md5_number_lower('mh-a-7-' || i)::HUGEINT % 2305843009213693950 + 1) AS a,
+         (md5_number_lower('mh-b-7-' || i)::HUGEINT % 2305843009213693951) AS b
+  FROM (SELECT unnest(range(64)) AS i)
+),
+shh AS (
+  SELECT doc_id, md5_number_lower(shingle)::HUGEINT % 2305843009213693951 AS x
+  FROM sh
+),
+mins AS (
+  SELECT s.doc_id, p.i, min((p.a * s.x + p.b) % 2305843009213693951) AS h
+  FROM shh s CROSS JOIN perms p GROUP BY 1, 2
+),
+sigs AS (SELECT doc_id, list(h ORDER BY i) AS sig FROM mins GROUP BY doc_id),
+bandkeys AS (
+  SELECT doc_id,
+         substr(md5(bi.bi || ':' ||
+                    array_to_string(list_slice(sig, bi.bi * 4 + 1, bi.bi * 4 + 4), ',')),
+                1, 16) AS band_key
+  FROM sigs CROSS JOIN (SELECT unnest(range(16)) AS bi) bi
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bandkeys a JOIN bandkeys b
+    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+losers AS (
+  SELECT DISTINCT c.doc_b AS doc_id
+  FROM cand c
+  JOIN sigs sa ON sa.doc_id = c.doc_a
+  JOIN sigs sb ON sb.doc_id = c.doc_b
+  WHERE list_sum(list_transform(range(64),
+          i -> CASE WHEN sa.sig[i + 1] = sb.sig[i + 1] THEN 1 ELSE 0 END)) / 64.0
+        >= 0.9
+),
+keepers AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+tok AS (SELECT doc_id, unnest(arr) AS term FROM tokarr),
+agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n,
+         sum(CASE WHEN term IN ({_STOPLIST_SQL}) THEN 1 ELSE 0 END)::DOUBLE AS ns
+  FROM tok GROUP BY doc_id
+),
+qual AS (SELECT doc_id FROM agg WHERE n >= 40 AND ns / n >= 0.08)
+SELECT k.doc_id::BIGINT AS doc_id,
+       len(regexp_extract_all(d.text,
+           ' ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+'))::BIGINT AS n_bpe_tokens
+FROM keepers k
+JOIN qual q ON q.doc_id = k.doc_id
+JOIN documents d ON d.doc_id = k.doc_id
+WHERE k.doc_id NOT IN (SELECT doc_id FROM losers)
 ORDER BY doc_id""",
         # SimHash near-dup pairs: same simhash CTEs, pairs with
         # bit_count(xor) <= 3 (engine uses 4x16-bit band blocking — a
