@@ -104,3 +104,40 @@ def test_curated_corpus_removes_near_dups(dup_env):
     assert losers, "dup-heavy corpus must produce losers"
     # the bpe budget column rides along
     assert all(n > 0 for n in out["n_bpe_tokens"].to_pylist())
+
+
+def test_connected_components_chain():
+    """Chains must merge into one cluster (pairwise doc_b drops would not):
+    pairs (5,10),(1,10) => all three share cluster 1."""
+    import pyarrow as pa
+
+    from whoosh_novo_ray.ops.dedup import connected_components
+
+    pairs = pa.table(
+        {
+            "doc_a": pa.array([5, 1, 20], pa.int64()),
+            "doc_b": pa.array([10, 10, 21], pa.int64()),
+        }
+    )
+    t = connected_components(pairs)
+    got = dict(zip(t["doc_id"].to_pylist(), t["cluster_id"].to_pylist()))
+    assert got == {1: 1, 5: 1, 10: 1, 20: 20, 21: 20}
+
+
+def test_distributed_label_propagation_matches_union_find(ray_session, dup_env):
+    import ray.data
+
+    from whoosh_novo_ray.ops.dedup import (
+        connected_components,
+        minhash_lsh_candidates,
+        near_dup_clusters_ds,
+    )
+
+    _tbl, ds = dup_env
+    pairs = minhash_lsh_candidates(ds, threshold=0.5)
+    assert len(pairs) > 5
+    want = connected_components(pairs).sort_by("doc_id").to_pydict()
+    got = near_dup_clusters_ds(
+        ray.data.from_arrow(pairs.select(["doc_a", "doc_b"])).repartition(2)
+    ).to_pydict()
+    assert got == want

@@ -761,6 +761,154 @@ def _estimate_pairs_distributed(
     )
 
 
+def connected_components(
+    pairs: pa.Table, a_col: str = "doc_a", b_col: str = "doc_b"
+) -> pa.Table:
+    """(doc_id, cluster_id) over the docs appearing in near-dup pairs;
+    cluster_id = the component's minimum doc id. Driver union-find with
+    path compression — the right tool when the pair set is the (already
+    thresholded) removal set; for web-scale dup graphs use
+    ``near_dup_clusters_ds`` (distributed label propagation)."""
+    a = pairs[a_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    b = pairs[b_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for u, v in zip(a.tolist(), b.tolist()):
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # union by MIN so the root is the component minimum
+            lo, hi = (ru, rv) if ru < rv else (rv, ru)
+            parent[hi] = lo
+    docs = np.unique(np.concatenate([a, b]))
+    labels = np.fromiter((find(int(d)) for d in docs), np.int64, len(docs))
+    return pa.table(
+        {
+            "doc_id": pa.array(docs, pa.int64()),
+            "cluster_id": pa.array(labels, pa.int64()),
+        }
+    )
+
+
+def near_dup_clusters_ds(
+    pairs_ds: "ray.data.Dataset", max_rounds: int = 50
+) -> pa.Table:
+    """Distributed min-label propagation over a near-dup pair Dataset:
+    each round, every node takes the minimum label among itself and its
+    neighbors (one sharded groupby per round; rounds needed = component
+    diameter). Converges to cluster_id = component-minimum doc id, same
+    output as ``connected_components``."""
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        a = batch["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = np.concatenate([a, b, a, b])
+        v = np.concatenate([b, a, a, b])  # both directions + self loops
+        shard = (
+            (u.astype(np.uint64) * _PAIR_PRIME) % np.uint64(N_SHARDS)
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "shard": pa.array(shard, pa.int32()),
+                "u": pa.array(u, pa.int64()),
+                "v": pa.array(v, pa.int64()),
+            }
+        )
+
+    edges = pairs_ds.map_batches(
+        to_edges, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    # labels start as the node id itself; each round joins labels to edges
+    # on v (shard by v) and takes min per u
+    def relabel_round(labels: dict[int, int]) -> dict[int, int]:
+        # labels is broadcast via closure (per-round object store ship);
+        # at web scale this becomes a second sharded stream exactly like
+        # the MinHash verify join — kept simple here because the pair
+        # graph is the thresholded removal set
+        def step(batch: pa.Table) -> pa.Table:
+            u = batch["u"].to_numpy(zero_copy_only=False)
+            v = batch["v"].to_numpy(zero_copy_only=False)
+            lv = np.fromiter((labels[int(x)] for x in v), np.int64, len(v))
+            return pa.table(
+                {
+                    "shard": batch["shard"],
+                    "u": batch["u"],
+                    "lab": pa.array(lv, pa.int64()),
+                }
+            )
+
+        def reduce_min(group: pa.Table) -> pa.Table:
+            if not len(group):
+                return pa.table(
+                    {
+                        "u": pa.array([], pa.int64()),
+                        "lab": pa.array([], pa.int64()),
+                    }
+                )
+            g = group.sort_by([("u", "ascending"), ("lab", "ascending")])
+            us = g["u"].to_numpy(zero_copy_only=False)
+            ls = g["lab"].to_numpy(zero_copy_only=False)
+            change = np.empty(len(us), bool)
+            change[0] = True
+            change[1:] = us[1:] != us[:-1]
+            sel = np.flatnonzero(change)
+            return pa.table(
+                {
+                    "u": pa.array(us[sel], pa.int64()),
+                    "lab": pa.array(ls[sel], pa.int64()),
+                }
+            )
+
+        out = (
+            edges.map_batches(step, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("shard")
+            .map_groups(reduce_min, batch_format="pyarrow")
+        )
+        new = {}
+        for t in ray.get(out.materialize().to_arrow_refs()):
+            for u, lab in zip(t["u"].to_pylist(), t["lab"].to_pylist()):
+                new[u] = lab
+        return new
+
+    init_tables = [
+        t for t in ray.get(edges.materialize().to_arrow_refs()) if len(t)
+    ]
+    if not init_tables:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "cluster_id": pa.array([], pa.int64()),
+            }
+        )
+    nodes = np.unique(
+        np.concatenate([t["u"].to_numpy(zero_copy_only=False) for t in init_tables])
+    )
+    labels = {int(d): int(d) for d in nodes}
+    for _ in range(max_rounds):
+        new = relabel_round(labels)
+        if new == labels:
+            break
+        labels = new
+    docs = np.array(sorted(labels), np.int64)
+    return pa.table(
+        {
+            "doc_id": pa.array(docs, pa.int64()),
+            "cluster_id": pa.array(
+                np.fromiter((labels[int(d)] for d in docs), np.int64, len(docs)),
+                pa.int64(),
+            ),
+        }
+    )
+
+
 _POP8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(
     axis=1
 ).astype(np.uint8)

@@ -345,6 +345,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return cosine_near_dup_pairs(ds, threshold=0.9)
 
+    def dedup_clusters(sf_dir):
+        """Connected components over the MinHash candidate pairs: cluster
+        id = the component's minimum doc id (what keep-one-per-cluster
+        dedup actually needs — pairwise doc_b drops under-merge chains)."""
+        from whoosh_novo_ray.ops.dedup import (
+            connected_components,
+            minhash_lsh_candidates,
+        )
+
+        pairs = minhash_lsh_candidates(_docs_ds(sf_dir))
+        return connected_components(pairs).sort_by("doc_id")
+
     def curated_docs(sf_dir):
         """The composed curation pipeline: exact dedup + MinHash near-dup
         removal + quality/language gate + BPE budget, combined in one
@@ -752,6 +764,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_lsh_blocked": near_dup_lsh_blocked,
         "simhash_near_dup": simhash_near_dup,
         "curated_docs": curated_docs,
+        "dedup_clusters": dedup_clusters,
         "bpe_token_counts": bpe_token_counts,
         "numeric_range": numeric_range,
         "latest_event_per_user": latest_event_per_user,
@@ -1037,6 +1050,56 @@ SELECT d.doc_id::BIGINT AS doc_id,
                      THEN v.s - 18446744073709551616 ELSE v.s END, 0)::BIGINT AS simhash
 FROM documents d LEFT JOIN vals v USING (doc_id)
 ORDER BY doc_id""",
+        # Connected components over the MinHash candidate pairs: label
+        # propagation as a recursive CTE (walk enumerates reachable nodes,
+        # min per doc = the component minimum)
+        "dedup_clusters": f"""WITH RECURSIVE tokarr AS (
+  SELECT doc_id, {raw_tok} AS arr FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(arr, i + 1, i + 3), ' ') AS shingle
+  FROM (SELECT doc_id, arr, unnest(range(len(arr) - 2)) AS i FROM tokarr
+        WHERE len(arr) >= 3)
+),
+perms AS (
+  SELECT i,
+         (md5_number_lower('mh-a-7-' || i)::HUGEINT % 2305843009213693950 + 1) AS a,
+         (md5_number_lower('mh-b-7-' || i)::HUGEINT % 2305843009213693951) AS b
+  FROM (SELECT unnest(range(64)) AS i)
+),
+shh AS (
+  SELECT doc_id, md5_number_lower(shingle)::HUGEINT % 2305843009213693951 AS x
+  FROM sh
+),
+mins AS (
+  SELECT s.doc_id, p.i, min((p.a * s.x + p.b) % 2305843009213693951) AS h
+  FROM shh s CROSS JOIN perms p GROUP BY 1, 2
+),
+sigs AS (SELECT doc_id, list(h ORDER BY i) AS sig FROM mins GROUP BY doc_id),
+bandkeys AS (
+  SELECT doc_id,
+         substr(md5(bi.bi || ':' ||
+                    array_to_string(list_slice(sig, bi.bi * 4 + 1, bi.bi * 4 + 4), ',')),
+                1, 16) AS band_key
+  FROM sigs CROSS JOIN (SELECT unnest(range(16)) AS bi) bi
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bandkeys a JOIN bandkeys b
+    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM cand
+  UNION SELECT doc_b, doc_a FROM cand
+),
+walk(doc, label) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u, w.label FROM walk w JOIN edges e ON e.v = w.doc
+)
+SELECT doc::BIGINT AS doc_id, min(label)::BIGINT AS cluster_id
+FROM walk GROUP BY doc ORDER BY doc_id""",
         # Composed curation: exact-dedup keepers ∩ quality gate (raw tokens
         # >= 40 AND stopword_ratio >= 0.08) minus MinHash near-dup losers
         # (est >= 0.9 drops doc_b), with the BPE budget joined on — every
