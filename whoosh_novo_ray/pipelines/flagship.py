@@ -65,4 +65,21 @@ def run_flagship(sf_dir: str = "/root/testdata/sf0.001") -> pa.Table:
                 }
             )
         )
+    # the distributed serving path (doc-shard actors score, driver merges)
+    # runs one query in the smoke too — results identical to the local rows
+    from whoosh_novo_ray.pipelines.registry import _pool_for
+
+    pt = _pool_for(sf_dir).search(Or(Term("query"), Term("window")), limit=10)
+    out.append(
+        pa.table(
+            {
+                "query": pa.array(["pool:query|window"] * len(pt), pa.string()),
+                "rank": pa.array(np.arange(len(pt), dtype=np.int64)),
+                "doc_id": pt["doc_id"].cast(pa.int64()),
+                "score": pa.array(
+                    np.round(pt["score"].to_numpy(), 6), pa.float64()
+                ),
+            }
+        )
+    )
     return pa.concat_tables(out)
