@@ -287,3 +287,17 @@ def test_pool_collapse_matches_local(spool, built_index, attrs_parquet):
     ).to_pydict()
     pooled = spool.collapse_search(q, attrs_parquet, "lang", per_key=2).to_pydict()
     assert pooled == local
+
+
+def test_pool_forced_wand_strategy_parity(spool, built_index):
+    """Forcing the block-max WAND cursor loop per shard still produces the
+    exact top-k (skip proofs hold under global stats)."""
+    from whoosh_novo_ray.search.wand import searcher_wand_topk
+
+    terms = ["search", "data", "index"]
+    local, _ = searcher_wand_topk(
+        Searcher(built_index), terms, 10, strategy="wand"
+    )
+    remote, stats = spool.wand_topk(terms, 10, strategy="wand")
+    assert remote.to_pydict() == local.to_pydict()
+    assert stats["strategy"] == "wand"
