@@ -70,6 +70,53 @@ def serving_dir_for(index_path: str) -> str:
     return os.path.join(index_path, SERVING_SUBDIR)
 
 
+def build_attr_shards(
+    attrs_path: str | list[str],
+    out_dir: str,
+    columns: list[str],
+    num_shards: int,
+    lineage: str = "",
+    resume: bool = True,
+) -> dict:
+    """Doc-shard a per-document attribute table with the SAME hash as the
+    serving shards, so a ScoreServer reads exactly ITS docs' attribute rows
+    (one partition, no id-list filters) for facet / sort / collapse keys.
+    Writes ``out_dir/vshard=K/`` parquet + a small manifest; resumable by
+    lineage."""
+    import ray as _ray
+
+    man_path = os.path.join(out_dir, "attr_manifest.json")
+    if resume and lineage and os.path.exists(man_path):
+        with open(man_path) as f:
+            old = json.load(f)
+        if old.get("lineage") == lineage and old.get("num_shards") == num_shards:
+            return old
+    cols = ["doc_id"] + [c for c in columns if c != "doc_id"]
+    n_blocks = int(_ray.cluster_resources().get("CPU", 8))
+    ds = ray.data.read_parquet(
+        attrs_path, columns=cols, override_num_blocks=n_blocks
+    )
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return batch.append_column(
+            "vshard", pa.array(doc_shard_of(ids, num_shards), pa.uint32())
+        )
+
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ds.map_batches(add_shard, batch_format="pyarrow", zero_copy_batch=True).write_parquet(
+        out_dir, partition_cols=["vshard"]
+    )
+    man = {"lineage": lineage, "num_shards": num_shards, "columns": cols}
+    tmp = man_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(man, f)
+    os.replace(tmp, man_path)
+    return man
+
+
 def build_serving_shards(
     index_path: str | list[str],
     num_shards: int = 8,

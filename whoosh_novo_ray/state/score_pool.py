@@ -120,6 +120,8 @@ class ScoreServer:
     """Pins a set of doc shards; evaluates queries over them end-to-end."""
 
     def __init__(self, serving_dir: str, shards: list[int]):
+        self._shards = list(shards)
+        self._attr_cache: dict[tuple[str, str], pa.Table] = {}
         with open(os.path.join(serving_dir, MANIFEST_NAME)) as f:
             man = json.load(f)
         self._doc_count = int(man["doc_count"])
@@ -182,33 +184,56 @@ class ScoreServer:
             self._searcher(gstats, weighting), terms, k, strategy=strategy
         )
 
-    def _matched_keys(self, q, gstats, attrs_path, column, weighting):
-        """(ids, scores, keys) for THIS shard's matches: the facet key
-        column read with a doc-id pushdown filter — only the shard's
-        matched rows leave the attrs parquet."""
+    def _attr_table(self, attrs_dir: str, column: str) -> pa.Table:
+        """THIS actor's shards' slice of a doc-sharded attribute table
+        (index/docshard.py build_attr_shards) — read once, cached, sorted
+        by doc_id. No id-list filters: the partition IS the actor's docs."""
+        key = (attrs_dir, column)
+        if key not in self._attr_cache:
+            import glob as _glob
+
+            files = [
+                f
+                for k in self._shards
+                for f in sorted(
+                    _glob.glob(
+                        os.path.join(attrs_dir, f"vshard={k}", "*.parquet")
+                    )
+                )
+            ]
+            if files:
+                tbl = pa.concat_tables(
+                    [pq.read_table(f, columns=["doc_id", column]) for f in files]
+                ).sort_by("doc_id")
+            else:
+                tbl = pa.table(
+                    {
+                        "doc_id": pa.array([], pa.int64()),
+                        column: pa.array([], pa.string()),
+                    }
+                )
+            self._attr_cache[key] = tbl
+        return self._attr_cache[key]
+
+    def _matched_keys(self, q, gstats, attrs_dir, column, weighting):
+        """(ids, scores, keys) for THIS shard's matches: key lookup is a
+        searchsorted into the actor's own attribute partition."""
         s = self._searcher(gstats, weighting)
         ids, scores = s.postings(q)
         if not len(ids):
             return ids, scores, np.empty(0, object)
-        tbl = pq.read_table(
-            attrs_path,
-            columns=["doc_id", column],
-            filters=pc.field("doc_id").isin([int(x) for x in ids]),
-        )
+        tbl = self._attr_table(attrs_dir, column)
         aid = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        order = np.argsort(aid)
-        pos = order[np.searchsorted(aid[order], ids)]
-        keys = (
-            tbl[column].take(pa.array(pos)).to_numpy(zero_copy_only=False)
-        )
+        pos = np.searchsorted(aid, ids)
+        keys = tbl[column].take(pa.array(pos)).to_numpy(zero_copy_only=False)
         return ids, scores, keys
 
     def facet_counts(
-        self, q, gstats, attrs_path: str, column: str, weighting=None
+        self, q, gstats, attrs_dir: str, column: str, weighting=None
     ) -> pa.Table:
         """Partial per-key matched-doc counts over THIS shard."""
         ids, _scores, keys = self._matched_keys(
-            q, gstats, attrs_path, column, weighting
+            q, gstats, attrs_dir, column, weighting
         )
         if not len(ids):
             return pa.table(
@@ -226,7 +251,7 @@ class ScoreServer:
         self,
         q,
         gstats,
-        attrs_path: str,
+        attrs_dir: str,
         column: str,
         per_key: int,
         weighting=None,
@@ -235,7 +260,7 @@ class ScoreServer:
         of the global winners (any global winner is within its shard's
         per-key top), so the driver's re-collapse over the union is exact."""
         ids, scores, keys = self._matched_keys(
-            q, gstats, attrs_path, column, weighting
+            q, gstats, attrs_dir, column, weighting
         )
         if not len(ids):
             return pa.table(
@@ -329,6 +354,8 @@ class ScorePool:
         man = build_serving_shards(
             index_path, num_shards=num_shards, out_dir=serving_dir
         )
+        self._serving_dir = serving_dir
+        self._num_shards = num_shards
         all_shards = sorted(b["bucket"] for b in man["buckets"])
         assignments: list[list[int]] = [[] for _ in range(num_actors)]
         for i, k in enumerate(all_shards):
@@ -510,16 +537,41 @@ class ScorePool:
                     stats[key] = v
         return merged, stats
 
+    def _attrs_dir_for(self, attrs_path: str, column: str) -> str:
+        """Doc-sharded copy of the attribute table, partitioned with the
+        SAME hash as the serving shards (built once, resumable): each actor
+        then reads exactly its docs' rows — no id-list filters, no repeated
+        full-column scans."""
+        import hashlib
+
+        from whoosh_novo_ray.index.docshard import build_attr_shards
+
+        tag = hashlib.md5(
+            f"{attrs_path}|{column}|{self._num_shards}".encode()
+        ).hexdigest()[:12]
+        out = os.path.join(self._serving_dir, "attrs", tag)
+        build_attr_shards(
+            attrs_path,
+            out,
+            [column],
+            self._num_shards,
+            lineage=f"{attrs_path}|{column}",
+            resume=True,
+        )
+        return out
+
     def facet_counts(
         self, q, attrs_path: str, column: str, weighting=None
     ) -> pa.Table:
         """Distributed FacetCollector: per-shard partial key counts (each
-        actor reads only ITS matches' attribute rows) summed on the driver.
-        Result identical to sorting.facet_counts over a FieldFacet."""
+        actor keys against ITS doc-sharded attribute partition) summed on
+        the driver. Result identical to sorting.facet_counts over a
+        FieldFacet."""
+        attrs_dir = self._attrs_dir_for(attrs_path, column)
         q2 = self._rewrite(q)
         gstats = self._gstats(self._stat_terms(q2))
         futs = [
-            a.facet_counts.remote(q2, gstats, attrs_path, column, weighting)
+            a.facet_counts.remote(q2, gstats, attrs_dir, column, weighting)
             for a in self._actors
         ]
         parts = [t for t in ray.get(futs) if len(t)]
@@ -539,11 +591,12 @@ class ScorePool:
         """Distributed CollapseCollector: shards return their per-key best
         candidates (a superset of the global winners); the driver re-runs
         the collapse over the tiny union — exact."""
+        attrs_dir = self._attrs_dir_for(attrs_path, column)
         q2 = self._rewrite(q)
         gstats = self._gstats(self._stat_terms(q2))
         futs = [
             a.collapse_candidates.remote(
-                q2, gstats, attrs_path, column, per_key, weighting
+                q2, gstats, attrs_dir, column, per_key, weighting
             )
             for a in self._actors
         ]
