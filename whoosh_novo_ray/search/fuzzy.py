@@ -105,14 +105,18 @@ def suggest(
     index, text: str, limit: int = 5, maxdist: int = 2, prefix: int = 0
 ) -> list[str]:
     """Spelling suggestions from the index lexicon (ReaderCorrector
-    semantics: frequency desc, then alphabetical)."""
+    semantics: frequency desc, then alphabetical). Frequencies come from a
+    stats-only pushdown read of the CANDIDATES (never the full term
+    dictionary — the candidate set is the edit-distance ball)."""
     cands = terms_within(index, text, maxdist=maxdist, prefix=prefix)
     if not cands:
         return []
-    stats = index.iter_term_stats(("term", "weight"))
-    freq = dict(zip(stats["term"].to_pylist(), stats["weight"].to_pylist()))
+    stats = index.term_stats_many([t for t, _d in cands])
     scored = sorted(
-        ((maxdist + 0.5 / (freq.get(t, 1) or 1), t) for t, _d in cands),
+        (
+            (maxdist + 0.5 / (stats.get(t, (0, 1.0, 0.0))[1] or 1), t)
+            for t, _d in cands
+        ),
     )
     return [t for _s, t in scored[:limit]]
 
