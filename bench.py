@@ -69,6 +69,7 @@ def build_pages_index(num_cpus: int, out_dir: str) -> dict:
     import ray.data
 
     from whoosh_novo_ray.index import IndexConfig, build_index
+    from whoosh_novo_ray.ops.extract import extract_pages_text
 
     path = ensure_pages_corpus()
     shutil.rmtree(out_dir, ignore_errors=True)
@@ -76,14 +77,19 @@ def build_pages_index(num_cpus: int, out_dir: str) -> dict:
     # Warm the worker pool with one full untimed run (worker process spawn +
     # per-worker imports of whoosh_novo_ray/pyarrow/numpy are one-time session
     # costs, not pipeline throughput), then time the steady-state run.
-    warm_docs = ray.data.read_parquet(
-        path, columns=["doc_id", "text"], override_num_blocks=num_cpus
+    # The timed pipeline is the FULL north-star path: html binary -> text
+    # extraction (vectorized map_batches) -> tokenize -> shuffle -> encode.
+    warm_docs = extract_pages_text(
+        ray.data.read_parquet(
+            path, columns=["doc_id", "html"], override_num_blocks=num_cpus
+        )
     )
     build_index(
         warm_docs,
         out_dir + "_warm",
         IndexConfig(num_buckets=max(16, min(128, PAGES_N // 10000)), with_positions=True),
         lineage="warm",
+        doc_count=PAGES_N,
     )
     shutil.rmtree(out_dir + "_warm", ignore_errors=True)
 
@@ -101,8 +107,10 @@ def build_pages_index(num_cpus: int, out_dir: str) -> dict:
     n_buckets = max(16, min(128, PAGES_N // 10000))
     walls, steals = [], []
     for rep in range(4):
-        docs = ray.data.read_parquet(
-            path, columns=["doc_id", "text"], override_num_blocks=n_blocks
+        docs = extract_pages_text(
+            ray.data.read_parquet(
+                path, columns=["doc_id", "html"], override_num_blocks=n_blocks
+            )
         )
         shutil.rmtree(out_dir, ignore_errors=True)
         tot0, st0 = read_cpu()
@@ -112,6 +120,7 @@ def build_pages_index(num_cpus: int, out_dir: str) -> dict:
             out_dir,
             IndexConfig(num_buckets=n_buckets, with_positions=True),
             lineage=f"bench:{path}",
+            doc_count=PAGES_N,
         )
         walls.append(time.perf_counter() - t0)
         tot1, st1 = read_cpu()
@@ -356,10 +365,15 @@ def main_bench() -> None:
     build_index(docs, out_docs, IndexConfig(num_buckets=16), lineage="bench-docs")
     queries["build_documents_index"] = round(time.perf_counter() - t0, 3)
 
-    # 2) index build over the big synthetic pages corpus
+    # 2) index build over the big synthetic pages corpus — the full
+    # north-star path: html binary -> extraction -> tokenize -> index
+    from whoosh_novo_ray.ops.extract import extract_pages_text
+
     out_pages = "/tmp/wnr_bench_idx_pages"
-    pages = ray.data.read_parquet(
-        PAGES_PARQUET, columns=["doc_id", "text"], override_num_blocks=NUM_CPUS
+    pages = extract_pages_text(
+        ray.data.read_parquet(
+            PAGES_PARQUET, columns=["doc_id", "html"], override_num_blocks=NUM_CPUS
+        )
     )
     t0 = time.perf_counter()
     man = build_index(
@@ -367,6 +381,7 @@ def main_bench() -> None:
         out_pages,
         IndexConfig(num_buckets=max(16, NUM_CPUS)),
         lineage="bench-pages",
+        doc_count=PAGES_N,
     )
     build_pages = time.perf_counter() - t0
     queries["build_pages_index"] = round(build_pages, 3)

@@ -893,6 +893,7 @@ def build_index(
     lineage: str = "",
     resume: bool = False,
     auto_heavy: bool | dict = False,
+    doc_count: int | None = None,
 ) -> dict:
     """Build an inverted index at ``out_dir`` from a docs Dataset.
 
@@ -907,7 +908,11 @@ def build_index(
     to declare them. Skipped when ``cfg.heavy_terms`` is already set.
     """
     cfg = cfg or IndexConfig()
-    doc_count = docs.count()
+    if doc_count is None:
+        # count() on a plain read is metadata-only; on a lazy transformed
+        # Dataset it EXECUTES the pipeline — callers that know the row count
+        # (or prepend 1:1 stages like extraction) should pass it in.
+        doc_count = docs.count()
     # Defend against under-partitioned inputs: a single-block Dataset (e.g.
     # ray.data.from_arrow, or read_parquet of one small file) would run the
     # ENTIRE tokenize stage as one serial task. When the input's block count

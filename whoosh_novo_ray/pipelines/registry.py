@@ -382,6 +382,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _emb_ds(sf_dir), threshold=0.3, nbits=8, seed=5
         )
 
+    def html_roundtrip(sf_dir):
+        """The north-rule extraction invariant, end-to-end: wrap each doc's
+        text as ``<html><body>...</body></html>`` binary (the synthetic-pages
+        wrapper), run the vectorized html->text ExtractText stage, and return
+        (doc_id, text). The oracle is the raw documents table, so a hash
+        match PROVES byte-identical extraction per doc."""
+        from whoosh_novo_ray.ops.extract import ExtractText, wrap_html_array
+
+        def to_html(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_id": batch["doc_id"],
+                    "html": wrap_html_array(batch["text"]),
+                }
+            )
+
+        ds = _docs_ds(sf_dir).map_batches(
+            to_html, batch_format="pyarrow", zero_copy_batch=True
+        ).map_batches(
+            ExtractText("html", "text"),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        t = pa.concat_tables(_collect(ds)).sort_by("doc_id")
+        return pa.table(
+            {"doc_id": t["doc_id"].cast(pa.int64()), "text": t["text"]}
+        )
+
     def bpe_token_counts(sf_dir):
         """BPE-ish pre-tokenizer token budget per document."""
         from whoosh_novo_ray.ops.textstats import bpe_token_table
@@ -766,6 +794,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curated_docs": curated_docs,
         "dedup_clusters": dedup_clusters,
         "bpe_token_counts": bpe_token_counts,
+        "html_roundtrip": html_roundtrip,
         "numeric_range": numeric_range,
         "latest_event_per_user": latest_event_per_user,
         "key_terms_doc0": key_terms_doc0,
@@ -1301,6 +1330,11 @@ SELECT doc_id::BIGINT AS doc_id,
        len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+'))::BIGINT
          AS n_bpe_tokens
 FROM documents ORDER BY doc_id""",
+        # html round-trip: the Ray side wraps text into html bytes and runs
+        # the ExtractText stage; matching this oracle's raw text proves the
+        # extraction is byte-identical per doc (the north-rule invariant)
+        "html_roundtrip": """
+SELECT doc_id::BIGINT AS doc_id, text FROM documents ORDER BY doc_id""",
         # Persisted IVF ANN: centroids = embeddings of vec_id < 8 (a
         # deterministic, SQL-expressible seeding); every vector assigned to
         # its max-cosine cell (tie -> lower cell, matching numpy argmax);
