@@ -281,6 +281,17 @@ def run_ops(sf_dir: str) -> dict:
     from whoosh_novo_ray.ops.textstats import bpe_token_table
 
     timed("op_bpe_tokens", lambda: bpe_token_table(_docs()).count())
+    from whoosh_novo_ray.ops.curation import (
+        boilerplate_table,
+        decontaminate_table,
+        repetition_table,
+        unigram_lm_table,
+    )
+
+    timed("op_repetition", lambda: repetition_table(_docs()).count())
+    timed("op_decontam", lambda: decontaminate_table(_docs()).count())
+    timed("op_unigram_lm", lambda: unigram_lm_table(_docs()).count())
+    timed("op_boilerplate", lambda: boilerplate_table(_docs()).count())
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     q = pq.read_table(emb_path).column("embedding")[0].as_py()
     qv = np.asarray(q, np.float64)

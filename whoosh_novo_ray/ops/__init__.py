@@ -16,6 +16,12 @@ from whoosh_novo_ray.ops.knn import (
     lsh_blocked_near_dup,
     lsh_knn,
 )
+from whoosh_novo_ray.ops.curation import (
+    boilerplate_table,
+    decontaminate_table,
+    repetition_table,
+    unigram_lm_table,
+)
 
 __all__ = [
     "doc_length_table",
@@ -30,4 +36,8 @@ __all__ = [
     "lsh_knn",
     "cosine_near_dup_pairs",
     "lsh_blocked_near_dup",
+    "repetition_table",
+    "decontaminate_table",
+    "unigram_lm_table",
+    "boilerplate_table",
 ]

@@ -263,6 +263,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "doc_id"
         )
 
+    def repetition(sf_dir):
+        from whoosh_novo_ray.ops import repetition_table
+
+        return pa.concat_tables(_collect(repetition_table(_docs_ds(sf_dir)))).sort_by(
+            "doc_id"
+        )
+
+    def decontam(sf_dir):
+        from whoosh_novo_ray.ops import decontaminate_table
+
+        return pa.concat_tables(
+            _collect(decontaminate_table(_docs_ds(sf_dir), n=4, bench_mod=50))
+        ).sort_by("doc_id")
+
+    def unigram_lm(sf_dir):
+        from whoosh_novo_ray.ops import unigram_lm_table
+
+        return pa.concat_tables(_collect(unigram_lm_table(_docs_ds(sf_dir)))).sort_by(
+            "doc_id"
+        )
+
+    def boilerplate(sf_dir):
+        from whoosh_novo_ray.ops import boilerplate_table
+
+        return pa.concat_tables(
+            _collect(boilerplate_table(_docs_ds(sf_dir), n=5, min_docs=3))
+        ).sort_by("doc_id")
+
     def fingerprint(sf_dir):
         from whoosh_novo_ray.ops import fingerprint_table
 
@@ -779,6 +807,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- training-data ops ---
         "quality_scores": quality,
         "langid": langid,
+        "repetition_quality": repetition,
+        "decontam_4gram": decontam,
+        "unigram_lm_scores": unigram_lm,
+        "boilerplate_frac": boilerplate,
         "fingerprint": fingerprint,
         "dedup_exact": dedup_exact,
         "jaccard_pairs": jaccard_pairs,
@@ -973,6 +1005,88 @@ r AS (
 SELECT doc_id::BIGINT AS doc_id, ratio AS en_stop_ratio,
        CASE WHEN ratio >= 0.08 THEN 'en' ELSE 'other' END AS lang_pred
 FROM r ORDER BY doc_id""",
+        "repetition_quality": f"""WITH tokarr AS (
+  SELECT doc_id, {raw_tok} AS arr FROM documents
+),
+tok AS (SELECT doc_id, unnest(arr) AS term, unnest(range(len(arr))) AS ord FROM tokarr),
+big AS (
+  SELECT a.doc_id, a.term || ' ' || b.term AS g
+  FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
+),
+bc AS (SELECT doc_id, g, count(*) AS c FROM big GROUP BY doc_id, g),
+a2 AS (SELECT doc_id, max(c)::DOUBLE / sum(c) AS f FROM bc GROUP BY doc_id),
+tri AS (
+  SELECT a.doc_id, a.term || ' ' || b.term || ' ' || c.term AS g
+  FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
+             JOIN tok c ON c.doc_id = a.doc_id AND c.ord = a.ord + 2
+),
+tc AS (SELECT doc_id, g, count(*) AS c FROM tri GROUP BY doc_id, g),
+a3 AS (
+  SELECT doc_id,
+         sum(CASE WHEN c >= 2 THEN c ELSE 0 END)::DOUBLE / sum(c) AS f
+  FROM tc GROUP BY doc_id
+)
+SELECT d.doc_id::BIGINT AS doc_id,
+       round(coalesce(a2.f, 0), 6) AS top_2gram_frac,
+       round(coalesce(a3.f, 0), 6) AS dup_3gram_frac
+FROM documents d LEFT JOIN a2 USING (doc_id) LEFT JOIN a3 USING (doc_id)
+ORDER BY doc_id""",
+        "decontam_4gram": f"""WITH tokarr AS (
+  SELECT doc_id, {raw_tok} AS arr FROM documents
+),
+tok AS (SELECT doc_id, unnest(arr) AS term, unnest(range(len(arr))) AS ord FROM tokarr),
+grams AS (
+  SELECT a.doc_id, a.term || ' ' || b.term || ' ' || c.term || ' ' || d.term AS g
+  FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
+             JOIN tok c ON c.doc_id = a.doc_id AND c.ord = a.ord + 2
+             JOIN tok d ON d.doc_id = a.doc_id AND d.ord = a.ord + 3
+),
+bg AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+sc AS (
+  SELECT grams.doc_id, count(DISTINCT grams.g) AS ns
+  FROM grams JOIN bg USING (g)
+  WHERE grams.doc_id % 50 <> 0 GROUP BY grams.doc_id
+)
+SELECT d.doc_id::BIGINT AS doc_id,
+       coalesce(ns, 0)::BIGINT AS n_shared_grams,
+       (coalesce(ns, 0) > 0)::BIGINT AS contaminated
+FROM documents d LEFT JOIN sc USING (doc_id)
+WHERE d.doc_id % 50 <> 0 ORDER BY doc_id""",
+        "unigram_lm_scores": f"""WITH tokarr AS (
+  SELECT doc_id, {raw_tok} AS arr FROM documents
+),
+tok AS (SELECT doc_id, unnest(arr) AS term FROM tokarr),
+cnt AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+tot AS (SELECT sum(c)::DOUBLE AS t FROM cnt),
+lp AS (SELECT term, ln(c::DOUBLE / t) AS logp FROM cnt, tot)
+SELECT d.doc_id::BIGINT AS doc_id,
+       coalesce(a.n, 0)::BIGINT AS n_tokens_raw,
+       round(coalesce(a.m, 0), 6) AS mean_logprob
+FROM documents d LEFT JOIN (
+  SELECT doc_id, count(*) AS n, avg(logp) AS m
+  FROM tok JOIN lp USING (term) GROUP BY doc_id
+) a USING (doc_id) ORDER BY doc_id""",
+        "boilerplate_frac": f"""WITH tokarr AS (
+  SELECT doc_id, {raw_tok} AS arr FROM documents
+),
+tok AS (SELECT doc_id, unnest(arr) AS term, unnest(range(len(arr))) AS ord FROM tokarr),
+grams AS (
+  SELECT a.doc_id, a.term||' '||b.term||' '||c.term||' '||d.term||' '||e.term AS g
+  FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
+             JOIN tok c ON c.doc_id = a.doc_id AND c.ord = a.ord + 2
+             JOIN tok d ON d.doc_id = a.doc_id AND d.ord = a.ord + 3
+             JOIN tok e ON e.doc_id = a.doc_id AND e.ord = a.ord + 4
+),
+hot AS (SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 3),
+per AS (
+  SELECT doc_id, count(*) AS ng,
+         sum(CASE WHEN g IN (SELECT g FROM hot) THEN 1 ELSE 0 END) AS nh
+  FROM grams GROUP BY doc_id
+)
+SELECT d.doc_id::BIGINT AS doc_id,
+       coalesce(ng, 0)::BIGINT AS n_grams,
+       round(coalesce(nh, 0)::DOUBLE / greatest(coalesce(ng, 0), 1), 6) AS boilerplate_frac
+FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id""",
         "fingerprint": f"""
 SELECT doc_id::BIGINT AS doc_id,
        md5(array_to_string({raw_tok}, ' ')) AS fingerprint
