@@ -309,13 +309,25 @@ def highlight_dataset(
 ):
     """Distributed highlighting: (doc_id, snippet) Dataset over an input
     docs Dataset — the batch path for "show snippets for every hit of a
-    crawl-wide filter" workloads."""
-    import ray
+    crawl-wide filter" workloads.
+
+    Default is TASK-based: the stage is built once on the driver and ships
+    in each task's closure (analyzer/fragmenter construction is trivially
+    cheap, and a fixed actor pool can stall behind other pools when few
+    CPUs are free). Pass ``concurrency=N`` explicitly to run a fixed actor
+    pool instead — worth it only when a custom analyzer is expensive to
+    construct or unpicklable state must be built on the worker."""
     import ray.data  # noqa: F401
 
     if concurrency is None:
-        ncpu = int(ray.cluster_resources().get("CPU", 8))
-        concurrency = max(1, min(4, ncpu - 2))
+        stage = HighlightStage(
+            list(terms), text_col=text_col, id_col=id_col, **kwargs
+        )
+        return docs.map_batches(
+            lambda batch: stage(batch),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
     return docs.map_batches(
         HighlightStage,
         fn_constructor_args=(list(terms),),

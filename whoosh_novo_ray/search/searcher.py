@@ -647,10 +647,20 @@ class Searcher:
 
     # -- top-k ----------------------------------------------------------------
 
-    def search(self, q: Q.Query, limit: int | None = 10) -> pa.Table:
+    def search(
+        self,
+        q: Q.Query,
+        limit: int | None = 10,
+        exclude: np.ndarray | None = None,
+    ) -> pa.Table:
         """Run a query; return Arrow table (doc_id, score) sorted by
         (score desc, doc_id asc) — the reference tie-break
-        (collectors.py:466-508) — truncated to `limit`."""
+        (collectors.py:466-508) — truncated to `limit`.
+
+        ``exclude``: ascending-sorted doc ids masked out of the results —
+        the NRT pending-delete semantics (reference BufferedWriter deletes,
+        writing.py:1312-1320: deleted docs stop matching immediately but
+        stay in the collection stats until the next commit)."""
         # batch-fetch every term the query needs up front: one segment read
         # per BUCKET instead of one per term
         terms = q.terms()
@@ -664,6 +674,9 @@ class Searcher:
             scores = np.asarray(
                 self.weighting.final(self, ids, scores), np.float64
             )
+        if exclude is not None and len(exclude) and len(ids):
+            keep = ~_in_sorted(ids, np.asarray(exclude, ids.dtype))
+            ids, scores = ids[keep], scores[keep]
         n = len(ids)
         if limit is not None and n > 4 * limit + 64:
             # O(n) exact top-k: partition on score, resolve the boundary
