@@ -45,9 +45,12 @@ def test_fuzzy_search_matches_term(built_index):
     fz_ids, fz_scores = s.postings(FuzzyTerm("searhc", maxdist=2, prefixlength=4))
     assert fz_ids.tolist() == exact_ids.tolist()
     assert fz_scores.tolist() == exact_scores.tolist()
-    # multi-term expansion -> constant score
+    # >2 expansions on a small (<=5000-doc) corpus -> the reference's Or
+    # heuristic picks the array matcher, which honors constantscore
+    # (searcher.multiterm_constant_score); 2 expansions or a big corpus
+    # would score BM25 — covered by tests/test_query_fuzz.py
     expansion = [t for t, _ in terms_within(built_index, "page", maxdist=2)]
-    assert len(expansion) > 1  # e.g. page/pages/long-tail neighbors
+    assert len(expansion) > 2  # e.g. page/pages/long-tail neighbors
     fz2_ids, fz2_scores = s.postings(FuzzyTerm("page", maxdist=2, prefixlength=0))
     assert set(fz2_scores.tolist()) == {1.0}
     union = set()

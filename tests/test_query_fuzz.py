@@ -1,0 +1,175 @@
+"""Randomized differential query-tree fuzz: N random boolean/expansion trees
+built simultaneously for our engine and the reference whoosh, compared for
+rank identity (top-k doc ids exact, scores ~1e-9) over the shared corpus.
+
+The hand-picked cases in tests/test_search_differential.py pin the known
+tricky spots; this fuzz sweeps the combinatorial space around them. The
+oracle runs with ``optimize=False`` everywhere: the reference's
+quality-pruning matchers have documented bugs on some nested shapes
+(RequireMatcher assertion, DisjunctionMaxMatcher mis-score — see the notes
+in test_search_differential.py) while the unoptimized path scores every
+match; returned scores are identical between the two reference paths.
+
+Node types fuzzed: Term (with random boost), Prefix, Wildcard, TermRange
+leaves; And / Or / AndMaybe / Require / Not-in-And compounds. Excluded on
+purpose: AndNot (reference matcher fails to exclude some docs — its own
+bug), DisMax (reference matcher broken, oracled set-wise elsewhere),
+Phrase (scoring internals differ, doc-set-oracled elsewhere).
+"""
+
+import numpy as np
+import pytest
+
+from tests.conftest import HAVE_REFERENCE
+from whoosh_novo_ray.search import (
+    And,
+    AndMaybe,
+    Or,
+    Prefix,
+    Require,
+    Searcher,
+    Term,
+    TermRange,
+    Wildcard,
+)
+
+pytestmark = pytest.mark.skipif(not HAVE_REFERENCE, reason="reference not available")
+
+N_TREES = 200
+MAX_DEPTH = 3
+SEED = 20260817
+
+
+@pytest.fixture(scope="module")
+def searcher(built_index):
+    return Searcher(built_index)
+
+
+@pytest.fixture(scope="module")
+def vocab(pages_table):
+    """Corpus words (plus a few guaranteed-absent ones) to build leaves from."""
+    words = set()
+    for t in pages_table["text"].to_pylist()[:200]:
+        words.update(w for w in t.lower().split() if w.isalpha())
+    out = sorted(words)
+    out += ["zzzznope", "qqqabsent"]  # df=0 paths
+    return out
+
+
+def _gen_leaf(rng, vocab):
+    from whoosh import query as wq
+
+    w = vocab[int(rng.integers(len(vocab)))]
+    k = int(rng.integers(0, 10))
+    if k < 6:
+        boost = float(rng.choice([1.0, 1.0, 0.5, 2.0, 3.5]))
+        return Term(w, boost=boost), wq.Term("text", w, boost=boost)
+    if k == 6:
+        p = w[: max(1, int(rng.integers(1, 4)))]
+        return Prefix(p), wq.Prefix("text", p)
+    if k == 7:
+        a = vocab[int(rng.integers(len(vocab)))]
+        lo, hi = sorted([w, a])
+        return TermRange(lo, hi), wq.TermRange("text", lo, hi)
+    pat = w[:2] + "*" + w[-1:] if len(w) > 3 else w + "*"
+    return Wildcard(pat), wq.Wildcard("text", pat)
+
+
+def _gen_tree(rng, vocab, depth):
+    from whoosh import query as wq
+
+    if depth <= 0 or rng.random() < 0.35:
+        return _gen_leaf(rng, vocab)
+    op = int(rng.integers(0, 4))
+    if op in (0, 1):  # Or / And with 2-4 children
+        k = int(rng.integers(2, 5))
+        pairs = [_gen_tree(rng, vocab, depth - 1) for _ in range(k)]
+        mine, ref = [p[0] for p in pairs], [p[1] for p in pairs]
+        if op == 0:
+            return Or(*mine), wq.Or(ref)
+        return And(*mine), wq.And(ref)
+    a_m, a_r = _gen_tree(rng, vocab, depth - 1)
+    b_m, b_r = _gen_tree(rng, vocab, depth - 1)
+    if op == 2:
+        return AndMaybe(a_m, b_m), wq.AndMaybe(a_r, b_r)
+    return Require(a_m, b_m), wq.Require(a_r, b_r)
+
+
+def test_randomized_query_trees(searcher, reference_searcher, vocab):
+    rng = np.random.default_rng(SEED)
+    checked = nonempty = 0
+    for i in range(N_TREES):
+        mine_q, ref_q = _gen_tree(rng, vocab, MAX_DEPTH)
+        limit = int(rng.choice([1, 10, 50]))
+        r = reference_searcher.search(ref_q, limit=limit, optimize=False)
+        ref = [(hit["doc_id"], r.score(j)) for j, hit in enumerate(r)]
+        t = searcher.search(mine_q, limit=limit).to_pydict()
+        mine = list(zip(t["doc_id"], t["score"]))
+        assert [d for d, _ in mine] == [d for d, _ in ref], (
+            f"tree #{i} doc-id mismatch: {mine_q!r}"
+        )
+        assert [s for _, s in mine] == pytest.approx(
+            [s for _, s in ref], rel=1e-9
+        ), f"tree #{i} score mismatch: {mine_q!r}"
+        checked += 1
+        nonempty += bool(ref)
+    # the sweep must exercise real matches, not degenerate empties
+    assert checked == N_TREES and nonempty > N_TREES // 2
+
+
+def test_multiterm_bm25_on_big_corpus(ray_session, tmp_path):
+    """The dc>5000 arm of multiterm_constant_score: 3..1023 expansions on a
+    >5000-doc corpus take the reference's binary-tree Or matcher, whose Term
+    matchers silently restore BM25 (searching.py:299) — so the prefix scores
+    for REAL despite constantscore=True. Differentially verified here; the
+    small-corpus constant arm is covered by the 400-doc suites."""
+    import ray.data
+    from whoosh import index as windex
+    from whoosh import query as wq
+    from whoosh.fields import NUMERIC, TEXT, Schema
+
+    from whoosh_novo_ray.index import Index, IndexConfig, build_index
+    from whoosh_novo_ray.testing.pages import synth_pages
+
+    tbl = synth_pages(n=5200, seed=11)
+    out = str(tmp_path / "bigidx")
+    build_index(
+        ray.data.from_arrow(tbl.select(["doc_id", "text"])),
+        out,
+        IndexConfig(num_buckets=4),
+        lineage="fuzz-big",
+    )
+    mine_s = Searcher(Index(out))
+    assert mine_s.index.doc_count > 5000
+
+    wdir = str(tmp_path / "whooshbig")
+    import os
+
+    os.makedirs(wdir)
+    ix = windex.create_in(
+        wdir, Schema(doc_id=NUMERIC(stored=True, bits=64), text=TEXT)
+    )
+    w = ix.writer(limitmb=256)
+    for r in tbl.select(["doc_id", "text"]).to_pylist():
+        w.add_document(doc_id=r["doc_id"], text=r["text"])
+    w.commit()
+    ws = ix.searcher()
+
+    # find a prefix with 3..1023 expansions in the shared lexicon
+    lex = sorted({t for t in ws.reader().field_terms("text")})
+    prefix = None
+    for p in (t[:2] for t in lex):
+        k = sum(t.startswith(p) for t in lex)
+        if 3 <= k < 1024:
+            prefix = p
+            break
+    assert prefix is not None
+
+    r = ws.search(wq.Prefix("text", prefix), limit=20)
+    ref = [(h["doc_id"], r.score(j)) for j, h in enumerate(r)]
+    t = mine_s.search(Prefix(prefix), limit=20).to_pydict()
+    mine = list(zip(t["doc_id"], t["score"]))
+    assert [d for d, _ in mine] == [d for d, _ in ref]
+    assert [s for _, s in mine] == pytest.approx([s for _, s in ref], rel=1e-9)
+    # sanity: these must NOT be constant scores
+    assert len({round(s, 4) for _, s in ref}) > 1

@@ -512,7 +512,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pa.table(
             {
                 "doc_id": pa.array(ids.astype(np.int64), pa.int64()),
-                "score": pa.array(scores, pa.float64()),
+                "score": pa.array(np.round(scores, 6), pa.float64()),
             }
         )
 
@@ -915,13 +915,14 @@ fterms AS (
   WHERE levenshtein(term, '{_T_MID}') <= 1
     AND substr(term, 1, 1) = substr('{_T_MID}', 1, 1)
 ),
-nmatch AS (SELECT count(*) AS n FROM fterms)
-SELECT DISTINCT t.doc_id::BIGINT AS doc_id,
-       CASE WHEN (SELECT n FROM nmatch) > 1 THEN 1.0
-            ELSE (SELECT round(sum(b.score), 6) FROM bm b
-                  WHERE b.doc_id = t.doc_id
-                    AND b.term IN (SELECT term FROM fterms)) END AS score
-FROM tfs t WHERE t.term IN (SELECT term FROM fterms)""",
+nmatch AS (SELECT count(*) AS n FROM fterms),
+dc AS (SELECT count(*) AS n FROM documents)
+SELECT b.doc_id::BIGINT AS doc_id,
+       CASE WHEN (SELECT n FROM nmatch) >= 1024
+              OR ((SELECT n FROM nmatch) > 2 AND (SELECT n FROM dc) <= 5000)
+            THEN 1.0 ELSE round(sum(b.score), 6) END AS score
+FROM bm b WHERE b.term IN (SELECT term FROM fterms)
+GROUP BY b.doc_id""",
         "suggest_terms": f"""WITH {_BASE_CTES},
 w AS (SELECT term, sum(tf) AS weight FROM tfs GROUP BY term),
 cand AS (
@@ -952,9 +953,19 @@ scored AS (
 )
 SELECT term, round(score, 6) AS score
 FROM scored ORDER BY score DESC, term LIMIT 5""",
-        "prefix_docs": f"""WITH {_BASE_CTES}
-SELECT DISTINCT doc_id::BIGINT AS doc_id, 1.0 AS score
-FROM tfs WHERE term LIKE 's%'""",
+        # multi-expansion constant-score rule (searcher.multiterm_constant_score,
+        # mirroring the reference Or.AUTO_MATCHER heuristic): constant 1.0 when
+        # n>=1024, or 3<=n<1024 on a <=5000-doc corpus; BM25 Or otherwise
+        "prefix_docs": f"""WITH {_BASE_CTES},
+pterms AS (SELECT DISTINCT term FROM dfs WHERE term LIKE 's%'),
+nmatch AS (SELECT count(*) AS n FROM pterms),
+dc AS (SELECT count(*) AS n FROM documents)
+SELECT b.doc_id::BIGINT AS doc_id,
+       CASE WHEN (SELECT n FROM nmatch) >= 1024
+              OR ((SELECT n FROM nmatch) > 2 AND (SELECT n FROM dc) <= 5000)
+            THEN 1.0 ELSE round(sum(b.score), 6) END AS score
+FROM bm b WHERE b.term IN (SELECT term FROM pterms)
+GROUP BY b.doc_id""",
         "facet_lang": f"""WITH {_BASE_CTES}
 SELECT d.lang AS lang, count(DISTINCT t.doc_id)::BIGINT AS n
 FROM tfs t JOIN documents d USING (doc_id)
@@ -1550,14 +1561,14 @@ ORDER BY n_chars, doc_id""",
 rterms AS (
   SELECT DISTINCT term FROM dfs WHERE term >= 'table' AND term <= 'tables'
 ),
-nmatch AS (SELECT count(*) AS n FROM rterms)
-SELECT DISTINCT t.doc_id::BIGINT AS doc_id,
-       CASE WHEN (SELECT n FROM nmatch) > 1 THEN 1.0
-            ELSE (SELECT round(sum(b.score), 6) FROM bm b
-                  WHERE b.doc_id = t.doc_id
-                    AND b.term IN (SELECT term FROM rterms)) END AS score
-FROM tfs t WHERE t.term IN (SELECT term FROM rterms)
-ORDER BY doc_id""",
+nmatch AS (SELECT count(*) AS n FROM rterms),
+dc AS (SELECT count(*) AS n FROM documents)
+SELECT b.doc_id::BIGINT AS doc_id,
+       CASE WHEN (SELECT n FROM nmatch) >= 1024
+              OR ((SELECT n FROM nmatch) > 2 AND (SELECT n FROM dc) <= 5000)
+            THEN 1.0 ELSE round(sum(b.score), 6) END AS score
+FROM bm b WHERE b.term IN (SELECT term FROM rterms)
+GROUP BY b.doc_id ORDER BY doc_id""",
         "paged_or": f"""WITH {_BASE_CTES}
 SELECT doc_id::BIGINT AS doc_id, round(sum(score), 6) AS score
 FROM bm WHERE term IN ({_terms_sql([_T_MID, _T_MID2])})

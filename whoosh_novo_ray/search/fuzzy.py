@@ -96,7 +96,14 @@ def evaluate_fuzzy(searcher, q: FuzzyTerm):
         return None
     if len(expanded) == 1:
         return Q.Term(expanded[0], boost=q.boost)
-    if q.constantscore:
+    # FuzzyTerm inherits MultiTerm.matcher; its constant-score request is
+    # only honored when the reference's Or heuristic picks the array
+    # matcher — see searcher.multiterm_constant_score
+    from whoosh_novo_ray.search.searcher import multiterm_constant_score
+
+    if q.constantscore and multiterm_constant_score(
+        len(expanded), searcher.index.doc_count
+    ):
         return ("constant", expanded, q.boost)
     return Q.Or(*[Q.Term(t, boost=q.boost) for t in expanded])
 

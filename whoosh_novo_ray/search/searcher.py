@@ -42,6 +42,30 @@ def _in_sorted(values: np.ndarray, sorted_arr: np.ndarray) -> np.ndarray:
     out[ok] = sorted_arr[idx[ok]] == values[ok]
     return out
 
+def multiterm_constant_score(n_expanded: int, doc_count: int) -> bool:
+    """Whether a multi-expansion MultiTerm query (Prefix/Wildcard/Regex/
+    TermRange/Fuzzy with constantscore=True) actually scores CONSTANT in the
+    reference — which is NOT "always": MultiTerm.matcher (query/terms.py:
+    215-241) requests constant score by building Or(terms) with context
+    weighting=None, but only the ArrayUnionMatcher honors the request
+    (matching/combo.py:161-175 ``scored=False``); the binary-tree
+    UnionMatcher path re-resolves Term matchers through Searcher.postings
+    (searching.py:299-307), whose ``weighting or self.weighting`` silently
+    restores BM25. Or's AUTO_MATCHER heuristic (query/compound.py:330-345)
+    picks the array matcher — hence constant score — only when:
+
+      * >= TOO_MANY_CLAUSES (1024) expansions, regardless of corpus, or
+      * 3..1023 expansions on a SMALL index (doc_count_all <= 5000) in a
+        plain scored search (needs_current False — true even under And,
+        verified empirically; Or(scale=) never occurs here).
+
+    Two expansions, or 3..1023 expansions on a big corpus, score as a plain
+    BM25 Or. Behavior (not the docstring'd intent) is what rank-identity
+    requires — differentially verified by tests/test_query_fuzz.py and
+    tests/test_search_differential.py."""
+    return n_expanded >= 1024 or (n_expanded > 2 and doc_count <= 5000)
+
+
 # lexicographic max codepoint; analyzer tokens (\w matches) can never contain
 # it, so `prefix + _MAX_CHAR` is a safe inclusive upper bound for the prefix
 _MAX_CHAR = "\U0010ffff"
@@ -317,7 +341,7 @@ class Searcher:
             expanded = evaluate_fuzzy(self, q)
             if expanded is None:
                 return _EMPTY
-            if isinstance(expanded, tuple):  # constant-score multi-term
+            if isinstance(expanded, tuple):  # array-matcher constant score
                 _tag, terms, boost = expanded
                 ids, _, _ = _merge_sum([self.postings(Q.Term(t)) for t in terms])
                 return ids, np.full(len(ids), float(boost))
@@ -344,10 +368,9 @@ class Searcher:
                 return _EMPTY
             if len(expanded) == 1:
                 return self.postings(Q.Term(expanded[0], boost=q.boost))
-            if q.constantscore:
-                # reference MultiTerm.matcher (query/terms.py:215-241): >1
-                # expanded terms with constantscore -> every match scores
-                # the boost, no BM25
+            if q.constantscore and multiterm_constant_score(
+                len(expanded), self.index.doc_count
+            ):
                 ids, _, _ = _merge_sum(
                     [self.postings(Q.Term(t)) for t in expanded]
                 )

@@ -401,7 +401,15 @@ class ScorePool:
                 return Q.NULL
             if len(expanded) == 1:
                 return Q.Term(expanded[0], boost=q.boost)
-            if q.constantscore:
+            # constant only when the reference's Or heuristic picks the
+            # array matcher (k and GLOBAL doc count decide — must match the
+            # single-process Searcher, so use the main index's count);
+            # see searcher.multiterm_constant_score
+            from whoosh_novo_ray.search.searcher import multiterm_constant_score
+
+            if q.constantscore and multiterm_constant_score(
+                len(expanded), ds.index.doc_count
+            ):
                 return Q.ConstantScore(
                     Q.Or(*[Q.Term(t) for t in expanded]), score=q.boost
                 )
