@@ -59,8 +59,10 @@ def vocab(pages_table):
 def _gen_leaf(rng, vocab):
     from whoosh import query as wq
 
+    from whoosh_novo_ray.search.fuzzy import FuzzyTerm
+
     w = vocab[int(rng.integers(len(vocab)))]
-    k = int(rng.integers(0, 10))
+    k = int(rng.integers(0, 11))
     if k < 6:
         boost = float(rng.choice([1.0, 1.0, 0.5, 2.0, 3.5]))
         return Term(w, boost=boost), wq.Term("text", w, boost=boost)
@@ -71,6 +73,13 @@ def _gen_leaf(rng, vocab):
         a = vocab[int(rng.integers(len(vocab)))]
         lo, hi = sorted([w, a])
         return TermRange(lo, hi), wq.TermRange("text", lo, hi)
+    if k == 8:
+        d = int(rng.integers(1, 3))
+        pl = int(rng.integers(0, 3))
+        return (
+            FuzzyTerm(w, maxdist=d, prefixlength=pl),
+            wq.FuzzyTerm("text", w, maxdist=d, prefixlength=pl),
+        )
     pat = w[:2] + "*" + w[-1:] if len(w) > 3 else w + "*"
     return Wildcard(pat), wq.Wildcard("text", pat)
 
@@ -86,6 +95,9 @@ def _gen_tree(rng, vocab, depth):
         pairs = [_gen_tree(rng, vocab, depth - 1) for _ in range(k)]
         mine, ref = [p[0] for p in pairs], [p[1] for p in pairs]
         if op == 0:
+            if rng.random() < 0.15:  # coordination-bonus variant
+                sc = float(rng.choice([0.5, 0.9]))
+                return Or(*mine, scale=sc), wq.Or(ref, scale=sc)
             return Or(*mine), wq.Or(ref)
         return And(*mine), wq.And(ref)
     a_m, a_r = _gen_tree(rng, vocab, depth - 1)
@@ -95,13 +107,32 @@ def _gen_tree(rng, vocab, depth):
     return Require(a_m, b_m), wq.Require(a_r, b_r)
 
 
+def _ref_search(reference_searcher, ref_q, limit):
+    """Reference top-k with matcher replacement DISABLED (replace=0).
+
+    The reference's periodic ``matcher.replace()`` (every 10 collected docs,
+    plus whenever the heap's minscore moves — collectors.py:390-402) prunes
+    exhausted/dead branches, and CoordMatcher._replacement then RECOMPUTES
+    its termcount from the pruned tree (matching/wrappers.py:532-534). So an
+    ``Or(scale=)`` query's scores depend on the collection cadence: the same
+    doc scores differently at limit=10 vs limit=400. ``replace=0`` freezes
+    the built tree, giving the one cadence-free answer — identical to the
+    default path for every non-scaled query (replacement is score-neutral
+    there) and the only self-consistent semantics for scaled Or."""
+    from whoosh.collectors import TopCollector
+
+    c = TopCollector(limit=limit, usequality=False, replace=0)
+    reference_searcher.search_with_collector(ref_q, c)
+    return c.results()
+
+
 def test_randomized_query_trees(searcher, reference_searcher, vocab):
     rng = np.random.default_rng(SEED)
     checked = nonempty = 0
     for i in range(N_TREES):
         mine_q, ref_q = _gen_tree(rng, vocab, MAX_DEPTH)
         limit = int(rng.choice([1, 10, 50]))
-        r = reference_searcher.search(ref_q, limit=limit, optimize=False)
+        r = _ref_search(reference_searcher, ref_q, limit)
         ref = [(hit["doc_id"], r.score(j)) for j, hit in enumerate(r)]
         t = searcher.search(mine_q, limit=limit).to_pydict()
         mine = list(zip(t["doc_id"], t["score"]))
@@ -173,3 +204,27 @@ def test_multiterm_bm25_on_big_corpus(ray_session, tmp_path):
     assert [s for _, s in mine] == pytest.approx([s for _, s in ref], rel=1e-9)
     # sanity: these must NOT be constant scores
     assert len({round(s, 4) for _, s in ref}) > 1
+
+
+def test_pool_fuzz_matches_local(ray_session, built_index, pages_table, vocab):
+    """The same random trees through the distributed ScorePool must equal the
+    local Searcher bit-for-bit — exercises the pool's query-rewrite path
+    (global-lexicon expansion + the constant-score rule) on arbitrary
+    nesting, not just the hand-picked parity cases in test_score_pool.py."""
+    from whoosh_novo_ray.state.score_pool import ScorePool
+
+    local = Searcher(built_index)
+    pool = ScorePool(built_index.path, num_actors=2, num_shards=5)
+    try:
+        rng = np.random.default_rng(SEED + 1)
+        for i in range(60):
+            q, _ = _gen_tree(rng, vocab, 2)
+            limit = int(rng.choice([1, 10, 50]))
+            a = local.search(q, limit=limit).to_pydict()
+            b = pool.search(q, limit=limit).to_pydict()
+            assert a["doc_id"] == b["doc_id"], f"pool tree #{i}: {q!r}"
+            assert a["score"] == pytest.approx(b["score"], rel=1e-12), (
+                f"pool tree #{i}: {q!r}"
+            )
+    finally:
+        pool.shutdown()

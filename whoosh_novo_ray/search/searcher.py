@@ -240,26 +240,29 @@ class Searcher:
             return ids, scorer.score_arrays(tfs, lens) * q.boost
 
         if isinstance(q, Q.Or):
-            ids, scores, counts = _merge_sum([self.postings(c) for c in q.children])
             scale = getattr(q, "scale", None)
             if scale:
                 # reference SQR coordination bonus (CoordMatcher._sqr,
-                # matching/wrappers.py:537-556). termcount counts only LIVE
-                # term matchers (len(child.term_matchers()), :531) — a leaf
-                # term with df == 0 contributes no matcher, so it must not
-                # count. termcount == 0 or == scale scores every doc 0
-                # (reference :550-551).
-                leaf_terms = q.terms()
-                if leaf_terms:
-                    tc = float(sum(1 for t in leaf_terms if self.term_stats(t)[0] > 0))
-                else:
-                    tc = float(len(q.children))
+                # matching/wrappers.py:537-556): termcount = term matchers in
+                # the BUILT tree (absent terms build NullMatchers and don't
+                # count; expansion nodes count one per expanded term);
+                # matching = term matchers AT the current doc, which excludes
+                # everything inside an ArrayUnionMatcher (its pre-read
+                # children never sit on the current doc) — see _coord_parts.
+                parts = [self._coord_parts(c) for c in q.children]
+                ids, scores, _ = _merge_sum([(p[0], p[1]) for p in parts])
+                _, counts, _ = _merge_sum(
+                    [(p[0], p[2].astype(np.float64)) for p in parts]
+                )
+                tc = float(sum(p[3] for p in parts))
                 if tc == 0 or tc == scale:
                     scores = np.zeros_like(scores)
                 else:
                     scores = (scores + (counts - 1) / (tc - scale) ** 2) * (
                         (tc - 1) / tc
                     )
+                return ids, scores
+            ids, scores, _ = _merge_sum([self.postings(c) for c in q.children])
             return ids, scores
 
         if isinstance(q, Q.And):
@@ -559,6 +562,181 @@ class Searcher:
         keep = _in_sorted(ids, good)
         boost = float(getattr(q, "boost", 1.0))
         return ids[keep], scores[keep] * boost if boost != 1.0 else scores[keep]
+
+    # -- CoordMatcher (Or scale=) model ----------------------------------------
+
+    def _multiterm_expansion(self, q: Q.Query) -> list[str] | None:
+        """Live expansion terms for a multi-term node, or None if ``q`` is not
+        an expanding node."""
+        if isinstance(q, (Q.Prefix, Q.Wildcard, Q.Regex, Q.TermRange)):
+            return self.expand(q)
+        from whoosh_novo_ray.search.fuzzy import FuzzyTerm, terms_within
+
+        if isinstance(q, FuzzyTerm):
+            return [
+                t
+                for t, _d in terms_within(self.index, q.text, q.maxdist, q.prefixlength)
+            ]
+        if isinstance(q, Q.Variations):
+            from whoosh_novo_ray.lang_morph import variations as _morph
+
+            cands = sorted(set(_morph(q.text)))
+            self.prefetch_terms(cands)
+            return [t for t in cands if self.term_stats(t)[0] > 0]
+        return None
+
+    def _termcount(self, q: Q.Query) -> int:
+        """Number of term matchers the reference would BUILD for ``q`` —
+        ``len(child.term_matchers())`` in CoordMatcher.__init__ (reference
+        matching/wrappers.py:530). Absent terms build NullMatchers (count 0);
+        multi-term nodes contribute one term matcher per live expansion, and
+        term_matchers() descends into ArrayUnionMatchers too, so hidden
+        subtrees still count here (unlike in the per-doc matching count)."""
+        if isinstance(q, Q.Term):
+            return 1 if self.term_stats(q.text)[0] > 0 else 0
+        exp = self._multiterm_expansion(q)
+        if exp is not None:
+            return len(exp)
+        if isinstance(q, (Q.Or, Q.And, Q.DisMax)):
+            return sum(self._termcount(c) for c in q.children)
+        if isinstance(q, (Q.AndNot, Q.Require, Q.AndMaybe)):
+            return self._termcount(q.a) + self._termcount(q.b)
+        if isinstance(q, Q.ConstantScore):
+            return self._termcount(q.child)
+        if isinstance(q, Q.WeightingQuery):
+            return self._termcount(q.child)
+        if isinstance(q, Q.Phrase):
+            # reference Phrase.matcher returns NullMatcher if any word is
+            # absent; otherwise each word is one term matcher
+            words = list(q.words)
+            return (
+                len(words)
+                if words and all(self.term_stats(w)[0] > 0 for w in words)
+                else 0
+            )
+        # Every/ColumnQuery/Nested*/spans: list-style matchers with term()
+        # None — no term matchers (best-effort; not generated under scale)
+        return 0
+
+    def _coord_parts(
+        self, q: Q.Query
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+        """(ids, scores, per-doc matching-term counts, termcount) for
+        CoordMatcher parity (reference matching/wrappers.py:520-572).
+
+        ``termcount`` counts term matchers in the BUILT tree (see
+        _termcount); ``counts[i]`` models ``len(matching_terms(id))`` — term
+        matchers sitting ON doc ids[i]. Terms hidden inside an
+        ArrayUnionMatcher never sit on the current doc (the array matcher
+        pre-reads its children past it), so a hidden subtree contributes 0
+        to every doc's count while still contributing to termcount. A
+        subtree goes to the array matcher exactly per the reference Or
+        AUTO_MATCHER heuristic (query/compound.py:330-345) =
+        multiterm_constant_score(k, doc_count) — a nested SCALED Or always
+        takes the default (marched) matcher."""
+        dc = self.index.doc_count
+
+        def hidden(k: int) -> bool:
+            return multiterm_constant_score(k, dc)
+
+        def align(ids: np.ndarray, src_ids: np.ndarray, src_counts: np.ndarray):
+            """counts from (src_ids, src_counts) aligned onto ids (0 where
+            absent); all id arrays are sorted ascending."""
+            out = np.zeros(len(ids), np.float64)
+            if len(ids) and len(src_ids):
+                idx = np.searchsorted(src_ids, ids)
+                ok = idx < len(src_ids)
+                hit = np.zeros(len(ids), bool)
+                hit[ok] = src_ids[idx[ok]] == ids[ok]
+                out[hit] = src_counts[idx[hit]]
+            return out
+
+        if isinstance(q, Q.NullQuery):
+            return _EMPTY[0], _EMPTY[1], np.empty(0, np.float64), 0
+
+        if isinstance(q, Q.Term):
+            ids, sc = self.postings(q)
+            return ids, sc, np.ones(len(ids), np.float64), 1 if len(ids) else 0
+
+        exp = self._multiterm_expansion(q)
+        if exp is not None:
+            k = len(exp)
+            ids, sc = self.postings(q)
+            if k <= 1:
+                counts = np.ones(len(ids), np.float64)
+            elif hidden(k):
+                counts = np.zeros(len(ids), np.float64)
+            else:
+                u_ids, _u_sc, u_cnt = _merge_sum(
+                    [self.postings(Q.Term(t)) for t in exp]
+                )
+                counts = align(ids, u_ids, u_cnt.astype(np.float64))
+            return ids, sc, counts, k
+
+        if isinstance(q, Q.Or):
+            n = len(q.children)
+            if getattr(q, "scale", None) or not hidden(n):
+                parts = [self._coord_parts(c) for c in q.children]
+                ids, sc = self.postings(q)  # applies any nested coord formula
+                u_ids, u_cnt, _ = _merge_sum([(p[0], p[2]) for p in parts])
+                return ids, sc, align(ids, u_ids, u_cnt), sum(p[3] for p in parts)
+            ids, sc = self.postings(q)
+            tc = sum(self._termcount(c) for c in q.children)
+            return ids, sc, np.zeros(len(ids), np.float64), tc
+
+        if isinstance(q, Q.And):
+            parts = [self._coord_parts(c) for c in q.children]
+            ids, sc = self.postings(q)
+            u_ids, u_cnt, _ = _merge_sum([(p[0], p[2]) for p in parts])
+            return ids, sc, align(ids, u_ids, u_cnt), sum(p[3] for p in parts)
+
+        if isinstance(q, Q.DisMax):
+            parts = [self._coord_parts(c) for c in q.children]
+            ids, sc = self.postings(q)
+            u_ids, u_cnt, _ = _merge_sum([(p[0], p[2]) for p in parts])
+            return ids, sc, align(ids, u_ids, u_cnt), sum(p[3] for p in parts)
+
+        if isinstance(q, Q.AndNot):
+            pa = self._coord_parts(q.a)
+            ids, sc = self.postings(q)
+            # negative-side terms are in the built tree (BiMatcher children)
+            # but never sit on a surviving doc
+            return (
+                ids,
+                sc,
+                align(ids, pa[0], pa[2]),
+                pa[3] + self._termcount(q.b),
+            )
+
+        if isinstance(q, (Q.Require, Q.AndMaybe)):
+            pa = self._coord_parts(q.a)
+            pb = self._coord_parts(q.b)
+            ids, sc = self.postings(q)
+            counts = align(ids, pa[0], pa[2]) + align(ids, pb[0], pb[2])
+            return ids, sc, counts, pa[3] + pb[3]
+
+        if isinstance(q, Q.ConstantScore):
+            inner = self._coord_parts(q.child)
+            ids, sc = self.postings(q)
+            return ids, sc, align(ids, inner[0], inner[2]), inner[3]
+
+        if isinstance(q, Q.WeightingQuery):
+            return self._with_weighting(q.weighting)._coord_parts(q.child)
+
+        if isinstance(q, Q.Otherwise):
+            pa = self._coord_parts(q.a)
+            return pa if len(pa[0]) else self._coord_parts(q.b)
+
+        if isinstance(q, Q.Phrase):
+            ids, sc = self.postings(q)
+            tc = self._termcount(q)
+            return ids, sc, np.full(len(ids), float(tc)), tc
+
+        # Every/ColumnQuery/Nested*/spans/Sequence: no term matchers modeled
+        # (term() is None on list-style matchers); best-effort fallback —
+        # these nodes are not produced under Or(scale=) by the parsers
+        ids, sc = self.postings(q)
+        return ids, sc, np.zeros(len(ids), np.float64), 0
 
     def _child_terms(self, c: Q.Query) -> list[str]:
         """Concrete terms a Sequence/Ordered child resolves to."""
