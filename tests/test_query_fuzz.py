@@ -10,11 +10,11 @@ quality-pruning matchers have documented bugs on some nested shapes
 in test_search_differential.py) while the unoptimized path scores every
 match; returned scores are identical between the two reference paths.
 
-Node types fuzzed: Term (with random boost), Prefix, Wildcard, TermRange
-leaves; And / Or / AndMaybe / Require / Not-in-And compounds. Excluded on
-purpose: AndNot (reference matcher fails to exclude some docs — its own
-bug), DisMax (reference matcher broken, oracled set-wise elsewhere),
-Phrase (scoring internals differ, doc-set-oracled elsewhere).
+Node types fuzzed: Term (with random boost), Prefix, Wildcard, TermRange,
+FuzzyTerm, Phrase (corpus bigrams/trigrams, slop 1-2) leaves; And / Or /
+Or(scale=) / AndMaybe / Require compounds. Excluded on purpose: AndNot
+(reference matcher fails to exclude some docs — its own bug) and DisMax
+(reference matcher broken), both oracled set-wise elsewhere.
 """
 
 import numpy as np
@@ -26,6 +26,7 @@ from whoosh_novo_ray.search import (
     AndMaybe,
     Or,
     Prefix,
+    Phrase,
     Require,
     Searcher,
     Term,
@@ -56,13 +57,32 @@ def vocab(pages_table):
     return out
 
 
-def _gen_leaf(rng, vocab):
+@pytest.fixture(scope="module")
+def bigrams(pages_table):
+    """Frequent corpus bigrams so fuzzed Phrase leaves actually match docs."""
+    from collections import Counter
+
+    counts = Counter()
+    for t in pages_table["text"].to_pylist()[:200]:
+        ws = t.lower().split()
+        counts.update(zip(ws, ws[1:]))
+    return [list(k) for k, _ in counts.most_common(40)]
+
+
+def _gen_leaf(rng, vocab, bigrams=()):
     from whoosh import query as wq
 
     from whoosh_novo_ray.search.fuzzy import FuzzyTerm
 
     w = vocab[int(rng.integers(len(vocab)))]
-    k = int(rng.integers(0, 11))
+    k = int(rng.integers(0, 12 if bigrams else 11))
+    if k == 11:
+        words = list(bigrams[int(rng.integers(len(bigrams)))])
+        slop = int(rng.integers(1, 3))
+        return (
+            Phrase(words, slop=slop),
+            wq.Phrase("text", words, slop=slop),
+        )
     if k < 6:
         boost = float(rng.choice([1.0, 1.0, 0.5, 2.0, 3.5]))
         return Term(w, boost=boost), wq.Term("text", w, boost=boost)
@@ -84,15 +104,15 @@ def _gen_leaf(rng, vocab):
     return Wildcard(pat), wq.Wildcard("text", pat)
 
 
-def _gen_tree(rng, vocab, depth):
+def _gen_tree(rng, vocab, depth, bigrams=()):
     from whoosh import query as wq
 
     if depth <= 0 or rng.random() < 0.35:
-        return _gen_leaf(rng, vocab)
+        return _gen_leaf(rng, vocab, bigrams)
     op = int(rng.integers(0, 4))
     if op in (0, 1):  # Or / And with 2-4 children
         k = int(rng.integers(2, 5))
-        pairs = [_gen_tree(rng, vocab, depth - 1) for _ in range(k)]
+        pairs = [_gen_tree(rng, vocab, depth - 1, bigrams) for _ in range(k)]
         mine, ref = [p[0] for p in pairs], [p[1] for p in pairs]
         if op == 0:
             if rng.random() < 0.15:  # coordination-bonus variant
@@ -100,8 +120,8 @@ def _gen_tree(rng, vocab, depth):
                 return Or(*mine, scale=sc), wq.Or(ref, scale=sc)
             return Or(*mine), wq.Or(ref)
         return And(*mine), wq.And(ref)
-    a_m, a_r = _gen_tree(rng, vocab, depth - 1)
-    b_m, b_r = _gen_tree(rng, vocab, depth - 1)
+    a_m, a_r = _gen_tree(rng, vocab, depth - 1, bigrams)
+    b_m, b_r = _gen_tree(rng, vocab, depth - 1, bigrams)
     if op == 2:
         return AndMaybe(a_m, b_m), wq.AndMaybe(a_r, b_r)
     return Require(a_m, b_m), wq.Require(a_r, b_r)
@@ -126,11 +146,11 @@ def _ref_search(reference_searcher, ref_q, limit):
     return c.results()
 
 
-def test_randomized_query_trees(searcher, reference_searcher, vocab):
+def test_randomized_query_trees(searcher, reference_searcher, vocab, bigrams):
     rng = np.random.default_rng(SEED)
     checked = nonempty = 0
     for i in range(N_TREES):
-        mine_q, ref_q = _gen_tree(rng, vocab, MAX_DEPTH)
+        mine_q, ref_q = _gen_tree(rng, vocab, MAX_DEPTH, bigrams)
         limit = int(rng.choice([1, 10, 50]))
         r = _ref_search(reference_searcher, ref_q, limit)
         ref = [(hit["doc_id"], r.score(j)) for j, hit in enumerate(r)]
@@ -206,7 +226,7 @@ def test_multiterm_bm25_on_big_corpus(ray_session, tmp_path):
     assert len({round(s, 4) for _, s in ref}) > 1
 
 
-def test_pool_fuzz_matches_local(ray_session, built_index, pages_table, vocab):
+def test_pool_fuzz_matches_local(ray_session, built_index, pages_table, vocab, bigrams):
     """The same random trees through the distributed ScorePool must equal the
     local Searcher bit-for-bit — exercises the pool's query-rewrite path
     (global-lexicon expansion + the constant-score rule) on arbitrary
@@ -218,7 +238,7 @@ def test_pool_fuzz_matches_local(ray_session, built_index, pages_table, vocab):
     try:
         rng = np.random.default_rng(SEED + 1)
         for i in range(60):
-            q, _ = _gen_tree(rng, vocab, 2)
+            q, _ = _gen_tree(rng, vocab, 2, bigrams)
             limit = int(rng.choice([1, 10, 50]))
             a = local.search(q, limit=limit).to_pydict()
             b = pool.search(q, limit=limit).to_pydict()

@@ -656,7 +656,11 @@ class Searcher:
 
         if isinstance(q, Q.Term):
             ids, sc = self.postings(q)
-            return ids, sc, np.ones(len(ids), np.float64), 1 if len(ids) else 0
+            # termcount from GLOBAL stats, not local postings presence: on a
+            # ShardSearcher a term whose docs all live in other shards still
+            # built a term matcher in the single-process reference tree
+            tc = 1 if self.term_stats(q.text)[0] > 0 else 0
+            return ids, sc, np.ones(len(ids), np.float64), tc
 
         exp = self._multiterm_expansion(q)
         if exp is not None:
