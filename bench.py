@@ -288,6 +288,16 @@ def run_ops(sf_dir: str) -> dict:
         unigram_lm_table,
     )
 
+    from whoosh_novo_ray.ops.packing import chunk_documents, pack_sequences
+
+    timed(
+        "op_chunk_windows",
+        lambda: chunk_documents(_docs(), chunk_tokens=64, stride=48).count(),
+    )
+    timed(
+        "op_pack_sequences",
+        lambda: pack_sequences(_docs(), budget=2048, range_width=4096).count(),
+    )
     timed("op_repetition", lambda: repetition_table(_docs()).count())
     timed("op_decontam", lambda: decontaminate_table(_docs()).count())
     timed("op_unigram_lm", lambda: unigram_lm_table(_docs()).count())

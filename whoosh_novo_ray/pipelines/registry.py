@@ -298,6 +298,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _collect(fingerprint_table(_docs_ds(sf_dir)))
         ).sort_by("doc_id")
 
+    def chunked(sf_dir):
+        """Sliding context-window chunks (64 tokens, stride 48)."""
+        from whoosh_novo_ray.ops.packing import chunk_documents
+
+        return pa.concat_tables(
+            _collect(chunk_documents(_docs_ds(sf_dir), chunk_tokens=64, stride=48))
+        ).sort_by([("doc_id", "ascending"), ("chunk_idx", "ascending")])
+
+    def packed(sf_dir):
+        """Fixed token-budget sequence packing via distributed prefix-sum."""
+        from whoosh_novo_ray.ops.packing import pack_sequences
+
+        return pa.concat_tables(
+            _collect(pack_sequences(_docs_ds(sf_dir), budget=2048, range_width=64))
+        ).sort_by("doc_id")
+
+    def stratified(sf_dir):
+        """Deterministic per-language hash downsampling (corpus rebalance)."""
+        from whoosh_novo_ray.ops.packing import stratified_sample
+
+        return pa.concat_tables(
+            _collect(
+                stratified_sample(
+                    _docs_ds(sf_dir, ("doc_id", "lang")),
+                    rates={"en": 0.3, "zh": 0.8, "es": 0.5},
+                    default_rate=1.0,
+                )
+            )
+        ).sort_by("doc_id")
+
     def dedup_exact(sf_dir):
         from whoosh_novo_ray.ops import exact_dedup_keep
 
@@ -812,6 +842,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_lm_scores": unigram_lm,
         "boilerplate_frac": boilerplate,
         "fingerprint": fingerprint,
+        "chunk_windows": chunked,
+        "pack_sequences": packed,
+        "stratified_sample": stratified,
         "dedup_exact": dedup_exact,
         "jaccard_pairs": jaccard_pairs,
         "minhash_candidates": minhash_cands,
@@ -1102,6 +1135,38 @@ FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id""",
 SELECT doc_id::BIGINT AS doc_id,
        md5(array_to_string({raw_tok}, ' ')) AS fingerprint
 FROM documents ORDER BY doc_id""",
+        "chunk_windows": r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+), starts AS (
+  SELECT doc_id, t, unnest(generate_series(0, len(t) - 1, 48)) AS start
+  FROM toks WHERE len(t) > 0
+)
+SELECT doc_id::BIGINT AS doc_id,
+       (start // 48)::BIGINT AS chunk_idx,
+       least(64, len(t) - start)::BIGINT AS n_chunk_tokens,
+       array_to_string(t[start + 1 : start + 64], ' ') AS chunk_text
+FROM starts ORDER BY doc_id, chunk_idx""",
+        "pack_sequences": r"""
+WITH n AS (
+  SELECT doc_id, len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tokens
+  FROM documents
+)
+SELECT doc_id::BIGINT AS doc_id, n_tokens,
+       (COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048
+       )::BIGINT AS pack_id
+FROM n ORDER BY doc_id""",
+        # thresholds = int(rate * 2**32) for rates en 0.3 / zh 0.8 / es 0.5,
+        # everything else kept (4294967296 > any u32 draw)
+        "stratified_sample": """
+SELECT doc_id::BIGINT AS doc_id, lang FROM documents
+WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT <
+      CASE lang WHEN 'en' THEN 1288490188
+                WHEN 'zh' THEN 3435973836
+                WHEN 'es' THEN 2147483648
+                ELSE 4294967296 END
+ORDER BY doc_id""",
         "dedup_exact": """
 SELECT md5(text) AS text_md5, min(doc_id)::BIGINT AS doc_id
 FROM documents GROUP BY md5(text) ORDER BY doc_id""",
