@@ -408,6 +408,25 @@ def main_bench() -> None:
     queries["build_pages_index"] = round(build_pages, 3)
     queries["pages_docs_per_sec"] = round(man["doc_count"] / build_pages, 1)
 
+    # 2a) one-pass combined build: tokenize once, shuffle twice (term-bucket
+    # index + doc-shard serving) — vs build_pages_index + pool_serving_build,
+    # which pays an extra decode of the term buckets
+    from whoosh_novo_ray.index.docshard import build_index_and_serving
+
+    shutil.rmtree("/tmp/wnr_bench_combined", ignore_errors=True)
+    t0 = time.perf_counter()
+    build_index_and_serving(
+        ray.data.read_parquet(
+            PAGES_PARQUET, columns=["doc_id", "text"], override_num_blocks=NUM_CPUS
+        ),
+        "/tmp/wnr_bench_combined",
+        IndexConfig(num_buckets=max(16, NUM_CPUS)),
+        num_shards=8,
+        lineage="bench-combined",
+        doc_count=PAGES_N,
+    )
+    queries["build_with_serving"] = round(time.perf_counter() - t0, 3)
+
     # 2b) salted build: the skew-handling path (top vocabulary words split
     # over salt_k doc-id-range shuffle keys)
     from whoosh_novo_ray.index import Index as _Index

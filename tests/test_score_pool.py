@@ -57,6 +57,7 @@ def spool(ray_session, built_index):
         FuzzyTerm("serch", maxdist=1, prefixlength=1),
         Variations("searching"),
         Sequence(Term("search"), Term("data")),
+        Phrase(["search", "data"], slop=2),
         ConstantScore(Or(Term("search"), Term("data")), score=2.5),
         WeightingQuery(Term("search"), TFIDF()),
     ],
@@ -78,6 +79,7 @@ def spool(ray_session, built_index):
         "fuzzy",
         "variations",
         "sequence",
+        "phrase_slop2",
         "constscore",
         "weighting",
     ],
@@ -301,3 +303,68 @@ def test_pool_forced_wand_strategy_parity(spool, built_index):
     remote, stats = spool.wand_topk(terms, 10, strategy="wand")
     assert remote.to_pydict() == local.to_pydict()
     assert stats["strategy"] == "wand"
+
+
+def test_combined_build_equals_decode_path(ray_session, tmp_path, pages_table):
+    """build_index_and_serving (tokenize once, two shuffles) must produce a
+    serving layout byte-equivalent to the decode->reshuffle path, and a
+    later ScorePool over the combined output must resume-skip the rebuild
+    and score identically to the local Searcher."""
+    import glob
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from whoosh_novo_ray.index import Index, IndexConfig, build_index
+    from whoosh_novo_ray.index.docshard import (
+        build_index_and_serving,
+        build_serving_shards,
+        serving_dir_for,
+    )
+    from whoosh_novo_ray.state.score_pool import ScorePool
+
+    tbl = pages_table.select(["doc_id", "text"]).slice(0, 250)
+    # salted cfg: heavy-term rows carry per-doc-range bucket values in the
+    # tokenized stream; the doc-shard reshard must regroup them identically
+    cfg = IndexConfig(num_buckets=3, heavy_terms=("search", "data"), salt_k=2)
+
+    a = str(tmp_path / "combined")
+    man_a, sman_a = build_index_and_serving(
+        ray.data.from_arrow(tbl), a, cfg, num_shards=5, lineage="combo"
+    )
+    b = str(tmp_path / "separate")
+    build_index(ray.data.from_arrow(tbl), b, cfg, lineage="combo")
+    sman_b = build_serving_shards(b, num_shards=5)
+
+    assert sman_a["layout"] == "docshard" and sman_a["num_shards"] == 5
+    assert sman_a["doc_count"] == sman_b["doc_count"] == 250
+    assert sman_a["total_field_length"] == sman_b["total_field_length"]
+
+    # shard files: same doc/term rows both ways (generation timestamps and
+    # lineage strings differ; the posting CONTENT must not)
+    for da, db in zip(
+        sorted(glob.glob(os.path.join(serving_dir_for(a), "segments", "*.parquet"))),
+        sorted(glob.glob(os.path.join(serving_dir_for(b), "segments", "*.parquet"))),
+    ):
+        ta = pq.read_table(da).sort_by([("term", "ascending")])
+        tb = pq.read_table(db).sort_by([("term", "ascending")])
+        assert ta.column_names == tb.column_names
+        for col in ("term", "ids_blob", "tfs_blob"):
+            if col in ta.column_names:
+                assert ta[col].equals(tb[col]), (da, col)
+
+    # ScorePool over the combined dir resumes (same serving_lineage)
+    pool = ScorePool(a, num_actors=2, num_shards=5)
+    try:
+        with open(os.path.join(serving_dir_for(a), "manifest.json")) as f:
+            import json
+
+            assert json.load(f)["serving_lineage"] == sman_a["serving_lineage"]
+        local = Searcher(Index(a))
+        for q in [Term("search"), Or(Term("data"), Term("index"))]:
+            assert (
+                pool.search(q, limit=10).to_pydict()
+                == local.search(q, limit=10).to_pydict()
+            )
+    finally:
+        pool.shutdown()

@@ -59,9 +59,13 @@ def doc_shard_of(doc_ids: np.ndarray, num_shards: int) -> np.ndarray:
 def _add_doc_shard(num_shards: int):
     def add(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        return batch.add_column(
-            0, "bucket", pa.array(doc_shard_of(ids, num_shards), pa.uint32())
-        )
+        shard = pa.array(doc_shard_of(ids, num_shards), pa.uint32())
+        if "bucket" in batch.column_names:
+            # tokenized rows arrive with the term-hash bucket; replace it
+            return batch.set_column(
+                batch.column_names.index("bucket"), "bucket", shard
+            )
+        return batch.add_column(0, "bucket", shard)
 
     return add
 
@@ -115,6 +119,71 @@ def build_attr_shards(
         json.dump(man, f)
     os.replace(tmp, man_path)
     return man
+
+
+def default_num_shards(num_actors: int = 4) -> int:
+    """Shard count sized to the CLUSTER (the shuffle/encode parallelism is
+    shard-count-bounded), mirrored by ScorePool's default."""
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    return max(8, num_actors, 2 * ncpu)
+
+
+def build_index_and_serving(
+    docs: "ray.data.Dataset",
+    out_dir: str,
+    cfg=None,
+    num_shards: int | None = None,
+    lineage: str = "",
+    resume: bool = False,
+    doc_count: int | None = None,
+    auto_heavy: bool | dict = False,
+) -> tuple[dict, dict]:
+    """Tokenize ONCE, shuffle twice: the term-bucket index at ``out_dir``
+    plus the doc-sharded serving layout at ``out_dir/serving``.
+
+    ``build_serving_shards`` (below) exists for indexes that are already on
+    disk — it must decode the term buckets back into posting rows before the
+    doc-shard shuffle. When the raw documents are still in hand, that decode
+    pass is pure waste: at 100 TB the analyzer map is the expensive stage,
+    so the tokenized posting rows are materialized once (object store,
+    spillable) and fed to BOTH shuffles. The serving manifest carries the
+    same ``serving_lineage`` key ``build_serving_shards`` would compute, so
+    a later ``ScorePool(out_dir)`` with the same shard count resume-skips
+    its rebuild and just pins the shards.
+
+    Returns ``(index_manifest, serving_manifest)``.
+    """
+    from whoosh_novo_ray.index.build import prepare_postings
+
+    rows, cfg, doc_count = prepare_postings(docs, cfg, doc_count, auto_heavy)
+    rows = rows.materialize()  # consumed by two shuffles — tokenize once
+    man = _run_bucket_shuffle(rows, out_dir, cfg, lineage, resume, doc_count)
+
+    if num_shards is None:
+        num_shards = default_num_shards()
+    serving_dir = serving_dir_for(out_dir)
+    serving_lineage = (
+        f"serving:{man.get('lineage', '')}:{man.get('generation', 0)}:{num_shards}"
+    )
+    sharded = rows.map_batches(
+        _add_doc_shard(num_shards), batch_format="pyarrow", zero_copy_batch=True
+    )
+    # doc-sharded layout needs no heavy-term salting: skew splits by doc hash
+    cfg2 = dataclasses.replace(cfg, num_buckets=num_shards, heavy_terms=())
+    sman = _run_bucket_shuffle(
+        sharded, serving_dir, cfg2, serving_lineage, resume=resume, doc_count=doc_count
+    )
+    sman["layout"] = "docshard"
+    sman["serving_lineage"] = serving_lineage
+    sman["num_shards"] = num_shards
+    sman["doc_count"] = man["doc_count"]
+    sman["total_field_length"] = man["total_field_length"]
+    man_path = os.path.join(serving_dir, MANIFEST_NAME)
+    tmp = man_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(sman, f, indent=1)
+    os.replace(tmp, man_path)
+    return man, sman
 
 
 def build_serving_shards(

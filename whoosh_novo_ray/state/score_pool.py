@@ -349,8 +349,9 @@ class ScorePool:
         # cpus) while query latency is flat — actors just pin more,
         # smaller tables
         if num_shards is None:
-            ncpu = int(ray.cluster_resources().get("CPU", 8))
-            num_shards = max(8, num_actors, 2 * ncpu)
+            from whoosh_novo_ray.index.docshard import default_num_shards
+
+            num_shards = default_num_shards(num_actors)
         man = build_serving_shards(
             index_path, num_shards=num_shards, out_dir=serving_dir
         )
