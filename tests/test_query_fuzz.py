@@ -11,8 +11,9 @@ in test_search_differential.py) while the unoptimized path scores every
 match; returned scores are identical between the two reference paths.
 
 Node types fuzzed: Term (with random boost), Prefix, Wildcard, TermRange,
-FuzzyTerm, Phrase (corpus bigrams/trigrams, slop 1-2) leaves; And / Or /
-Or(scale=) / AndMaybe / Require compounds. Excluded on purpose: AndNot
+FuzzyTerm, Regex (anchored / substring / top-level alternation), Phrase
+(corpus bigrams, slop 1-2) leaves; And / Or / Or(scale=) / AndMaybe /
+Require compounds. Excluded on purpose: AndNot
 (reference matcher fails to exclude some docs — its own bug) and DisMax
 (reference matcher broken), both oracled set-wise elsewhere.
 """
@@ -27,6 +28,7 @@ from whoosh_novo_ray.search import (
     Or,
     Prefix,
     Phrase,
+    Regex,
     Require,
     Searcher,
     Term,
@@ -75,7 +77,7 @@ def _gen_leaf(rng, vocab, bigrams=()):
     from whoosh_novo_ray.search.fuzzy import FuzzyTerm
 
     w = vocab[int(rng.integers(len(vocab)))]
-    k = int(rng.integers(0, 12 if bigrams else 11))
+    k = int(rng.integers(0, 13 if bigrams else 11))
     if k == 11:
         words = list(bigrams[int(rng.integers(len(bigrams)))])
         slop = int(rng.integers(1, 3))
@@ -83,6 +85,18 @@ def _gen_leaf(rng, vocab, bigrams=()):
             Phrase(words, slop=slop),
             wq.Phrase("text", words, slop=slop),
         )
+    if k == 12:
+        a = vocab[int(rng.integers(len(vocab)))]
+        shape = int(rng.integers(0, 4))
+        if shape == 0:
+            pat = f"^{w[:2]}.*"  # anchored prefix -> term-range pruning path
+        elif shape == 1:
+            pat = f"{w[:3]}"  # unanchored substring
+        elif shape == 2:
+            pat = f"^{w[:2]}|{a[:2]}"  # top-level alternation: NO prefix prune
+        else:
+            pat = f"^{w[:1]}.{w[2:3]}" if len(w) > 2 else f"^{w}.*"
+        return Regex(pat), wq.Regex("text", pat)
     if k < 6:
         boost = float(rng.choice([1.0, 1.0, 0.5, 2.0, 3.5]))
         return Term(w, boost=boost), wq.Term("text", w, boost=boost)

@@ -230,6 +230,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         Or,
         Phrase,
         Prefix,
+        Regex,
         Term,
     )
 
@@ -832,6 +833,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_docs": fuzzy_docs,
         "suggest_terms": suggest_terms,
         "prefix_docs": lambda sf: _search_table(sf, Prefix("s"), 10**9),
+        # top-level alternation: no prefix pruning, reference match (start-
+        # anchored) semantics for BOTH alternatives
+        "regex_docs": lambda sf: _search_table(sf, Regex("^qu|ind"), 10**9),
         "facet_lang": facet_lang,
         "collapse_source": collapse_source,
         # --- training-data ops ---
@@ -991,6 +995,17 @@ FROM scored ORDER BY score DESC, term LIMIT 5""",
         # n>=1024, or 3<=n<1024 on a <=5000-doc corpus; BM25 Or otherwise
         "prefix_docs": f"""WITH {_BASE_CTES},
 pterms AS (SELECT DISTINCT term FROM dfs WHERE term LIKE 's%'),
+nmatch AS (SELECT count(*) AS n FROM pterms),
+dc AS (SELECT count(*) AS n FROM documents)
+SELECT b.doc_id::BIGINT AS doc_id,
+       CASE WHEN (SELECT n FROM nmatch) >= 1024
+              OR ((SELECT n FROM nmatch) > 2 AND (SELECT n FROM dc) <= 5000)
+            THEN 1.0 ELSE round(sum(b.score), 6) END AS score
+FROM bm b WHERE b.term IN (SELECT term FROM pterms)
+GROUP BY b.doc_id""",
+        "regex_docs": f"""WITH {_BASE_CTES},
+pterms AS (SELECT DISTINCT term FROM dfs
+           WHERE regexp_matches(term, '^(?:^qu|ind)')),
 nmatch AS (SELECT count(*) AS n FROM pterms),
 dc AS (SELECT count(*) AS n FROM documents)
 SELECT b.doc_id::BIGINT AS doc_id,

@@ -473,8 +473,14 @@ class Searcher:
             )
         if isinstance(q, Q.Regex):
             lo, hi = _prefix_range(_regex_literal_prefix(q.pattern))
+            # reference PatternQuery._btexts uses exp.MATCH (query/terms.py:
+            # 304-307) — anchored at the start of the term, so an unanchored
+            # alternative like the 'pn' in '^iy|pn' must still match at
+            # position 0. match_substring_regex is search semantics; the
+            # non-capturing start anchor makes it match semantics.
+            anchored = f"^(?:{q.pattern})"
             return self.index.expand_terms(
-                lambda col: pc.match_substring_regex(col, pattern=q.pattern),
+                lambda col: pc.match_substring_regex(col, pattern=anchored),
                 lo=lo,
                 hi=hi,
             )
