@@ -1,8 +1,10 @@
 """Regex term expansion: prefix pruning must never drop matches.
 
 Covers the reference guard (Regex._find_prefix returns no prefix when the
-pattern contains '|'): '^ab|cd' matches any term CONTAINING 'cd' — an
-[ab, ab￿] scan range would silently lose those."""
+pattern contains '|'): the reference filters candidates with re.MATCH
+(start-anchored, query/terms.py:304-307), so '^ab|cd' matches terms
+STARTING with 'ab' or with 'cd' — but an [ab, ab￿] scan range would still
+silently lose the 'cd' branch, hence no prefix under alternation."""
 
 import re
 
@@ -29,10 +31,11 @@ def test_regex_literal_prefix(pattern, expect):
 
 
 def test_regex_alternation_expands_unanchored_branch(built_index):
-    """'^se|ta' must include terms matching the unanchored 'ta' branch."""
+    """'^se|ta' must include terms matching the 'ta' branch (which, under
+    the reference's re.match semantics, still anchors at the term start)."""
     s = Searcher(built_index)
     got = set(s.expand(Regex("^se|ta")))
     lex = built_index.expand_terms(lambda col: col.is_valid())
-    want = {t for t in lex if re.search("^se|ta", t)}
+    want = {t for t in lex if re.match("^se|ta", t)}
     assert got == want
     assert any(not t.startswith("se") for t in want), "corpus sanity"
