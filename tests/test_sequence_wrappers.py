@@ -33,29 +33,42 @@ def test_sequence_of_terms_equals_phrase(built_index):
     assert a2.to_pydict() == b2.to_pydict()
 
 
+def _ref_topk(reference_searcher, rq, limit=1000):
+    """replace=0 collector: cadence-free reference scores (see the note in
+    tests/test_query_fuzz._ref_search)."""
+    from whoosh.collectors import TopCollector
+
+    c = TopCollector(limit=limit, usequality=False, replace=0)
+    reference_searcher.search_with_collector(rq, c)
+    r = c.results()
+    return [(h["doc_id"], r.score(j)) for j, h in enumerate(r)]
+
+
 @pytest.mark.skipif(not HAVE_REFERENCE, reason="reference not available")
-def test_sequence_with_prefix_docset_parity(built_index, reference_searcher):
+def test_sequence_with_prefix_rank_parity(built_index, reference_searcher):
     from whoosh import query as wq
 
     s = Searcher(built_index)
-    mine = s.search(Sequence(Term("search"), Prefix("dat")), limit=None)
+    mine = s.search(Sequence(Term("search"), Prefix("dat")), limit=1000)
     rq = wq.Sequence([wq.Term("text", "search"), wq.Prefix("text", "dat")])
-    rr = reference_searcher.search(rq, limit=None, optimize=False)
-    assert sorted(mine["doc_id"].to_pylist()) == sorted(
-        h["doc_id"] for h in rr
+    ref = _ref_topk(reference_searcher, rq)
+    assert mine["doc_id"].to_pylist() == [d for d, _ in ref]
+    assert mine["score"].to_pylist() == pytest.approx(
+        [sc for _, sc in ref], rel=1e-9
     )
 
 
 @pytest.mark.skipif(not HAVE_REFERENCE, reason="reference not available")
-def test_ordered_docset_parity(built_index, reference_searcher):
+def test_ordered_rank_parity(built_index, reference_searcher):
     from whoosh import query as wq
 
     s = Searcher(built_index)
-    mine = s.search(Ordered(Term("search"), Term("data")), limit=None)
+    mine = s.search(Ordered(Term("search"), Term("data")), limit=1000)
     rq = wq.Ordered([wq.Term("text", "search"), wq.Term("text", "data")])
-    rr = reference_searcher.search(rq, limit=None, optimize=False)
-    assert sorted(mine["doc_id"].to_pylist()) == sorted(
-        h["doc_id"] for h in rr
+    ref = _ref_topk(reference_searcher, rq)
+    assert mine["doc_id"].to_pylist() == [d for d, _ in ref]
+    assert mine["score"].to_pylist() == pytest.approx(
+        [sc for _, sc in ref], rel=1e-9
     )
 
 
