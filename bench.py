@@ -424,6 +424,8 @@ def main_bench() -> None:
         num_shards=8,
         lineage="bench-combined",
         doc_count=PAGES_N,
+        strategy="fused",  # streaming both ways; decode path is timed by
+        # pool_serving_build, shared materializes the posting stream
     )
     queries["build_with_serving"] = round(time.perf_counter() - t0, 3)
 

@@ -330,7 +330,13 @@ def test_combined_build_equals_decode_path(ray_session, tmp_path, pages_table):
 
     a = str(tmp_path / "combined")
     man_a, sman_a = build_index_and_serving(
-        ray.data.from_arrow(tbl), a, cfg, num_shards=5, lineage="combo"
+        ray.data.from_arrow(tbl), a, cfg, num_shards=5, lineage="combo",
+        strategy="fused",
+    )
+    sh = str(tmp_path / "combined_shared")
+    _, sman_sh = build_index_and_serving(
+        ray.data.from_arrow(tbl), sh, cfg, num_shards=5, lineage="combo",
+        strategy="shared",
     )
     b = str(tmp_path / "separate")
     build_index(ray.data.from_arrow(tbl), b, cfg, lineage="combo")
@@ -340,18 +346,19 @@ def test_combined_build_equals_decode_path(ray_session, tmp_path, pages_table):
     assert sman_a["doc_count"] == sman_b["doc_count"] == 250
     assert sman_a["total_field_length"] == sman_b["total_field_length"]
 
-    # shard files: same doc/term rows both ways (generation timestamps and
+    # shard files: same doc/term rows every way (generation timestamps and
     # lineage strings differ; the posting CONTENT must not)
-    for da, db in zip(
-        sorted(glob.glob(os.path.join(serving_dir_for(a), "segments", "*.parquet"))),
-        sorted(glob.glob(os.path.join(serving_dir_for(b), "segments", "*.parquet"))),
-    ):
-        ta = pq.read_table(da).sort_by([("term", "ascending")])
-        tb = pq.read_table(db).sort_by([("term", "ascending")])
-        assert ta.column_names == tb.column_names
-        for col in ("term", "ids_blob", "tfs_blob"):
-            if col in ta.column_names:
-                assert ta[col].equals(tb[col]), (da, col)
+    for other in (b, sh):
+        for da, db in zip(
+            sorted(glob.glob(os.path.join(serving_dir_for(a), "segments", "*.parquet"))),
+            sorted(glob.glob(os.path.join(serving_dir_for(other), "segments", "*.parquet"))),
+        ):
+            ta = pq.read_table(da).sort_by([("term", "ascending")])
+            tb = pq.read_table(db).sort_by([("term", "ascending")])
+            assert ta.column_names == tb.column_names
+            for col in ("term", "ids_blob", "tfs_blob"):
+                if col in ta.column_names:
+                    assert ta[col].equals(tb[col]), (da, col)
 
     # ScorePool over the combined dir resumes (same serving_lineage)
     pool = ScorePool(a, num_actors=2, num_shards=5)
