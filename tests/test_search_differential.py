@@ -211,3 +211,78 @@ def test_stability_pagination(searcher, built_index):
     full = _my_search(searcher, Term("the"), 100)
     for k in (1, 5, 10, 50):
         assert _my_search(searcher, Term("the"), k) == full[:k]
+
+
+def test_reference_andmaybe_skipto_bug_documented(ray_session, tmp_path):
+    """KNOWN REFERENCE BUG (documented workaround): AndMaybeMatcher.skip_to
+    (matching/binary.py:713-721) advances the maybe-side to the SKIP TARGET
+    instead of to the required side's landing doc. Under an intersection,
+    when the required side overshoots the target and the maybe side has an
+    intermediate posting, the maybe bonus at the landing doc is silently
+    lost even though the maybe side contains it (next() realigns correctly,
+    so reference scores are PATH-dependent). Minimal trigger: aa in docs
+    {5,10}, bb in {7,10}, cc in {6,10}; And(AndMaybe(aa,bb), cc) at doc 10
+    scores aa+cc in the reference but the semantic aa+bb+cc here (the
+    standalone AndMaybe agrees between engines, pinning the semantics)."""
+    import ray.data
+    from whoosh import index as windex
+    from whoosh import query as wq
+    from whoosh.fields import NUMERIC, TEXT, Schema
+
+    from whoosh_novo_ray.index import Index, IndexConfig, build_index
+
+    import pyarrow as pa
+
+    texts = {i: "filler" for i in range(12)}
+    texts[5] = "aa"
+    texts[7] = "bb"
+    texts[6] = "cc"
+    texts[10] = "aa bb cc"
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(sorted(texts), pa.int64()),
+            "text": pa.array([texts[i] for i in sorted(texts)]),
+        }
+    )
+    out = str(tmp_path / "amidx")
+    build_index(ray.data.from_arrow(tbl), out, IndexConfig(num_buckets=2), lineage="am")
+    s = Searcher(Index(out))
+
+    wdir = str(tmp_path / "amref")
+    import os
+
+    os.makedirs(wdir)
+    ix = windex.create_in(wdir, Schema(doc_id=NUMERIC(stored=True, bits=64), text=TEXT))
+    w = ix.writer()
+    for d in sorted(texts):
+        w.add_document(doc_id=d, text=texts[d])
+    w.commit()
+    rs = ix.searcher()
+
+    def ref_scores(q):
+        r = rs.search(q, limit=None, optimize=False)
+        return {h["doc_id"]: r.score(j) for j, h in enumerate(r)}
+
+    aa = ref_scores(wq.Term("text", "aa"))
+    bb = ref_scores(wq.Term("text", "bb"))
+    cc = ref_scores(wq.Term("text", "cc"))
+
+    # standalone AndMaybe: both engines agree on the semantics
+    mine_am = _my_search(s, AndMaybe(Term("aa"), Term("bb")), None)
+    ref_am = ref_scores(wq.AndMaybe(wq.Term("text", "aa"), wq.Term("text", "bb")))
+    assert dict(mine_am) == pytest.approx(ref_am)
+    assert ref_am[10] == pytest.approx(aa[10] + bb[10])
+
+    # under an intersection the reference drops the maybe bonus...
+    q_ref = wq.And(
+        [wq.AndMaybe(wq.Term("text", "aa"), wq.Term("text", "bb")), wq.Term("text", "cc")]
+    )
+    ref_and = ref_scores(q_ref)
+    assert ref_and[10] == pytest.approx(aa[10] + cc[10])  # bb LOST (the bug)
+
+    # ...while this engine keeps the semantic score
+    mine_and = dict(
+        _my_search(s, And(AndMaybe(Term("aa"), Term("bb")), Term("cc")), None)
+    )
+    assert mine_and[10] == pytest.approx(aa[10] + bb[10] + cc[10])
+    rs.close()
