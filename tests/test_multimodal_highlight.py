@@ -113,9 +113,11 @@ def test_sentence_fragmenter():
         formatter=UppercaseFormatter(),
         top=5,
     )
-    assert "CATS." in out or "about CATS" in out
+    assert "about CATS" in out
     assert "Dogs live here too" not in out  # sentence without a match dropped
-    assert "CATS again?" in out
+    # reference fragment spans first-token start .. last-token END: the
+    # closing punctuation is NOT part of the fragment
+    assert out.endswith("CATS again")
 
 
 def test_sentence_fragmenter_maxchars():
@@ -159,3 +161,45 @@ def test_highlight_dataset_matches_scalar(ray_session, pages_table):
     }
     for d, t in zip(sub["doc_id"].to_pylist(), sub["text"].to_pylist()):
         assert got[d] == highlight(t, {"search", "data"})
+
+
+def test_highlight_byte_parity_vs_reference(pages_table):
+    """Whole/Sentence/Context fragmenters + UppercaseFormatter produce
+    byte-identical excerpts to the reference highlight pipeline (fragment
+    boundaries, countdown pacing, nlargest tie selection, punctuation
+    exclusion — the lot)."""
+    from tests.conftest import HAVE_REFERENCE
+
+    if not HAVE_REFERENCE:
+        import pytest as _pytest
+
+        _pytest.skip("reference not available")
+    from whoosh.analysis import StandardAnalyzer as RSA
+    from whoosh.highlight import ContextFragmenter as RCF
+    from whoosh.highlight import SentenceFragmenter as RSF
+    from whoosh.highlight import UppercaseFormatter as RUF
+    from whoosh.highlight import WholeFragmenter as RWF
+    from whoosh.highlight import highlight as ref_highlight
+
+    from whoosh_novo_ray.analysis import StandardAnalyzer as MSA
+    from whoosh_novo_ray.search.highlight import ContextFragmenter as MCF
+    from whoosh_novo_ray.search.highlight import SentenceFragmenter as MSF
+    from whoosh_novo_ray.search.highlight import UppercaseFormatter as MUF
+    from whoosh_novo_ray.search.highlight import WholeFragmenter as MWF
+    from whoosh_novo_ray.search.highlight import highlight as my_highlight
+
+    texts = pages_table["text"].to_pylist()[:30]
+    checked = 0
+    for kind, rf, mf in [("ctx", RCF, MCF), ("whole", RWF, MWF), ("sent", RSF, MSF)]:
+        for i, t in enumerate(texts):
+            if kind == "sent":
+                t = t.replace(" the ", ". The ", 3)
+            words = [w for w in t.lower().split() if w.isalpha()]
+            if len(words) < 8:
+                continue
+            terms = {words[3], words[7]}
+            ref = ref_highlight(t, terms, RSA(), rf(), RUF(), top=3)
+            mine = my_highlight(t, terms, MSA(), mf(), MUF(), top=3, sep="...")
+            assert mine == ref, (kind, i, terms, mine[:120], ref[:120])
+            checked += 1
+    assert checked >= 80

@@ -25,18 +25,34 @@ class Span:
     text: str
 
 
-def _matched_spans(text: str, terms: set[str], analyzer: StandardAnalyzer) -> list[Span]:
+def _all_tokens(
+    text: str, terms: set[str], analyzer: StandardAnalyzer
+) -> list[tuple[int, int, bool, str]]:
+    """Every token as (startchar, endchar, matched, analyzed_text).
+
+    Mirrors the reference highlight() token stream (highlight.py:953-954):
+    the full analyzer chain with ``removestops=False`` — stopwords stay in
+    the stream (they pace the fragmenter's char countdown) and ``matched``
+    compares the ANALYZED token text against the term set."""
     rx = re.compile(analyzer.pattern if analyzer else DEFAULT_PATTERN)
+    do_stem = bool(analyzer and analyzer.stem)
+    if do_stem:
+        from whoosh_novo_ray.porter import stem as _stem
     out = []
     for m in rx.finditer(text):
         tok = m.group(0).lower()
-        if analyzer and analyzer.stem:
-            from whoosh_novo_ray.porter import stem
-
-            tok = stem(tok)
-        if tok in terms:
-            out.append(Span(m.start(), m.end(), m.group(0)))
+        if do_stem:
+            tok = _stem(tok)
+        out.append((m.start(), m.end(), tok in terms, tok))
     return out
+
+
+def _matched_spans(text: str, terms: set[str], analyzer: StandardAnalyzer) -> list[Span]:
+    return [
+        Span(s, e, tok)
+        for (s, e, matched, tok) in _all_tokens(text, terms, analyzer)
+        if matched
+    ]
 
 
 @dataclass(frozen=True)
@@ -45,77 +61,165 @@ class Fragment:
     end: int
     matches: tuple
 
+    def __lt__(self, other: "Fragment") -> bool:
+        # reference Fragment.__lt__ compares startchar only — this ordering
+        # decides nlargest cutoff ties in top_fragments
+        return self.start < other.start
 
+
+@dataclass
 class WholeFragmenter:
-    """The entire text as one fragment (reference WholeFragmenter)."""
+    """The entire text as one fragment (reference WholeFragmenter,
+    highlight.py:312-347; matches beyond ``charlimit`` are dropped)."""
+
+    charlimit: int = 2**15
 
     def fragments(self, text: str, spans: list[Span]) -> list[Fragment]:
+        if self.charlimit:
+            spans = [sp for sp in spans if sp.end <= self.charlimit]
         return [Fragment(0, len(text), tuple(spans))]
+
+    def fragment_tokens(
+        self, text: str, tokens: list[tuple[int, int, bool, str]]
+    ) -> list[Fragment]:
+        matches = []
+        for s, e, matched, tok in tokens:
+            if self.charlimit and e > self.charlimit:
+                break
+            if matched:
+                matches.append(Span(s, e, tok))
+        return [Fragment(0, len(text), tuple(matches))]
 
 
 @dataclass
 class ContextFragmenter:
-    """Fragments of ~maxchars around match clusters (reference
-    ContextFragmenter, highlight.py:436-515)."""
+    """Fragments of ~maxchars around match clusters — byte-identical to the
+    reference ContextFragmenter (highlight.py:428-514): a char-countdown
+    state machine over the FULL token stream. Non-matched tokens inside a
+    fragment consume the countdown without joining the match list; the
+    fragment opens up to ``surround`` chars of buffered context before the
+    first match (doubled when no context precedes it) and closes when
+    ``surround`` chars pass without a new match (or ``maxchars`` fills);
+    the closing boundary is the endchar of whatever token expired it."""
 
     maxchars: int = 200
-    surround: int = 40
+    surround: int = 20
+    charlimit: int = 2**15
+
+    def fragment_tokens(
+        self, text: str, tokens: list[tuple[int, int, bool, str]]
+    ) -> list[Fragment]:
+        from collections import deque
+
+        maxchars, surround, charlimit = self.maxchars, self.surround, self.charlimit
+        first = None
+        firsts: deque = deque()
+        countdown = -1
+        tks: list[Span] = []
+        currentlen = 0
+        endchar = None
+        frags: list[Fragment] = []
+        for s, e, matched, tok in tokens:
+            tlength = e - s
+            if charlimit and e > charlimit:
+                break
+            if countdown < 0 and not matched:
+                firsts.append(s)
+                while firsts and e - firsts[0] > surround:
+                    firsts.popleft()
+            elif currentlen + tlength > maxchars:
+                countdown = 0
+            elif matched:
+                countdown = surround
+                if first is None:
+                    if firsts:
+                        first = firsts[0]
+                    else:
+                        first = s
+                        countdown += surround
+                tks.append(Span(s, e, tok))
+            if countdown >= 0:
+                currentlen += tlength
+                countdown -= tlength
+                if countdown <= 0:
+                    frags.append(Fragment(first, e, tuple(tks)))
+                    tks = []
+                    firsts = deque()
+                    first = None
+                    currentlen = 0
+            endchar = e
+        if tks:
+            frags.append(Fragment(first, endchar, tuple(tks)))
+        return frags
 
     def fragments(self, text: str, spans: list[Span]) -> list[Fragment]:
-        if not spans:
-            return []
-        frags: list[Fragment] = []
-        cur: list[Span] = [spans[0]]
-        start = max(0, spans[0].start - self.surround)
-        end = min(len(text), spans[0].end + self.surround)
-        for sp in spans[1:]:
-            if sp.start - end <= self.surround and (
-                min(len(text), sp.end + self.surround) - start
-            ) <= self.maxchars:
-                cur.append(sp)
-                end = min(len(text), sp.end + self.surround)
-            else:
-                frags.append(Fragment(start, end, tuple(cur)))
-                cur = [sp]
-                start = max(0, sp.start - self.surround)
-                end = min(len(text), sp.end + self.surround)
-        frags.append(Fragment(start, end, tuple(cur)))
-        return frags
+        """Matched-spans-only entry (index-stored-chars path): rebuilds a
+        token stream from the raw tokenizer so the state machine above still
+        applies; matches are taken from ``spans`` by position."""
+        starts = {sp.start for sp in spans}
+        rx = re.compile(DEFAULT_PATTERN)
+        tokens = [
+            (m.start(), m.end(), m.start() in starts, m.group(0).lower())
+            for m in rx.finditer(text)
+        ]
+        return self.fragment_tokens(text, tokens)
 
 
 @dataclass
 class SentenceFragmenter:
-    """Whole sentences containing at least one match (reference
-    SentenceFragmenter, highlight.py:275-335): a sentence ends at '.', '!'
-    or '?' immediately following a token; sentences longer than ``maxchars``
-    are dropped. Use an analyzer without a stoplist for best results."""
+    """Whole sentences containing at least one match — byte-identical to the
+    reference SentenceFragmenter (highlight.py:354-426): a sentence closes
+    when the character AFTER a token is '.', '!' or '?' (but not when two
+    punctuation chars run together, e.g. '...'); the fragment spans first
+    token start .. last token end (punctuation excluded); sentences with
+    more than ``maxchars`` of TOKEN text are dropped; a trailing unclosed
+    sentence is still emitted. Use an analyzer without a stoplist for best
+    results."""
 
     maxchars: int = 200
     sentencechars: str = ".!?"
+    charlimit: int = 2**15
+
+    def fragment_tokens(
+        self, text: str, tokens: list[tuple[int, int, bool, str]]
+    ) -> list[Fragment]:
+        sentencechars = frozenset(self.sentencechars)
+        textlen = len(text)
+        first = None
+        tks: list[Span] = []
+        endchar = None
+        currentlen = 0
+        frags: list[Fragment] = []
+        for s, e, matched, tok in tokens:
+            if self.charlimit and e > self.charlimit:
+                break
+            if first is None:
+                first = s
+                currentlen = 0
+            currentlen += e - s
+            if matched:
+                tks.append(Span(s, e, tok))
+            endchar = e
+            if e < textlen and text[e] in sentencechars:
+                if e + 1 < textlen and text[e + 1] in sentencechars:
+                    continue  # '..' / '...' is not a sentence break
+                if tks and currentlen <= self.maxchars:
+                    frags.append(Fragment(first, e, tuple(tks)))
+                tks = []
+                first = None
+                currentlen = 0
+        if tks:
+            frags.append(Fragment(first, endchar, tuple(tks)))
+        return frags
 
     def fragments(self, text: str, spans: list[Span]) -> list[Fragment]:
-        if not spans:
-            return []
+        starts = {sp.start for sp in spans}
         rx = re.compile(DEFAULT_PATTERN)
-        ends = [
-            m.end()
+        tokens = [
+            (m.start(), m.end(), m.start() in starts, m.group(0).lower())
             for m in rx.finditer(text)
-            if m.end() < len(text) and text[m.end()] in self.sentencechars
         ]
-        bounds = [0] + [e + 1 for e in ends] + [len(text)]
-        frags: list[Fragment] = []
-        si = 0
-        for lo, hi in zip(bounds, bounds[1:]):
-            if hi - lo > self.maxchars:
-                continue
-            matches = []
-            while si < len(spans) and spans[si].start < hi:
-                if spans[si].start >= lo:
-                    matches.append(spans[si])
-                si += 1
-            if matches:
-                frags.append(Fragment(lo, hi, tuple(matches)))
-        return frags
+        return self.fragment_tokens(text, tokens)
 
 
 @dataclass
@@ -157,15 +261,44 @@ class PinpointFragmenter:
 
 
 def basic_fragment_score(f: Fragment) -> float:
-    """Matched-term count + distinct bonus (reference BasicFragmentScorer)."""
-    return len(f.matches) + len({m.text.lower() for m in f.matches}) * 0.5
+    """Reference BasicFragmentScorer (highlight.py:610-619): sum of match
+    boosts (1.0 each here) times 100x the number of DISTINCT matched terms
+    (diversity bonus), or times 1 when nothing matched."""
+    return len(f.matches) * ((len({m.text for m in f.matches}) * 100) or 1)
+
+
+def top_fragments(frags: list[Fragment], top: int, minscore: float = 1.0):
+    """Reference top_fragments (highlight.py:919-924): heapq.nlargest over
+    (score, fragment) — on score ties the LATER fragment (larger startchar)
+    wins the cutoff slot, unlike a stable sort — then doc-order output and
+    a minscore floor (1.0 drops match-free fragments)."""
+    import heapq
+
+    best = heapq.nlargest(top, ((basic_fragment_score(f), f) for f in frags))
+    out = [f for sc, f in best if sc >= minscore]
+    out.sort(key=lambda f: f.start)
+    return out
+
+
+def _fragment_matches(f: Fragment):
+    """Reference Formatter.format_fragment match ordering (highlight.py:
+    717-724): by (startchar, longest-first), skipping tokens that overlap an
+    already-formatted one — picks the longest of overlapping tokens."""
+    out = []
+    index = f.start
+    for m in sorted(f.matches, key=lambda m: (m.start, -(m.end - m.start))):
+        if m.start < index:
+            continue
+        out.append(m)
+        index = m.end
+    return out
 
 
 class UppercaseFormatter:
     def format_fragment(self, text: str, f: Fragment) -> str:
         out = []
         pos = f.start
-        for m in f.matches:
+        for m in _fragment_matches(f):
             out.append(text[pos : m.start])
             out.append(text[m.start : m.end].upper())
             pos = m.end
@@ -181,7 +314,7 @@ class HtmlFormatter:
     def format_fragment(self, text: str, f: Fragment) -> str:
         out = []
         pos = f.start
-        for m in f.matches:
+        for m in _fragment_matches(f):
             out.append(_html.escape(text[pos : m.start]))
             out.append(
                 f'<{self.tagname} class="{self.classname}">'
@@ -224,8 +357,7 @@ def highlight_from_index(
                 spans.append(Span(int(sc), int(ec), text[int(sc) : int(ec)]))
     spans.sort(key=lambda sp: sp.start)
     frags = fragmenter.fragments(text, spans)
-    frags = sorted(frags, key=basic_fragment_score, reverse=True)[:top]
-    frags.sort(key=lambda f: f.start)
+    frags = top_fragments(frags, top)
     return sep.join(formatter.format_fragment(text, f) for f in frags)
 
 
@@ -243,10 +375,14 @@ def highlight(
     analyzer = analyzer or StandardAnalyzer()
     fragmenter = fragmenter or ContextFragmenter()
     formatter = formatter or UppercaseFormatter()
-    spans = _matched_spans(text, {t.lower() for t in terms}, analyzer)
-    frags = fragmenter.fragments(text, spans)
-    frags = sorted(frags, key=basic_fragment_score, reverse=True)[:top]
-    frags.sort(key=lambda f: f.start)
+    termset = {t.lower() for t in terms}
+    if hasattr(fragmenter, "fragment_tokens"):
+        # the reference pipeline: the fragmenter paces itself on the FULL
+        # token stream (stopwords kept), not just the matches
+        frags = fragmenter.fragment_tokens(text, _all_tokens(text, termset, analyzer))
+    else:
+        frags = fragmenter.fragments(text, _matched_spans(text, termset, analyzer))
+    frags = top_fragments(frags, top)
     return sep.join(formatter.format_fragment(text, f) for f in frags)
 
 
