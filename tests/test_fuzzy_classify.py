@@ -148,3 +148,31 @@ def test_neardup_utils_differential():
         ml, mc = kmeans_1d(data, k, centers=list(centers))
         rl, rc = rkm(list(data), k, centers=list(centers))
         assert ml == rl and mc == pytest.approx(rc)
+
+
+def test_suggest_matches_reference_corrector(built_index, reference_searcher, pages_table):
+    """ReaderCorrector parity incl. the heap-boundary tie rule: among
+    equal-frequency candidates at the limit cutoff the reference keeps the
+    alphabetically LATER string (its heap compares (score, sug) tuples,
+    spelling.py:64-73); presentation order is (freq desc, alpha asc)."""
+    import numpy as np
+
+    corr = reference_searcher.corrector("text")
+    words = sorted(
+        {
+            w
+            for t in pages_table["text"].to_pylist()[:100]
+            for w in t.lower().split()
+            if w.isalpha() and len(w) > 3
+        }
+    )
+    rng = np.random.default_rng(99)
+    checked = 0
+    for w in rng.choice(words, size=25, replace=False):
+        for mut in (w[:-1], w[1:] + w[0]):
+            for maxdist, prefix, limit in ((1, 0, 5), (2, 0, 5), (2, 1, 3), (2, 0, 40)):
+                ref = corr.suggest(mut, limit=limit, maxdist=maxdist, prefix=prefix)
+                mine = suggest(built_index, mut, limit=limit, maxdist=maxdist, prefix=prefix)
+                assert mine == ref, (mut, maxdist, prefix, limit)
+                checked += 1
+    assert checked == 200

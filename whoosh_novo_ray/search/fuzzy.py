@@ -118,14 +118,20 @@ def suggest(
     cands = terms_within(index, text, maxdist=maxdist, prefix=prefix)
     if not cands:
         return []
+    import heapq
+
     stats = index.term_stats_many([t for t, _d in cands])
-    scored = sorted(
-        (
-            (maxdist + 0.5 / (stats.get(t, (0, 1.0, 0.0))[1] or 1), t)
-            for t, _d in cands
-        ),
-    )
-    return [t for _s, t in scored[:limit]]
+    # reference Corrector.suggest keeps the `limit` largest (score, sug)
+    # TUPLES in its heap (spelling.py:64-73) — so among equal-frequency
+    # candidates at the cutoff the alphabetically LATER string survives —
+    # then presents them sorted by (-score, sug)
+    scored = [
+        (-(maxdist + 0.5 / (stats.get(t, (0, 1.0, 0.0))[1] or 1)), t)
+        for t, _d in cands
+    ]
+    keep = heapq.nlargest(limit, scored)
+    keep.sort(key=lambda x: (-x[0], x[1]))
+    return [t for _s, t in keep]
 
 
 def correct_query(searcher, q, maxdist: int = 2, prefix: int = 0):
