@@ -103,3 +103,24 @@ def test_matched_terms(built_index, pages_table):
             if t in ana(txt)
         )
         assert mt[t].tolist() == expect
+
+
+def test_search_page_matches_reference(built_index, reference_searcher):
+    """Page slices equal the reference's ResultsPage hits (ids + scores),
+    including the long tail page and an out-of-range page."""
+    from tests.conftest import HAVE_REFERENCE
+
+    if not HAVE_REFERENCE:
+        pytest.skip("reference not available")
+    from whoosh import query as wq
+
+    s = Searcher(built_index)
+    mq = Or(Term("search"), Term("data"), Term("index"))
+    rq = wq.Or([wq.Term("text", "search"), wq.Term("text", "data"), wq.Term("text", "index")])
+    for pagenum, pagelen in ((1, 7), (2, 7), (3, 10), (40, 10)):
+        rp = reference_searcher.search_page(rq, pagenum, pagelen=pagelen, optimize=False)
+        ref = [(h["doc_id"], rp.results.score(rp.offset + j)) for j, h in enumerate(rp)]
+        page = s.search_page(mq, pagenum, pagelen=pagelen)["results"]
+        mine = list(zip(page["doc_id"].to_pylist(), page["score"].to_pylist()))
+        assert [d for d, _ in mine] == [d for d, _ in ref], (pagenum, pagelen)
+        assert [x for _, x in mine] == pytest.approx([x for _, x in ref], rel=1e-9)
