@@ -545,11 +545,121 @@ def main_scaling() -> None:
     )
 
 
+def serving_qps(num_actors: int, inflight: int = 32, n_queries: int = 600) -> dict:
+    """Query-side scaling evidence: sustained QPS against the ScorePool at a
+    given actor count. ``inflight`` queries are kept in flight concurrently
+    (each actor evaluates whole queries over its pinned shards; the driver
+    only merges top-k rows), so throughput scales with actors until the
+    driver merge or the host saturates."""
+    import ray
+
+    ray.init(
+        address="local", num_cpus=32, include_dashboard=False, logging_level="ERROR"
+    )
+    import ray.data
+
+    from whoosh_novo_ray.index import IndexConfig, build_index
+    from whoosh_novo_ray.ops.extract import extract_pages_text
+    from whoosh_novo_ray.search import And, Or, Phrase, Term
+    from whoosh_novo_ray.state.score_pool import ScorePool
+
+    path = ensure_pages_corpus()
+    out = "/tmp/wnr_qps_idx"
+    if not os.path.exists(os.path.join(out, "manifest.json")):
+        docs = extract_pages_text(
+            ray.data.read_parquet(
+                path, columns=["doc_id", "html"], override_num_blocks=32
+            )
+        )
+        build_index(
+            docs,
+            out,
+            IndexConfig(num_buckets=32, with_positions=True),
+            lineage="qps",
+            doc_count=PAGES_N,
+        )
+    pool = ScorePool(out, num_actors=num_actors, num_shards=32)
+    qset = [
+        Term("search"),
+        Or(Term("search"), Term("index"), Term("data")),
+        And(Term("search"), Term("data")),
+        Phrase(["search", "index"]),
+        Term("the"),
+        Or(Term("web"), Term("page")),
+    ]
+    # warm every actor + term cache
+    for q in qset:
+        pool.search(q, limit=10)
+    # async pipeline: keep `inflight` whole queries in the air; each
+    # search_async returns ONE ObjectRef (shard fan-out + task-side merge)
+    import ray as _ray
+
+    t0 = time.perf_counter()
+    pending = []
+    done = 0
+    i = 0
+    while done < n_queries:
+        while len(pending) < inflight and i < n_queries:
+            pending.append(pool.search_async(qset[i % len(qset)], limit=10))
+            i += 1
+        ready, pending = _ray.wait(pending, num_returns=1)
+        _ray.get(ready)
+        done += len(ready)
+    wall = time.perf_counter() - t0
+    res = {
+        "num_actors": num_actors,
+        "qps": round(n_queries / wall, 1),
+        "wall_sec": round(wall, 3),
+    }
+    pool.shutdown()
+    ray.shutdown()
+    return res
+
+
+def main_qps() -> None:
+    ensure_pages_corpus()
+    ns = tuple(int(x) for x in os.environ.get("GRAFT_QPS_NS", "2,8").split(","))
+    results = {}
+    for n in ns:
+        cp = subprocess.run(
+            [sys.executable, __file__, "--_qps-only", str(n)],
+            capture_output=True,
+            text=True,
+            timeout=1800,
+            env=dict(os.environ),
+        )
+        line = [l for l in cp.stdout.splitlines() if l.startswith("{")][-1]
+        results[n] = json.loads(line)
+    lo, hi = ns
+    eff = results[hi]["qps"] / ((hi / lo) * results[lo]["qps"])
+    print(
+        json.dumps(
+            {
+                "metric": f"serving QPS scaling {lo}->{hi} actors",
+                "value": round(eff, 3),
+                "unit": "efficiency",
+                "queries": {
+                    f"qps_{lo}_actors": results[lo]["qps"],
+                    f"qps_{hi}_actors": results[hi]["qps"],
+                },
+                "sf": PAGES_PARQUET,
+                "num_cpus": 32,
+                "pages_corpus_docs": PAGES_N,
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
     if "--_build-only" in sys.argv:
         n = int(sys.argv[sys.argv.index("--_build-only") + 1])
         print(json.dumps(build_pages_index(n, f"/tmp/wnr_scaling_idx_{n}")))
+    elif "--_qps-only" in sys.argv:
+        n = int(sys.argv[sys.argv.index("--_qps-only") + 1])
+        print(json.dumps(serving_qps(n)))
     elif "--scaling" in sys.argv:
         main_scaling()
+    elif "--qps" in sys.argv:
+        main_qps()
     else:
         main_bench()

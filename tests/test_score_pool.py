@@ -375,3 +375,20 @@ def test_combined_build_equals_decode_path(ray_session, tmp_path, pages_table):
             )
     finally:
         pool.shutdown()
+
+
+def test_search_async_matches_sync(spool, built_index):
+    """search_async (shard fan-out + task-side merge) returns the same table
+    as the blocking path, including for many queries in flight at once."""
+    import ray
+
+    qs = [
+        Term("search"),
+        Or(Term("search"), Term("data")),
+        Phrase(["search", "data"]),
+        Or(Term("search"), Term("data"), scale=0.5),
+    ]
+    sync = [spool.search(q, limit=10).to_pydict() for q in qs]
+    refs = [spool.search_async(q, limit=10) for q in qs * 5]  # 20 in flight
+    for i, t in enumerate(ray.get(refs)):
+        assert t.to_pydict() == sync[i % len(qs)]

@@ -291,6 +291,12 @@ class ScoreServer:
         return True
 
 
+@ray.remote(num_cpus=0.25)
+def _merge_topk_task(limit: int | None, *parts: pa.Table) -> pa.Table:
+    """Task-shaped _merge_topk for the async serving path (search_async)."""
+    return _merge_topk(list(parts), limit)
+
+
 def _merge_topk(parts: list[pa.Table], limit: int | None) -> pa.Table:
     """k-way merge of per-shard result tables — the reference tie-break
     (score desc, doc_id asc), truncated to limit. Shards partition the doc
@@ -519,6 +525,27 @@ class ScorePool:
         gstats = self._gstats(self._stat_terms(q2))
         futs = [a.score.remote(q2, limit, gstats, weighting) for a in self._actors]
         return _merge_topk(ray.get(futs), limit)
+
+    def search_async(
+        self,
+        q: Q.Query,
+        limit: int | None = 10,
+        weighting: WeightingModel | None = None,
+    ) -> "ray.ObjectRef":
+        """Non-blocking search: returns ONE ObjectRef resolving to the merged
+        top-k table. The per-shard evaluations fan out to the actors as usual
+        and the k-way merge runs as a small Ray task (k rows per shard), so a
+        client can keep many queries in flight without the driver serializing
+        on merges — the serving-throughput path benchmarked by
+        ``bench.py --qps``. Queries needing the local fallback (Otherwise /
+        Nested) resolve eagerly via ray.put."""
+        if self._needs_fallback(q):
+            s = Searcher(self.index, weighting=weighting)
+            return ray.put(s.search(q, limit=limit))
+        q2 = self._rewrite(q)
+        gstats = self._gstats(self._stat_terms(q2))
+        futs = [a.score.remote(q2, limit, gstats, weighting) for a in self._actors]
+        return _merge_topk_task.remote(limit, *futs)
 
     def wand_topk(
         self,
