@@ -4,7 +4,7 @@ import numpy as np
 import pytest
 
 from tests.conftest import HAVE_REFERENCE
-from whoosh_novo_ray.search import Or, Otherwise, Searcher, Term
+from whoosh_novo_ray.search import And, Or, Otherwise, Searcher, Term
 from whoosh_novo_ray.search.scoring import BM25F
 
 
@@ -124,3 +124,35 @@ def test_search_page_matches_reference(built_index, reference_searcher):
         mine = list(zip(page["doc_id"].to_pylist(), page["score"].to_pylist()))
         assert [d for d, _ in mine] == [d for d, _ in ref], (pagenum, pagelen)
         assert [x for _, x in mine] == pytest.approx([x for _, x in ref], rel=1e-9)
+
+
+def test_matched_terms_matches_reference(built_index, reference_searcher):
+    """matched_terms equals the reference TermsCollector's docterms map."""
+    from tests.conftest import HAVE_REFERENCE
+
+    if not HAVE_REFERENCE:
+        pytest.skip("reference not available")
+    from whoosh import query as wq
+    from whoosh.collectors import TermsCollector, UnlimitedCollector
+
+    s = Searcher(built_index)
+    for mq, rq in [
+        (
+            Or(Term("search"), Term("data")),
+            wq.Or([wq.Term("text", "search"), wq.Term("text", "data")]),
+        ),
+        (
+            And(Term("search"), Term("data")),
+            wq.And([wq.Term("text", "search"), wq.Term("text", "data")]),
+        ),
+    ]:
+        tc = TermsCollector(UnlimitedCollector())
+        reference_searcher.search_with_collector(rq, tc)
+        r = tc.results()
+        docnum_to_id = {h.docnum: h["doc_id"] for h in r}
+        ref: dict[str, set] = {}
+        for docnum, terms in tc.docterms.items():
+            for _f, t in terms:
+                ref.setdefault(t.decode(), set()).add(docnum_to_id[docnum])
+        mine = {t: set(ids.tolist()) for t, ids in s.matched_terms(mq).items()}
+        assert mine == ref

@@ -176,3 +176,26 @@ def test_suggest_matches_reference_corrector(built_index, reference_searcher, pa
                 assert mine == ref, (mut, maxdist, prefix, limit)
                 checked += 1
     assert checked == 200
+
+
+def test_key_terms_from_text_matches_reference(built_index, reference_searcher, pages_table):
+    """Bo1/Bo2/KL expansion models byte-match the reference's
+    key_terms_from_text (term order and normalized scores)."""
+    import whoosh.classify as wc
+
+    s = Searcher(built_index)
+    texts = pages_table["text"].to_pylist()
+    models = {"bo1": wc.Bo1Model, "bo2": wc.Bo2Model, "kl": wc.KLModel}
+    for name, mcls in models.items():
+        for doc in (0, 7, 42, 113):
+            ref = [
+                (t, round(sc, 9))
+                for t, sc in reference_searcher.key_terms_from_text(
+                    "text", texts[doc], numterms=8, model=mcls
+                )
+            ]
+            mine = [
+                (t, round(sc, 9))
+                for t, sc in key_terms_from_text(s, [texts[doc]], numterms=8, model=name)
+            ]
+            assert mine == ref, (name, doc)

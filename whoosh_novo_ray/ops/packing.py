@@ -165,8 +165,14 @@ def pack_sequences(
             (np.cumsum(sums) - sums).tolist(),
         )
     )
+    # broadcast once: at 100 TB the per-range table is ~1e5 rows — ship it
+    # through the object store, not in every task's closure
+    import ray
+
+    offsets_ref = ray.put(offsets)
 
     def assign(group: pa.Table) -> pa.Table:
+        offsets = ray.get(offsets_ref)
         g = group.sort_by("doc_id")
         ids = g["doc_id"].to_numpy()
         n = g["n_tokens"].to_numpy()
