@@ -203,3 +203,56 @@ def test_highlight_byte_parity_vs_reference(pages_table):
             assert mine == ref, (kind, i, terms, mine[:120], ref[:120])
             checked += 1
     assert checked >= 80
+
+
+def test_pinpoint_byte_parity_vs_reference(pages_table):
+    """PinpointFragmenter parity against the reference's NON-retokenizing
+    entry (fragment_matches with stable span objects), both autotrim modes.
+
+    KNOWN REFERENCE BUG (why not via ref highlight()): the reference's
+    PinpointFragmenter.fragment_tokens collects the analyzer's REUSED
+    mutable Token without .copy() (highlight.py:543-545 — the retokenizing
+    fragmenters all copy), so by evaluation time every collected 'match' has
+    mutated into the stream's final token and the highlighted terms are
+    wrong. fragment_matches is the documented pinpoint path."""
+    from tests.conftest import HAVE_REFERENCE
+
+    if not HAVE_REFERENCE:
+        pytest.skip("reference not available")
+    from whoosh.highlight import FIRST, BasicFragmentScorer
+    from whoosh.highlight import PinpointFragmenter as RPF
+    from whoosh.highlight import UppercaseFormatter as RUF
+    from whoosh.highlight import top_fragments as ref_top
+
+    from whoosh_novo_ray.analysis import StandardAnalyzer as MSA
+    from whoosh_novo_ray.search.highlight import PinpointFragmenter as MPF
+    from whoosh_novo_ray.search.highlight import UppercaseFormatter as MUF
+    from whoosh_novo_ray.search.highlight import _matched_spans
+    from whoosh_novo_ray.search.highlight import top_fragments as my_top
+
+    class Tok:
+        def __init__(self, s, e, t):
+            self.startchar, self.endchar, self.text, self.boost = s, e, t, 1.0
+
+    texts = pages_table["text"].to_pylist()[:30]
+    checked = 0
+    for autotrim in (False, True):
+        for t in texts:
+            words = [w for w in t.lower().split() if w.isalpha()]
+            if len(words) < 8:
+                continue
+            terms = {words[3], words[7]}
+            spans = _matched_spans(t, terms, MSA())
+            rtoks = [Tok(sp.start, sp.end, sp.text) for sp in spans]
+            rf = list(RPF(autotrim=autotrim).fragment_matches(t, rtoks))
+            ref = "...".join(
+                RUF().format_fragment(fr)
+                for fr in ref_top(rf, 3, BasicFragmentScorer(), FIRST)
+            )
+            mine = "...".join(
+                MUF().format_fragment(t, fr)
+                for fr in my_top(MPF(autotrim=autotrim).fragments(t, spans), 3)
+            )
+            assert mine == ref, (autotrim, terms)
+            checked += 1
+    assert checked >= 50

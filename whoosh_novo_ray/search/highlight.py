@@ -224,40 +224,67 @@ class SentenceFragmenter:
 
 @dataclass
 class PinpointFragmenter:
-    """Builds fragments directly from match positions without retokenizing
-    (reference PinpointFragmenter, highlight.py:516-600): matches within
-    ``maxchars`` of each other share a fragment, padded by ``surround``
-    chars; ``autotrim`` snaps fragment edges to whitespace."""
+    """Builds fragments directly from match positions without retokenizing —
+    byte-identical to the reference PinpointFragmenter (highlight.py:
+    516-600): a greedy group grows while the next match starts within
+    ``surround`` of the current right edge AND ends within ``maxchars`` of
+    the group start (token-char budget); the fragment is the group padded
+    by ``surround`` on both sides; ``autotrim`` moves the edges inside the
+    first/last space but never into a matched token."""
 
     maxchars: int = 200
     surround: int = 20
     autotrim: bool = False
+    charlimit: int = 2**15
 
     def fragments(self, text: str, spans: list[Span]) -> list[Fragment]:
         if not spans:
             return []
         frags: list[Fragment] = []
-        cur = [spans[0]]
-        for sp in spans[1:]:
-            if sp.end - cur[0].start <= self.maxchars:
-                cur.append(sp)
-            else:
-                frags.append(self._make(text, cur))
-                cur = [sp]
-        frags.append(self._make(text, cur))
+        j = -1
+        for i, t in enumerate(spans):
+            if j >= i:
+                continue
+            j = i
+            left, right = t.start, t.end
+            if self.charlimit and right > self.charlimit:
+                break
+            currentlen = right - left
+            while j < len(spans) - 1 and currentlen < self.maxchars:
+                nxt = spans[j + 1]
+                if nxt.end - right <= self.surround and nxt.end - left <= self.maxchars:
+                    j += 1
+                    currentlen += nxt.end - nxt.start
+                    right = nxt.end
+                else:
+                    break
+            lo = max(0, left - self.surround)
+            hi = min(len(text), right + self.surround)
+            group = spans[i : j + 1]
+            if self.autotrim:
+                lo, hi = self._autotrim(text, lo, hi, group)
+            frags.append(Fragment(lo, hi, tuple(group)))
         return frags
 
-    def _make(self, text: str, group: list[Span]) -> Fragment:
-        lo = max(0, group[0].start - self.surround)
-        hi = min(len(text), group[-1].end + self.surround)
-        if self.autotrim:
-            sp = text.find(" ", lo, group[0].start)
-            if lo > 0 and sp > -1:
-                lo = sp + 1
-            sp = text.rfind(" ", group[-1].end, hi)
-            if hi < len(text) and sp > -1:
-                hi = sp
-        return Fragment(lo, hi, tuple(group))
+    def fragment_tokens(
+        self, text: str, tokens: list[tuple[int, int, bool, str]]
+    ) -> list[Fragment]:
+        return self.fragments(
+            text, [Span(s, e, tok) for s, e, matched, tok in tokens if matched]
+        )
+
+    @staticmethod
+    def _autotrim(text: str, lo: int, hi: int, group: list[Span]):
+        firstspace = text.find(" ", lo, hi)
+        if firstspace > 0:
+            lo = firstspace + 1
+        lastspace = text.rfind(" ", lo, hi)
+        if lastspace > 0:
+            hi = lastspace
+        if group:
+            lo = min(lo, group[0].start)
+            hi = max(hi, group[-1].end)
+        return lo, hi
 
 
 def basic_fragment_score(f: Fragment) -> float:
