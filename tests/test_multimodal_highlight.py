@@ -73,7 +73,7 @@ def test_highlight_html_escapes():
     out = highlight(
         text, ["search"], fragmenter=WholeFragmenter(), formatter=HtmlFormatter()
     )
-    assert '<strong class="match">search</strong>' in out
+    assert '<strong class="match term0">search</strong>' in out
     assert "&lt;b&gt;" in out
 
 

@@ -160,12 +160,44 @@ def _ref_search(reference_searcher, ref_q, limit):
     return c.results()
 
 
+def _andmaybe_under_compound(q, inside=False) -> bool:
+    """True when an AndMaybe sits under And/Require/Sequence (or another
+    AndMaybe's side): there the reference's AndMaybeMatcher.skip_to drops
+    the maybe bonus when the required side overshoots the skip target
+    (matching/binary.py:713-721 — its own bug, pinned in
+    test_search_differential.test_reference_andmaybe_skipto_bug_documented),
+    so scores are only doc-set-comparable."""
+    t = type(q).__name__
+    if t == "AndMaybe" and inside:
+        return True
+    if hasattr(q, "children"):
+        kids = list(q.children)
+    elif hasattr(q, "a"):
+        kids = [q.a, q.b]
+    elif hasattr(q, "child"):
+        kids = [q.child]
+    else:
+        kids = []
+    nested = inside or t in ("And", "Require", "Sequence", "Ordered")
+    return any(_andmaybe_under_compound(c, nested) for c in kids)
+
+
 def test_randomized_query_trees(searcher, reference_searcher, vocab, bigrams):
     rng = np.random.default_rng(SEED)
-    checked = nonempty = 0
+    checked = nonempty = setwise = 0
     for i in range(N_TREES):
         mine_q, ref_q = _gen_tree(rng, vocab, MAX_DEPTH, bigrams)
         limit = int(rng.choice([1, 10, 50]))
+        if _andmaybe_under_compound(mine_q):
+            # reference skip_to bug territory: compare the full doc SET
+            r = _ref_search(reference_searcher, ref_q, 10**9)
+            ref_ids = sorted(hit["doc_id"] for hit in r)
+            t = searcher.search(mine_q, limit=None).to_pydict()
+            assert sorted(t["doc_id"]) == ref_ids, f"tree #{i} set: {mine_q!r}"
+            setwise += 1
+            checked += 1
+            nonempty += bool(ref_ids)
+            continue
         r = _ref_search(reference_searcher, ref_q, limit)
         ref = [(hit["doc_id"], r.score(j)) for j, hit in enumerate(r)]
         t = searcher.search(mine_q, limit=limit).to_pydict()
@@ -178,8 +210,10 @@ def test_randomized_query_trees(searcher, reference_searcher, vocab, bigrams):
         ), f"tree #{i} score mismatch: {mine_q!r}"
         checked += 1
         nonempty += bool(ref)
-    # the sweep must exercise real matches, not degenerate empties
+    # the sweep must exercise real matches, not degenerate empties, and the
+    # set-only carve-out must stay a small minority of the trees
     assert checked == N_TREES and nonempty > N_TREES // 2
+    assert setwise < N_TREES // 3
 
 
 def test_multiterm_bm25_on_big_corpus(ray_session, tmp_path):

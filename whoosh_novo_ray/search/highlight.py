@@ -142,14 +142,22 @@ class ContextFragmenter:
                 currentlen += tlength
                 countdown -= tlength
                 if countdown <= 0:
-                    frags.append(Fragment(first, e, tuple(tks)))
+                    # first may be None on the oversized-token edge (a token
+                    # longer than maxchars trips the size branch before any
+                    # match opened the fragment); reference mkfrag defaults
+                    # the start to 0 there (highlight.py:70-71)
+                    frags.append(
+                        Fragment(first if first is not None else 0, e, tuple(tks))
+                    )
                     tks = []
                     firsts = deque()
                     first = None
                     currentlen = 0
             endchar = e
         if tks:
-            frags.append(Fragment(first, endchar, tuple(tks)))
+            frags.append(
+                Fragment(first if first is not None else 0, endchar, tuple(tks))
+            )
         return frags
 
     def fragments(self, text: str, spans: list[Span]) -> list[Fragment]:
@@ -333,22 +341,51 @@ class UppercaseFormatter:
         return "".join(out)
 
 
-@dataclass
 class HtmlFormatter:
-    tagname: str = "strong"
-    classname: str = "match"
+    """Reference HtmlFormatter (highlight.py:769-846): every matched token
+    gets ``class="<classname> <termclass><N>"`` where N is assigned per
+    distinct matched text in first-seen order and recycled mod
+    ``maxclasses``; the ``seen`` map persists across fragments/calls so the
+    same term keeps its class (call ``clean()`` between searches);
+    everything is escaped with quote=False (quotes pass through)."""
+
+    def __init__(
+        self,
+        tagname: str = "strong",
+        classname: str = "match",
+        termclass: str = "term",
+        maxclasses: int = 5,
+        attrquote: str = '"',
+    ):
+        self.tagname = tagname
+        self.classname = classname
+        self.termclass = termclass
+        self.maxclasses = maxclasses
+        self.attrquote = attrquote
+        self.seen: dict[str, int] = {}
+
+    def clean(self) -> None:
+        self.seen = {}
 
     def format_fragment(self, text: str, f: Fragment) -> str:
         out = []
         pos = f.start
+        esc = lambda s: _html.escape(s, quote=False)  # noqa: E731
         for m in _fragment_matches(f):
-            out.append(_html.escape(text[pos : m.start]))
+            out.append(esc(text[pos : m.start]))
+            ttext = esc(text[m.start : m.end])
+            if ttext in self.seen:
+                termnum = self.seen[ttext]
+            else:
+                termnum = len(self.seen) % self.maxclasses
+                self.seen[ttext] = termnum
+            q = self.attrquote
             out.append(
-                f'<{self.tagname} class="{self.classname}">'
-                f"{_html.escape(text[m.start:m.end])}</{self.tagname}>"
+                f"<{self.tagname} class={q}{self.classname} "
+                f"{self.termclass}{termnum}{q}>{ttext}</{self.tagname}>"
             )
             pos = m.end
-        out.append(_html.escape(text[pos : f.end]))
+        out.append(esc(text[pos : f.end]))
         return "".join(out)
 
 
