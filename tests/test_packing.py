@@ -133,3 +133,25 @@ def test_chunk_rejects_bad_stride(ray_session):
     docs = _ds({"doc_id": [1], "text": ["a b c"]})
     with pytest.raises(ValueError):
         chunk_documents(docs, chunk_tokens=4, stride=8)
+
+
+def test_pii_scrub_semantics(ray_session):
+    from whoosh_novo_ray.ops.curation import pii_scrub_table
+
+    docs = _ds(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "mail bob.smith+x@foo-bar.co.uk or sue@a.io now",
+                "server 10.0.0.1 and 255.255.255.0 up; call +1 (415) 555-2671",
+                "clean text with no contact details at all",
+            ],
+        }
+    )
+    t = pii_scrub_table(docs).materialize().to_pandas().sort_values("doc_id")
+    r1, r2, r3 = [t[t.doc_id == i].iloc[0] for i in (1, 2, 3)]
+    assert r1.n_email == 2 and r1.n_pii == 2
+    assert r1.clean_text == "mail <EMAIL> or <EMAIL> now"
+    assert r2.n_ip == 2 and r2.n_phone == 1 and r2.n_email == 0
+    assert r2.clean_text == "server <IP> and <IP> up; call <PHONE>"
+    assert r3.n_pii == 0 and r3.clean_text.startswith("clean text")

@@ -299,6 +299,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _collect(fingerprint_table(_docs_ds(sf_dir)))
         ).sort_by("doc_id")
 
+    def pii_scrub(sf_dir):
+        """Typed PII scrubbing (emails/IPs/phones -> tags + counts). The
+        synthetic corpus has no natural PII, so both sides append a
+        deterministic doc-keyed contact line before scrubbing."""
+        import pyarrow.compute as pc
+
+        from whoosh_novo_ray.ops.curation import pii_scrub_table
+
+        def inject(batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            ids = batch["doc_id"].cast(pa.int64())
+            tail = pc.binary_join_element_wise(
+                pa.array(["contact user"] * n),
+                pc.cast(ids, pa.string()),
+                pa.array(["@example.com or 10.0."] * n),
+                pc.cast(pc.bit_wise_and(ids, pa.scalar(255, pa.int64())), pa.string()),
+                pa.array([".1 now"] * n),
+                "",
+            )
+            text = pc.binary_join_element_wise(batch["text"], tail, " ")
+            return pa.table({"doc_id": ids, "text": text})
+
+        ds = _docs_ds(sf_dir).map_batches(
+            inject, batch_format="pyarrow", zero_copy_batch=True
+        )
+        return pa.concat_tables(_collect(pii_scrub_table(ds))).sort_by("doc_id")
+
     def chunked(sf_dir):
         """Sliding context-window chunks (64 tokens, stride 48)."""
         from whoosh_novo_ray.ops.packing import chunk_documents
@@ -849,6 +876,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_windows": chunked,
         "pack_sequences": packed,
         "stratified_sample": stratified,
+        "pii_scrub": pii_scrub,
         "dedup_exact": dedup_exact,
         "jaccard_pairs": jaccard_pairs,
         "minhash_candidates": minhash_cands,
@@ -1172,6 +1200,33 @@ SELECT doc_id::BIGINT AS doc_id, n_tokens,
           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048
        )::BIGINT AS pack_id
 FROM n ORDER BY doc_id""",
+        # the PII patterns apply sequentially, each counting against the
+        # already-scrubbed text — the nested CTEs mirror ops/curation.py
+        "pii_scrub": r"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@example.com or 10.0.'
+              || (doc_id & 255) || '.1 now' AS t
+  FROM documents
+), s1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_email,
+         regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t
+  FROM aug
+), s2 AS (
+  SELECT doc_id, n_email,
+         len(regexp_extract_all(t, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b'))::BIGINT AS n_ip,
+         regexp_replace(t, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS t
+  FROM s1
+), s3 AS (
+  SELECT doc_id, n_email, n_ip,
+         len(regexp_extract_all(t, '\+?[0-9][0-9()\-\s]{7,}[0-9]'))::BIGINT AS n_phone,
+         regexp_replace(t, '\+?[0-9][0-9()\-\s]{7,}[0-9]', '<PHONE>', 'g') AS t
+  FROM s2
+)
+SELECT doc_id::BIGINT AS doc_id, n_email, n_ip, n_phone,
+       (n_email + n_ip + n_phone)::BIGINT AS n_pii, t AS clean_text
+FROM s3 ORDER BY doc_id""",
         # thresholds = int(rate * 2**32) for rates en 0.3 / zh 0.8 / es 0.5,
         # everything else kept (4294967296 > any u32 draw)
         "stratified_sample": """
