@@ -121,16 +121,24 @@ def chunk_documents(
     )
 
 
-def _token_counts(batch: pa.Table, range_width: int) -> pa.Table:
+def _token_counts(
+    batch: pa.Table, range_width: int, keep_cols: tuple = ()
+) -> pa.Table:
     offsets, _flat = _ws_tokens(batch["text"])
     n = pa.array(np.diff(offsets), pa.int64())
     doc_id = batch["doc_id"].cast(pa.int64())
     rng = pc.divide(doc_id, pa.scalar(range_width, pa.int64()))
-    return pa.table({"doc_id": doc_id, "n_tokens": n, "rng": rng})
+    cols = {"doc_id": doc_id, "n_tokens": n, "rng": rng}
+    for c in keep_cols:
+        cols[c] = batch[c]
+    return pa.table(cols)
 
 
 def pack_sequences(
-    docs: "ray.data.Dataset", budget: int = 2048, range_width: int = 4096
+    docs: "ray.data.Dataset",
+    budget: int = 2048,
+    range_width: int = 4096,
+    keep_cols: tuple = (),
 ) -> "ray.data.Dataset":
     """Assign docs (in doc_id order) to fixed token-budget packs.
 
@@ -149,7 +157,7 @@ def pack_sequences(
          vectorized pass seeded with the driver's offset for that range.
     """
     counted = docs.map_batches(
-        lambda b: _token_counts(b, range_width),
+        lambda b: _token_counts(b, range_width, keep_cols),
         batch_format="pyarrow",
         zero_copy_batch=True,
     ).materialize()
@@ -177,22 +185,24 @@ def pack_sequences(
         ids = g["doc_id"].to_numpy()
         n = g["n_tokens"].to_numpy()
         if len(ids) == 0:
-            return pa.table(
-                {
-                    "doc_id": pa.array([], pa.int64()),
-                    "n_tokens": pa.array([], pa.int64()),
-                    "pack_id": pa.array([], pa.int64()),
-                }
-            )
+            cols = {
+                "doc_id": pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+                "pack_id": pa.array([], pa.int64()),
+            }
+            for c in keep_cols:
+                cols[c] = pa.array([], group.schema.field(c).type)
+            return pa.table(cols)
         off = offsets[int(ids[0]) // range_width]
         before = off + np.cumsum(n) - n
-        return pa.table(
-            {
-                "doc_id": pa.array(ids, pa.int64()),
-                "n_tokens": pa.array(n, pa.int64()),
-                "pack_id": pa.array(before // budget, pa.int64()),
-            }
-        )
+        cols = {
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_tokens": pa.array(n, pa.int64()),
+            "pack_id": pa.array(before // budget, pa.int64()),
+        }
+        for c in keep_cols:
+            cols[c] = g[c]
+        return pa.table(cols)
 
     return counted.groupby("rng").map_groups(assign, batch_format="pyarrow")
 

@@ -141,3 +141,80 @@ def curated_corpus(
             }
         )
     return pa.concat_tables(tables).sort_by("doc_id")
+
+
+def training_rows(
+    docs: "ray.data.Dataset",
+    chunk_tokens: int = 64,
+    stride: int = 48,
+    pack_budget: int = 512,
+    chunk_key_bits: int = 20,
+) -> "ray.data.Dataset":
+    """The shaping tail of a training-data pipeline, composed end-to-end:
+
+        documents
+          -> PII scrub            (typed tags, streaming RE2)
+          -> context-window chunk (sliding token windows over clean_text)
+          -> sequence packing     (fixed token budget over the global
+                                   (doc_id, chunk_idx) order)
+          => (doc_id, chunk_idx, n_chunk_tokens, chunk_text, pack_id)
+
+    All three stages are streaming map_batches except the packing
+    prefix-sum (one tiny per-range groupby + one range shuffle — see
+    ops/packing.pack_sequences). Chunks are ordered globally by the
+    composite key ``doc_id << chunk_key_bits | chunk_idx``; with the
+    default 20 bits a doc may contribute up to ~1M chunks and doc ids up
+    to 2^43 stay exact in int64 — at web scale raise ``chunk_key_bits``
+    per corpus shape.
+    """
+    from whoosh_novo_ray.ops.curation import pii_scrub_table
+    from whoosh_novo_ray.ops.packing import chunk_documents, pack_sequences
+
+    clean = pii_scrub_table(docs).select_columns(["doc_id", "clean_text"])
+
+    def as_text(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": batch["doc_id"], "text": batch["clean_text"]}
+        )
+
+    chunks = chunk_documents(
+        clean.map_batches(as_text, batch_format="pyarrow", zero_copy_batch=True),
+        chunk_tokens=chunk_tokens,
+        stride=stride,
+    )
+
+    shift = np.int64(chunk_key_bits)
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].cast(pa.int64()).to_numpy()
+        c = batch["chunk_idx"].cast(pa.int64()).to_numpy()
+        key = (d << shift) | c
+        return pa.table(
+            {
+                "doc_id": pa.array(key, pa.int64()),
+                "text": batch["chunk_text"],
+            }
+        )
+
+    packed = pack_sequences(
+        chunks.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True),
+        budget=pack_budget,
+        # a prefix-sum range spans 4096 source docs (the per-range table on
+        # the driver stays corpus_size/4096 rows, never per doc/chunk)
+        range_width=1 << (chunk_key_bits + 12),
+        keep_cols=("text",),
+    )
+
+    def unkey(batch: pa.Table) -> pa.Table:
+        key = batch["doc_id"].to_numpy()
+        return pa.table(
+            {
+                "doc_id": pa.array(key >> shift, pa.int64()),
+                "chunk_idx": pa.array(key & ((1 << int(shift)) - 1), pa.int64()),
+                "n_chunk_tokens": batch["n_tokens"].cast(pa.int64()),
+                "pack_id": batch["pack_id"].cast(pa.int64()),
+                "chunk_text": batch["text"],
+            }
+        )
+
+    return packed.map_batches(unkey, batch_format="pyarrow", zero_copy_batch=True)

@@ -326,6 +326,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return pa.concat_tables(_collect(pii_scrub_table(ds))).sort_by("doc_id")
 
+    def training_rows_q(sf_dir):
+        """Composed shaping tail: PII scrub -> sliding chunk -> pack."""
+        from whoosh_novo_ray.pipelines.curation import training_rows
+
+        return pa.concat_tables(
+            _collect(
+                training_rows(
+                    _docs_ds(sf_dir), chunk_tokens=64, stride=48, pack_budget=512
+                )
+            )
+        ).sort_by([("doc_id", "ascending"), ("chunk_idx", "ascending")])
+
     def chunked(sf_dir):
         """Sliding context-window chunks (64 tokens, stride 48)."""
         from whoosh_novo_ray.ops.packing import chunk_documents
@@ -877,6 +889,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": packed,
         "stratified_sample": stratified,
         "pii_scrub": pii_scrub,
+        "training_rows": training_rows_q,
         "dedup_exact": dedup_exact,
         "jaccard_pairs": jaccard_pairs,
         "minhash_candidates": minhash_cands,
@@ -1200,6 +1213,33 @@ SELECT doc_id::BIGINT AS doc_id, n_tokens,
           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048
        )::BIGINT AS pack_id
 FROM n ORDER BY doc_id""",
+        # composed shaping tail: the pack_id is the window cumsum of chunk
+        # token counts over the global (doc_id, chunk_idx) order
+        "training_rows": r"""
+WITH clean AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+           '\+?[0-9][0-9()\-\s]{7,}[0-9]', '<PHONE>', 'g') AS ct
+  FROM documents
+), toks AS (
+  SELECT doc_id, regexp_extract_all(ct, '\S+') AS t FROM clean
+), starts AS (
+  SELECT doc_id, t, unnest(generate_series(0, len(t) - 1, 48)) AS start
+  FROM toks WHERE len(t) > 0
+), chunks AS (
+  SELECT doc_id,
+         (start // 48)::BIGINT AS chunk_idx,
+         least(64, len(t) - start)::BIGINT AS n_chunk_tokens,
+         array_to_string(t[start + 1 : start + 64], ' ') AS chunk_text
+  FROM starts
+)
+SELECT doc_id::BIGINT AS doc_id, chunk_idx, n_chunk_tokens, chunk_text,
+       (COALESCE(SUM(n_chunk_tokens) OVER (ORDER BY doc_id, chunk_idx
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512
+       )::BIGINT AS pack_id
+FROM chunks ORDER BY doc_id, chunk_idx""",
         # the PII patterns apply sequentially, each counting against the
         # already-scrubbed text — the nested CTEs mirror ops/curation.py
         "pii_scrub": r"""
