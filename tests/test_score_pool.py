@@ -392,3 +392,20 @@ def test_search_async_matches_sync(spool, built_index):
     refs = [spool.search_async(q, limit=10) for q in qs * 5]  # 20 in flight
     for i, t in enumerate(ray.get(refs)):
         assert t.to_pydict() == sync[i % len(qs)]
+
+
+def test_search_many_async_matches_sync(spool, built_index):
+    """Micro-batched serving path parity, including a local-fallback query
+    spliced back into its batch position."""
+    import ray
+
+    qs = [
+        Term("search"),
+        Or(Term("search"), Term("data")),
+        Phrase(["search", "data"]),
+        Every(),
+        Or(Term("search"), Term("data"), scale=0.9),
+    ]
+    sync = [spool.search(q, limit=10).to_pydict() for q in qs]
+    got = [t.to_pydict() for t in ray.get(spool.search_many_async(qs, limit=10))]
+    assert got == sync

@@ -170,6 +170,21 @@ class ScoreServer:
         """Top-``limit`` (score desc, doc_id asc) over THIS actor's docs."""
         return self._searcher(gstats, weighting).search(q, limit=limit)
 
+    def score_many(
+        self,
+        qs: list[Q.Query],
+        limit: int | None,
+        gstats: dict[str, tuple[int, float, float]],
+        weighting: WeightingModel | None = None,
+    ) -> list[pa.Table]:
+        """One remote round-trip for a MICRO-BATCH of queries (the serving
+        throughput path): Ray task submission costs ~0.5 ms per call on the
+        driver, so fanning out per query caps a pool at ~200 QPS regardless
+        of actor count — batching B queries per call divides that by B.
+        ``gstats`` is the union map for the whole batch."""
+        s = self._searcher(gstats, weighting)
+        return [s.search(q, limit=limit) for q in qs]
+
     def wand(
         self,
         terms: list[str],
@@ -295,6 +310,15 @@ class ScoreServer:
 def _merge_topk_task(limit: int | None, *parts: pa.Table) -> pa.Table:
     """Task-shaped _merge_topk for the async serving path (search_async)."""
     return _merge_topk(list(parts), limit)
+
+
+@ray.remote(num_cpus=0.25)
+def _merge_many_task(
+    limit: int | None, *actor_results: list[pa.Table]
+) -> list[pa.Table]:
+    """Merge a micro-batch: one aligned result list per actor."""
+    n = len(actor_results[0])
+    return [_merge_topk([ar[i] for ar in actor_results], limit) for i in range(n)]
 
 
 def _merge_topk(parts: list[pa.Table], limit: int | None) -> pa.Table:
@@ -546,6 +570,54 @@ class ScorePool:
         gstats = self._gstats(self._stat_terms(q2))
         futs = [a.score.remote(q2, limit, gstats, weighting) for a in self._actors]
         return _merge_topk_task.remote(limit, *futs)
+
+    def search_many_async(
+        self,
+        queries: list[Q.Query],
+        limit: int | None = 10,
+        weighting: WeightingModel | None = None,
+    ) -> "ray.ObjectRef":
+        """Micro-batched non-blocking search: ONE remote call per actor for
+        the whole batch plus one merge task, so the driver's per-query
+        submission cost is ~(actors+1)/B remote calls. Returns an ObjectRef
+        resolving to a list of merged top-k tables aligned with ``queries``.
+        Queries needing the local fallback are evaluated eagerly."""
+        rewritten = []
+        stat_terms: set[str] = set()
+        local: dict[int, pa.Table] = {}
+        for i, q in enumerate(queries):
+            if self._needs_fallback(q):
+                s = Searcher(self.index, weighting=weighting)
+                local[i] = s.search(q, limit=limit)
+                rewritten.append(None)
+                continue
+            q2 = self._rewrite(q)
+            rewritten.append(q2)
+            stat_terms.update(self._stat_terms(q2))
+        remote_qs = [q2 for q2 in rewritten if q2 is not None]
+        if not remote_qs:
+            return ray.put([local[i] for i in range(len(queries))])
+        gstats = self._gstats(sorted(stat_terms))
+        futs = [
+            a.score_many.remote(remote_qs, limit, gstats, weighting)
+            for a in self._actors
+        ]
+        merged_ref = _merge_many_task.remote(limit, *futs)
+        if not local:
+            return merged_ref
+
+        @ray.remote(num_cpus=0)
+        def _splice(merged):
+            out, j = [], 0
+            for i in range(len(queries)):
+                if i in local:
+                    out.append(local[i])
+                else:
+                    out.append(merged[j])
+                    j += 1
+            return out
+
+        return _splice.remote(merged_ref)
 
     def wand_topk(
         self,
