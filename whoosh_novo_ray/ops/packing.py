@@ -35,6 +35,7 @@ import pyarrow.compute as pc
 
 import ray.data
 
+
 def _ws_tokens(col: pa.ChunkedArray | pa.Array) -> tuple[np.ndarray, pa.Array]:
     """(offsets, flat tokens) of the ``\\S+`` tokens of each string.
 

@@ -321,6 +321,21 @@ def _merge_many_task(
     return [_merge_topk([ar[i] for ar in actor_results], limit) for i in range(n)]
 
 
+@ray.remote(num_cpus=0)
+def _splice_task(
+    n: int, local: dict[int, pa.Table], merged: list[pa.Table]
+) -> list[pa.Table]:
+    """Put eagerly-evaluated fallback results back in their batch slots."""
+    out, j = [], 0
+    for i in range(n):
+        if i in local:
+            out.append(local[i])
+        else:
+            out.append(merged[j])
+            j += 1
+    return out
+
+
 def _merge_topk(parts: list[pa.Table], limit: int | None) -> pa.Table:
     """k-way merge of per-shard result tables — the reference tie-break
     (score desc, doc_id asc), truncated to limit. Shards partition the doc
@@ -605,19 +620,7 @@ class ScorePool:
         merged_ref = _merge_many_task.remote(limit, *futs)
         if not local:
             return merged_ref
-
-        @ray.remote(num_cpus=0)
-        def _splice(merged):
-            out, j = [], 0
-            for i in range(len(queries)):
-                if i in local:
-                    out.append(local[i])
-                else:
-                    out.append(merged[j])
-                    j += 1
-            return out
-
-        return _splice.remote(merged_ref)
+        return _splice_task.remote(len(queries), local, merged_ref)
 
     def wand_topk(
         self,
