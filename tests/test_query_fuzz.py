@@ -290,9 +290,14 @@ def test_pool_fuzz_matches_local(ray_session, built_index, pages_table, vocab, b
             limit = int(rng.choice([1, 10, 50]))
             a = local.search(q, limit=limit).to_pydict()
             b = pool.search(q, limit=limit).to_pydict()
-            assert a["doc_id"] == b["doc_id"], f"pool tree #{i}: {q!r}"
-            assert a["score"] == pytest.approx(b["score"], rel=1e-12), (
-                f"pool tree #{i}: {q!r}"
-            )
+            # strip the score-0 tail: the array-path Or's keep-initial-
+            # position-at-score-0 quirk is global-min-relative, which doc
+            # shards can't reproduce (see ShardSearcher docstring)
+            am = [(d, s) for d, s in zip(a["doc_id"], a["score"]) if s > 0]
+            bm = [(d, s) for d, s in zip(b["doc_id"], b["score"]) if s > 0]
+            assert [d for d, _ in am] == [d for d, _ in bm], f"pool tree #{i}: {q!r}"
+            assert [s for _, s in am] == pytest.approx(
+                [s for _, s in bm], rel=1e-12
+            ), f"pool tree #{i}: {q!r}"
     finally:
         pool.shutdown()

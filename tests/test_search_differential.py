@@ -286,3 +286,39 @@ def test_reference_andmaybe_skipto_bug_documented(ray_session, tmp_path):
     )
     assert mine_and[10] == pytest.approx(aa[10] + bb[10] + cc[10])
     rs.close()
+
+
+def test_array_path_or_drops_zero_scored_docs(searcher, reference_searcher):
+    """The reference's array-path Or (>=3 children on a <=5000-doc corpus)
+    never yields docs whose summed score is 0 — ArrayUnionMatcher._find_next
+    requires a[i] > 0 (combo.py:232-235). A nested scaled Or whose built
+    tree has ONE term matcher scores every doc 0 ((tc-1)/tc), so docs
+    matched only through it vanish from the enclosing Or. Found by the
+    fuzzer (seed 60 tree 15); full rank+score parity pinned here."""
+    from whoosh import query as wq
+    from whoosh.collectors import TopCollector
+
+    # 'the' is a stopword (absent from the index) -> the phrase builds a
+    # NullMatcher; 'data' is the single live term matcher -> tc == 1
+    zeroing = Or(Phrase(["index", "the"]), Term("data"), scale=0.9)
+    rz = wq.Or(
+        [wq.Phrase("text", ["index", "the"]), wq.Term("text", "data")], scale=0.9
+    )
+    outer = Or(zeroing, Term("xzcjtvd"), Term("zzzznope"))
+    router = wq.Or([rz, wq.Term("text", "xzcjtvd"), wq.Term("text", "zzzznope")])
+
+    c = TopCollector(limit=10**9, usequality=False, replace=0)
+    reference_searcher.search_with_collector(router, c)
+    r = c.results()
+    ref = [(h["doc_id"], round(r.score(j), 9)) for j, h in enumerate(r)]
+    t = searcher.search(outer, limit=None)
+    mine = [
+        (d, round(sc, 9))
+        for d, sc in zip(t["doc_id"].to_pylist(), t["score"].to_pylist())
+    ]
+    assert mine == ref
+    # sanity: the zeroing child alone DOES match docs (score 0, kept when
+    # evaluated standalone) — the drop is the array-path parent's doing
+    alone = searcher.search(zeroing, limit=None)
+    assert len(alone) > 0 and set(alone["score"].to_pylist()) == {0.0}
+    assert len(mine) < len(alone) + len(searcher.search(Term("xzcjtvd"), limit=None))

@@ -126,6 +126,11 @@ def _merge_sum(parts: list[Posting]) -> tuple[np.ndarray, np.ndarray, np.ndarray
 
 
 class Searcher:
+    # array-path Or keeps its initial-position doc even at score <= 0
+    # (reference ArrayUnionMatcher quirk); doc shards can't see the global
+    # minimum, so ShardSearcher turns this off — see the Or branch below
+    _or_zero_keep_first = True
+
     def __init__(
         self,
         index: Index,
@@ -263,6 +268,24 @@ class Searcher:
                     )
                 return ids, scores
             ids, scores, _ = _merge_sum([self.postings(c) for c in q.children])
+            if multiterm_constant_score(len(q.children), self.index.doc_count):
+                # the reference's array-path Or (AUTO heuristic -> Preloaded
+                # ArrayUnionMatcher) skips docs whose summed score is <= 0
+                # (_find_next requires a[i] > 0, combo.py:232-235) — docs
+                # matched only by a zero-scoring child, e.g. a nested scaled
+                # Or whose termcount degenerates to 1, vanish from the doc
+                # set — EXCEPT the matcher's initial position (the minimum
+                # doc id, set in __init__ without the a[i] check), which is
+                # yielded regardless. The binary-tree path (2 children / big
+                # corpus / scaled) keeps every doc. Found by the fuzzer.
+                # The positional exception is GLOBAL-min-relative, which a
+                # doc shard can't know — ShardSearcher disables it (at most
+                # one score-0 tail doc of difference, documented there).
+                keep = scores > 0
+                if len(keep) and self._or_zero_keep_first:
+                    keep[0] = True
+                if not keep.all():
+                    ids, scores = ids[keep], scores[keep]
             return ids, scores
 
         if isinstance(q, Q.And):

@@ -68,7 +68,16 @@ class ShardSearcher(Searcher):
 
     Term lookups filter the in-memory shard tables (no I/O); term stats come
     from the driver-shipped global map, so idf / SQR coordination / WAND
-    block-max thresholds all see the whole collection."""
+    block-max thresholds all see the whole collection.
+
+    Known degenerate-case divergence: the array-path Or's keep-the-initial-
+    position-even-at-score-0 quirk (see Searcher) is relative to the GLOBAL
+    minimum doc id, which a shard can't see — shards drop ALL score-<=0 docs
+    instead, so a pooled result may lack at most one score-0 tail doc vs the
+    single-process Searcher when a query contains a zero-scoring Or child
+    (only producible by a scaled Or whose termcount degenerates to 1)."""
+
+    _or_zero_keep_first = False
 
     def __init__(
         self,
