@@ -223,6 +223,10 @@ class GenerationalIndex:
         """Drop the given doc ids in a new generation (merge-with-deletes);
         only the segment sets actually containing them are rewritten."""
         cur = self.current_path()
+        if cur is None:
+            raise FileNotFoundError(
+                f"no generations in {self.root}: nothing to delete from"
+            )
         gen = self.current_generation() + 1
         ids = np.asarray(doc_ids, np.uint64)
         members = self._members(cur)

@@ -250,6 +250,10 @@ class AsyncWriter:
         self.gidx = gidx
         self._events: list[tuple[str, tuple]] = []
         self._thread: threading.Thread | None = None
+        # Serializes replays: overlapping commit() calls must not both read
+        # the same current generation and race CURRENT (the reference
+        # AsyncWriter serializes via the index write lock).
+        self._replay_lock = threading.Lock()
 
     def add_document(self, doc_id: int, text: str) -> None:
         self._events.append(("add", (int(doc_id), text)))
@@ -261,6 +265,10 @@ class AsyncWriter:
         self._events.append(("delete", (int(doc_id),)))
 
     def _replay(self, events: list[tuple[str, tuple]]) -> None:
+        with self._replay_lock:
+            self._replay_locked(events)
+
+    def _replay_locked(self, events: list[tuple[str, tuple]]) -> None:
         # collapse the event log into one delta: latest op per id wins
         docs: dict[int, str | None] = {}
         for op, args in events:
@@ -289,6 +297,11 @@ class AsyncWriter:
         events, self._events = self._events, []
         if not events:
             return
+        # Join the previous replay before spawning the next so generation
+        # numbering is strictly ordered even when callers never join().
+        prev = self._thread
+        if prev is not None and prev.is_alive():
+            prev.join()
         self._thread = threading.Thread(target=self._replay, args=(events,))
         self._thread.start()
 

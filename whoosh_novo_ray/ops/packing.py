@@ -180,6 +180,18 @@ def pack_sequences(
 
     offsets_ref = ray.put(offsets)
 
+    # groupby on the raw range key would pay one Python map_groups call per
+    # RANGE (~1e5 at 100 TB); shard ranges 64 ways instead and run the
+    # per-range cumsum as a vectorized segmented pass inside each shard
+    # (ranges are contiguous in doc_id order, so sorting the shard by doc_id
+    # makes each range one run).
+    def _add_shard(batch: pa.Table) -> pa.Table:
+        r = batch["rng"].to_numpy().astype(np.uint64)
+        shard = ((r * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(58)).astype(
+            np.int64
+        )
+        return batch.append_column("shard", pa.array(shard, pa.int64()))
+
     def assign(group: pa.Table) -> pa.Table:
         offsets = ray.get(offsets_ref)
         g = group.sort_by("doc_id")
@@ -194,8 +206,16 @@ def pack_sequences(
             for c in keep_cols:
                 cols[c] = pa.array([], group.schema.field(c).type)
             return pa.table(cols)
-        off = offsets[int(ids[0]) // range_width]
-        before = off + np.cumsum(n) - n
+        rngs = ids // range_width
+        csum = np.cumsum(n) - n
+        starts = np.flatnonzero(np.r_[True, rngs[1:] != rngs[:-1]])
+        seg_lens = np.diff(np.append(starts, len(ids)))
+        seg_off = np.fromiter(
+            (offsets[int(rngs[s])] for s in starts), np.int64, len(starts)
+        )
+        before = csum - np.repeat(csum[starts], seg_lens) + np.repeat(
+            seg_off, seg_lens
+        )
         cols = {
             "doc_id": pa.array(ids, pa.int64()),
             "n_tokens": pa.array(n, pa.int64()),
@@ -205,7 +225,10 @@ def pack_sequences(
             cols[c] = g[c]
         return pa.table(cols)
 
-    return counted.groupby("rng").map_groups(assign, batch_format="pyarrow")
+    sharded = counted.map_batches(
+        _add_shard, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return sharded.groupby("shard").map_groups(assign, batch_format="pyarrow")
 
 
 def _hash_u32(doc_ids: np.ndarray) -> np.ndarray:
@@ -233,13 +256,13 @@ class _StratFilter:
             len(groups),
         )
         keep = u < thr
-        return pa.table(
-            {
-                "doc_id": pa.array(ids[keep], pa.int64()),
-                self.group_col: pa.array(
-                    [g for g, k in zip(groups, keep) if k], pa.string()
-                ),
-            }
+        # filter the WHOLE batch: a downsampling op must pass every column
+        # through (text, attrs, ...), not just the id + group key
+        out = batch.filter(pa.array(keep))
+        return out.set_column(
+            out.column_names.index("doc_id"),
+            "doc_id",
+            out["doc_id"].cast(pa.int64()),
         )
 
 

@@ -40,10 +40,45 @@ import ray
 
 from whoosh_novo_ray.index.build import MANIFEST_NAME
 from whoosh_novo_ray.index.docshard import build_serving_shards, serving_dir_for
-from whoosh_novo_ray.index.segment import Index, _row_to_termrow
+from whoosh_novo_ray.index.segment import (
+    _SCORING_COLUMNS,
+    Index,
+    _row_to_termrow,
+)
 from whoosh_novo_ray.search import query as Q
 from whoosh_novo_ray.search.searcher import Searcher, _in_sorted
 from whoosh_novo_ray.search.scoring import WeightingModel
+
+
+class _LRUCache:
+    """Tiny bounded LRU over a plain dict (insertion order = recency;
+    reads move the entry to the back). Long-running serving processes must
+    not grow per-query caches without bound."""
+
+    def __init__(self, cap: int):
+        self.cap = int(cap)
+        self._d: dict = {}
+
+    def __contains__(self, k) -> bool:
+        return k in self._d
+
+    def __len__(self) -> int:
+        return len(self._d)
+
+    def __getitem__(self, k):
+        v = self._d.pop(k)
+        self._d[k] = v
+        return v
+
+    def __setitem__(self, k, v) -> None:
+        self._d.pop(k, None)
+        self._d[k] = v
+        while len(self._d) > self.cap:
+            self._d.pop(next(iter(self._d)))
+
+    def update(self, other: dict) -> None:
+        for k, v in other.items():
+            self[k] = v
 
 
 class _GlobalStatsView:
@@ -85,14 +120,24 @@ class ShardSearcher(Searcher):
         tables: list[pa.Table],
         gstats: dict[str, tuple[int, float, float]],
         weighting: WeightingModel | None = None,
+        paths: list[str] | None = None,
+        lazy_cols: list[str] | None = None,
     ):
         super().__init__(view, weighting=weighting)  # type: ignore[arg-type]
         self._tables = tables
         self._gstats = gstats
         self._universe = view._universe
+        # positional/chars blob columns NOT pinned in RAM: fetched per term
+        # from the shard files (term-sorted parquet, pushdown reads) on first
+        # positional use. paths align with tables.
+        self._paths = paths or []
+        self._lazy_cols = lazy_cols or []
 
     def _with_weighting(self, weighting: WeightingModel) -> "ShardSearcher":
-        sub = ShardSearcher(self.index, self._tables, self._gstats, weighting)
+        sub = ShardSearcher(
+            self.index, self._tables, self._gstats, weighting,
+            paths=self._paths, lazy_cols=self._lazy_cols,
+        )
         sub._term_cache = self._term_cache
         return sub
 
@@ -102,6 +147,20 @@ class ShardSearcher(Searcher):
             return
         for t in missing:
             self._term_cache[(t, with_positions)] = []
+        if with_positions and self._lazy_cols and self._paths:
+            # the pinned tables hold scoring columns only — positional rows
+            # come from disk, for exactly these terms (row-group pruning via
+            # the term-sorted layout + an isin row filter). Cached in the
+            # cross-query TermRow cache, so a hot phrase pays this once.
+            flt = pc.field("term").isin(sorted(missing))
+            for path, pinned in zip(self._paths, self._tables):
+                cols = list(pinned.column_names) + self._lazy_cols
+                sub = pq.read_table(path, columns=cols, filters=flt)
+                wc = "chars_blob" in sub.column_names
+                for i in range(len(sub)):
+                    tr = _row_to_termrow(sub, i, True, wc)
+                    self._term_cache[(tr.term, True)].append(tr)
+            return
         vs = pa.array(sorted(missing))
         for tbl in self._tables:
             sub = tbl.filter(pc.is_in(tbl["term"], value_set=vs))
@@ -124,23 +183,63 @@ class ShardSearcher(Searcher):
         return super().postings(q)
 
 
+def _collapse_keep_mask(keys: np.ndarray, per_key: int) -> np.ndarray:
+    """Boolean keep-mask for rank-within-key < per_key, where rows are
+    ALREADY in final priority order (score desc, doc_id asc). Vectorized:
+    a stable argsort groups equal keys while preserving the priority order
+    inside each group, run offsets give each row's rank in its group —
+    no per-row Python (a broad query can match millions of docs/shard)."""
+    n = len(keys)
+    if not n:
+        return np.zeros(0, bool)
+    order = np.argsort(keys, kind="stable")
+    sk = keys[order]
+    new_run = np.empty(n, bool)
+    new_run[0] = True
+    new_run[1:] = sk[1:] != sk[:-1]
+    starts = np.nonzero(new_run)[0]
+    run_lens = np.diff(np.append(starts, n))
+    ranks = np.arange(n) - np.repeat(starts, run_lens)
+    keep = np.empty(n, bool)
+    keep[order] = ranks < per_key
+    return keep
+
+
 @ray.remote
 class ScoreServer:
     """Pins a set of doc shards; evaluates queries over them end-to-end."""
 
     def __init__(self, serving_dir: str, shards: list[int]):
         self._shards = list(shards)
-        self._attr_cache: dict[tuple[str, str], pa.Table] = {}
+        self._attr_cache: _LRUCache = _LRUCache(8)
         with open(os.path.join(serving_dir, MANIFEST_NAME)) as f:
             man = json.load(f)
         self._doc_count = int(man["doc_count"])
         self._tfl = float(man["total_field_length"])
+        # Pin ONLY the scoring columns (+ wts_blob, which rides the tf slot
+        # in scoring): positional/chars/per-occurrence-boost blobs are the
+        # bulk of a positions-enabled segment and most queries never touch
+        # them — at fleet scale pinning them would hold the full uncompressed
+        # posting set in cluster RAM. They lazy-load per term on first
+        # positional use (ShardSearcher.prefetch_terms).
+        _LAZY = (
+            "block_pos_off", "pos_blob",
+            "block_chars_off", "chars_blob",
+            "pboosts_blob",
+        )
         self._tables: list[pa.Table] = []
+        self._paths: list[str] = []
+        self._lazy_cols: list[str] = []
         for b in man["buckets"]:
             if b["bucket"] in shards and b["path"]:
-                self._tables.append(
-                    pq.read_table(os.path.join(serving_dir, b["path"]))
-                )
+                p = os.path.join(serving_dir, b["path"])
+                names = pq.read_schema(p).names
+                pin = [c for c in _SCORING_COLUMNS if c in names]
+                if "wts_blob" in names:
+                    pin.append("wts_blob")
+                self._lazy_cols = [c for c in _LAZY if c in names]
+                self._tables.append(pq.read_table(p, columns=pin))
+                self._paths.append(p)
         parts = []
         for k in shards:
             p = os.path.join(serving_dir, "docmeta", f"bucket={k:05d}.parquet")
@@ -163,11 +262,18 @@ class ScoreServer:
 
     def _searcher(self, gstats, weighting) -> ShardSearcher:
         view = _GlobalStatsView(self._doc_count, self._tfl, self._universe)
-        s = ShardSearcher(view, self._tables, gstats, weighting)
+        s = ShardSearcher(
+            view, self._tables, gstats, weighting,
+            paths=self._paths, lazy_cols=self._lazy_cols,
+        )
         if len(self._tcache) > 50_000:
             self._tcache.clear()
         s._term_cache = self._tcache
         return s
+
+    def pinned_bytes(self) -> int:
+        """RAM held by the pinned scoring tables (the lazy-pinning metric)."""
+        return int(sum(t.nbytes for t in self._tables))
 
     def score(
         self,
@@ -241,7 +347,10 @@ class ScoreServer:
 
     def _matched_keys(self, q, gstats, attrs_dir, column, weighting):
         """(ids, scores, keys) for THIS shard's matches: key lookup is a
-        searchsorted into the actor's own attribute partition."""
+        searchsorted into the actor's own attribute partition. Matched docs
+        MISSING from the attrs table are dropped (mirroring the None-key
+        masking in sorting.facet_counts) rather than taking an out-of-bounds
+        position or a neighbor's key."""
         s = self._searcher(gstats, weighting)
         ids, scores = s.postings(q)
         if not len(ids):
@@ -249,6 +358,12 @@ class ScoreServer:
         tbl = self._attr_table(attrs_dir, column)
         aid = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
         pos = np.searchsorted(aid, ids)
+        found = pos < len(aid)
+        found[found] &= aid[pos[found]] == ids[found]
+        if not found.all():
+            ids, scores, pos = ids[found], scores[found], pos[found]
+        if not len(ids):
+            return ids, scores, np.empty(0, object)
         keys = tbl[column].take(pa.array(pos)).to_numpy(zero_copy_only=False)
         return ids, scores, keys
 
@@ -296,13 +411,7 @@ class ScoreServer:
             )
         order = np.lexsort((ids, -scores))
         ids, scores, keys = ids[order], scores[order], keys[order]
-        seen: dict = {}
-        keep = np.zeros(len(ids), bool)
-        for i, k in enumerate(keys):
-            c = seen.get(k, 0)
-            if c < per_key:
-                keep[i] = True
-                seen[k] = c + 1
+        keep = _collapse_keep_mask(keys.astype(str), per_key)
         return pa.table(
             {
                 "doc_id": pa.array(ids[keep], pa.uint64()),
@@ -419,7 +528,7 @@ class ScorePool:
             ScoreServer.remote(serving_dir, ks) for ks in assignments if ks
         ]
         ray.get([a.ping.remote() for a in self._actors])
-        self._stats_cache: dict[str, tuple[int, float, float]] = {}
+        self._stats_cache: _LRUCache = _LRUCache(200_000)
         self._driver_searcher = Searcher(self.index)
 
     @classmethod
@@ -736,13 +845,7 @@ class ScorePool:
         keys = tbl["key"].to_numpy(zero_copy_only=False)
         order = np.lexsort((ids, -scores))
         ids, scores, keys = ids[order], scores[order], keys[order]
-        seen: dict = {}
-        keep = np.zeros(len(ids), bool)
-        for i, k in enumerate(keys):
-            c = seen.get(k, 0)
-            if c < per_key:
-                keep[i] = True
-                seen[k] = c + 1
+        keep = _collapse_keep_mask(keys.astype(str), per_key)
         ids, scores, keys = ids[keep], scores[keep], keys[keep]
         if limit is not None:
             ids, scores, keys = ids[:limit], scores[:limit], keys[:limit]
