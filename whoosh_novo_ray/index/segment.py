@@ -81,6 +81,12 @@ class TermRow:
     # float32 PER-OCCURRENCE boosts parallel to the positions stream
     # (the PositionBoosts / CharacterBoosts payload, formats.py:345-430)
     pboosts_blob: bytes | None = None
+    # memoized full decodes: TermRows live in cross-query caches (Searcher /
+    # ScoreServer term caches), and varint_decode's fixed cost (~35 us/call)
+    # dominates hot repeated-term queries. Callers never mutate the returned
+    # arrays (they concatenate/fancy-index into fresh arrays).
+    _decoded: tuple | None = None
+    _decoded_pos: tuple | None = None
 
     @property
     def n_blocks(self) -> int:
@@ -116,6 +122,8 @@ class TermRow:
         Vectorized: one varint pass, then a segmented cumsum that honors the
         per-block absolute resets.
         """
+        if self._decoded is not None:
+            return self._decoded
         n = self.df
         deltas = varint_decode(self.ids_blob, n)
         c = np.cumsum(deltas, dtype=np.uint64)
@@ -131,7 +139,8 @@ class TermRow:
         else:
             tfs = varint_decode(self.tfs_blob, n)
         lens = np.frombuffer(self.lens_blob, np.uint8, count=n)
-        return ids, tfs, lens
+        self._decoded = (ids, tfs, lens)
+        return self._decoded
 
     def decode_block_positions(self, i: int) -> list[np.ndarray]:
         if self.pos_blob is None:
@@ -155,10 +164,13 @@ class TermRow:
         """(flat positions, per-posting counts) — counts equal the tfs."""
         if self.pos_blob is None:
             raise ValueError("index built without positions")
+        if self._decoded_pos is not None:
+            return self._decoded_pos
         from whoosh_novo_ray.codec import decode_positions_flat, varint_decode
 
         tfs = varint_decode(self.tfs_blob, self.df)
-        return decode_positions_flat(self.pos_blob, tfs)
+        self._decoded_pos = decode_positions_flat(self.pos_blob, tfs)
+        return self._decoded_pos
 
     def decode_tfs(self) -> np.ndarray:
         """True integer term frequencies (even on weighted indexes, where

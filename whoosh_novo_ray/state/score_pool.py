@@ -230,6 +230,7 @@ class ScoreServer:
         self._tables: list[pa.Table] = []
         self._paths: list[str] = []
         self._lazy_cols: list[str] = []
+        self._table_shards: list[int] = []  # bucket id per pinned table
         for b in man["buckets"]:
             if b["bucket"] in shards and b["path"]:
                 p = os.path.join(serving_dir, b["path"])
@@ -240,17 +241,21 @@ class ScoreServer:
                 self._lazy_cols = [c for c in _LAZY if c in names]
                 self._tables.append(pq.read_table(p, columns=pin))
                 self._paths.append(p)
+                self._table_shards.append(int(b["bucket"]))
+        self._shard_universe: dict[int, np.ndarray] = {}
         parts = []
         for k in shards:
             p = os.path.join(serving_dir, "docmeta", f"bucket={k:05d}.parquet")
             if os.path.exists(p):
-                parts.append(
-                    pq.read_table(p, columns=["doc_id"])["doc_id"].to_numpy(
-                        zero_copy_only=False
-                    )
+                u = np.sort(
+                    pq.read_table(p, columns=["doc_id"])["doc_id"]
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.uint64)
                 )
+                self._shard_universe[k] = u
+                parts.append(u)
         self._universe = (
-            np.sort(np.concatenate(parts).astype(np.uint64))
+            np.sort(np.concatenate(parts))
             if parts
             else np.empty(0, np.uint64)
         )
@@ -285,6 +290,54 @@ class ScoreServer:
         """Top-``limit`` (score desc, doc_id asc) over THIS actor's docs."""
         return self._searcher(gstats, weighting).search(q, limit=limit)
 
+    def score_deadline(
+        self,
+        q: Q.Query,
+        limit: int | None,
+        gstats: dict[str, tuple[int, float, float]],
+        budget_s: float,
+        weighting: WeightingModel | None = None,
+        _delay_per_table: float = 0.0,
+    ) -> tuple[pa.Table, bool]:
+        """Time-budgeted evaluation (reference TimeLimitCollector,
+        collectors.py:1012-1107: on expiry the partial results collected so
+        far remain available). The vectorized eval can't be interrupted
+        mid-kernel, so the check granularity is one pinned shard TABLE: the
+        actor searches its tables one at a time (scores are identical —
+        they depend only on the driver-shipped global stats — and shards
+        partition the doc space, so the per-table merge is exact) and checks
+        the clock before each. Returns (partial-or-full top-k, timed_out).
+
+        ``_delay_per_table`` is a test hook: sleep that long before each
+        table so deadline crossings land at deterministic table boundaries.
+        """
+        import time as _time
+
+        t0 = _time.perf_counter()
+        parts: list[pa.Table] = []
+        timed_out = False
+        for i, tbl in enumerate(self._tables):
+            if _time.perf_counter() - t0 > budget_s:
+                timed_out = True
+                break
+            if _delay_per_table:
+                _time.sleep(_delay_per_table)
+            k = self._table_shards[i]
+            view = _GlobalStatsView(
+                self._doc_count,
+                self._tfl,
+                self._shard_universe.get(k, np.empty(0, np.uint64)),
+            )
+            # fresh per-table searcher: the shared TermRow cache is keyed by
+            # term only, so sub-searchers over DIFFERENT table subsets must
+            # not share it
+            s = ShardSearcher(
+                view, [tbl], gstats, weighting,
+                paths=[self._paths[i]], lazy_cols=self._lazy_cols,
+            )
+            parts.append(s.search(q, limit=limit))
+        return _merge_topk(parts, limit), timed_out
+
     def score_many(
         self,
         qs: list[Q.Query],
@@ -307,12 +360,22 @@ class ScoreServer:
         gstats: dict[str, tuple[int, float, float]],
         weighting: WeightingModel | None = None,
         strategy: str = "auto",
+        timelimit: float | None = None,
     ) -> tuple[pa.Table, dict]:
-        from whoosh_novo_ray.search.wand import searcher_wand_topk
+        from whoosh_novo_ray.search.wand import TimeLimit, searcher_wand_topk
 
-        return searcher_wand_topk(
-            self._searcher(gstats, weighting), terms, k, strategy=strategy
-        )
+        try:
+            return searcher_wand_topk(
+                self._searcher(gstats, weighting),
+                terms,
+                k,
+                strategy=strategy,
+                timelimit=timelimit,
+            )
+        except TimeLimit as e:
+            # exceptions don't cross actor boundaries cleanly — ship the
+            # partial + flag, the pool re-raises driver-side
+            return e.partial, {**e.stats, "timed_out": True}
 
     def _attr_table(self, attrs_dir: str, column: str) -> pa.Table:
         """THIS actor's shards' slice of a doc-sharded attribute table
@@ -440,6 +503,15 @@ def _merge_many_task(
 
 
 @ray.remote(num_cpus=0)
+def _interleave_task(n: int, *chunks: list[pa.Table]) -> list[pa.Table]:
+    """Undo the strided replica split: chunk j holds results j, j+R, ..."""
+    out: list = [None] * n
+    for j, chunk in enumerate(chunks):
+        out[j :: len(chunks)] = chunk
+    return out
+
+
+@ray.remote(num_cpus=0)
 def _splice_task(
     n: int, local: dict[int, pa.Table], merged: list[pa.Table]
 ) -> list[pa.Table]:
@@ -493,10 +565,19 @@ class ScorePool:
         num_actors: int = 4,
         num_shards: int | None = None,
         serving_dir: str | None = None,
+        num_replicas: int = 1,
     ):
         """``index_path`` may be a list of doc-disjoint member index dirs
         (a generational MultiIndex): the serving shards union them, so a
-        MERGE_SMALL generation serves through the same actor pool."""
+        MERGE_SMALL generation serves through the same actor pool.
+
+        ``num_replicas`` > 1 creates REPLICA GROUPS: full copies of the
+        shard-set actor fleet, with each query routed (round-robin) to ONE
+        replica and fanned out only within it. Fan-out-to-all throughput
+        knees once per-actor per-query work approaches the ~1 ms dispatch
+        floor (BASELINE.md round-3 QPS anatomy); past that knee more actors
+        per replica buy nothing — more REPLICAS buy linear QPS at the cost
+        of pinning the (scoring-column) shard set once per replica."""
         if isinstance(index_path, str):
             self.index = Index(index_path)
             serving_dir = serving_dir or serving_dir_for(index_path)
@@ -524,10 +605,13 @@ class ScorePool:
         assignments: list[list[int]] = [[] for _ in range(num_actors)]
         for i, k in enumerate(all_shards):
             assignments[i % num_actors].append(k)
-        self._actors = [
-            ScoreServer.remote(serving_dir, ks) for ks in assignments if ks
+        self._replicas: list[list] = [
+            [ScoreServer.remote(serving_dir, ks) for ks in assignments if ks]
+            for _ in range(max(1, num_replicas))
         ]
-        ray.get([a.ping.remote() for a in self._actors])
+        self._actors = self._replicas[0]
+        self._rr = 0
+        ray.get([a.ping.remote() for grp in self._replicas for a in grp])
         self._stats_cache: _LRUCache = _LRUCache(200_000)
         self._driver_searcher = Searcher(self.index)
 
@@ -667,6 +751,12 @@ class ScorePool:
                     stack.append(c)
         return False
 
+    def _route(self) -> list:
+        """Next replica's actor set (round-robin)."""
+        grp = self._replicas[self._rr % len(self._replicas)]
+        self._rr += 1
+        return grp
+
     # -- search --------------------------------------------------------------
 
     def search(
@@ -674,13 +764,37 @@ class ScorePool:
         q: Q.Query,
         limit: int | None = 10,
         weighting: WeightingModel | None = None,
+        timelimit: float | None = None,
+        _delay_per_table: float = 0.0,
     ) -> pa.Table:
+        """With ``timelimit`` (seconds), each actor honors the budget
+        independently (shard-table check granularity — ScoreServer
+        .score_deadline); if ANY actor ran out, raises
+        :class:`whoosh_novo_ray.search.wand.TimeLimit` carrying the exact
+        merge of everything that DID finish in ``.partial`` (the reference
+        TimeLimitCollector contract: partial results stay available).
+        Local-fallback queries (Otherwise/Nested) ignore the deadline —
+        they evaluate driver-side in one shot."""
         if self._needs_fallback(q):
             s = Searcher(self.index, weighting=weighting)
             return s.search(q, limit=limit)
         q2 = self._rewrite(q)
         gstats = self._gstats(self._stat_terms(q2))
-        futs = [a.score.remote(q2, limit, gstats, weighting) for a in self._actors]
+        if timelimit is not None:
+            from whoosh_novo_ray.search.wand import TimeLimit
+
+            futs = [
+                a.score_deadline.remote(
+                    q2, limit, gstats, timelimit, weighting, _delay_per_table
+                )
+                for a in self._route()
+            ]
+            results = ray.get(futs)
+            merged = _merge_topk([t for t, _to in results], limit)
+            if any(to for _t, to in results):
+                raise TimeLimit(merged, {"timed_out": True})
+            return merged
+        futs = [a.score.remote(q2, limit, gstats, weighting) for a in self._route()]
         return _merge_topk(ray.get(futs), limit)
 
     def search_async(
@@ -701,7 +815,11 @@ class ScorePool:
             return ray.put(s.search(q, limit=limit))
         q2 = self._rewrite(q)
         gstats = self._gstats(self._stat_terms(q2))
-        futs = [a.score.remote(q2, limit, gstats, weighting) for a in self._actors]
+        futs = [a.score.remote(q2, limit, gstats, weighting) for a in self._route()]
+        if len(futs) == 1:
+            # single-actor replica covers every shard: its top-k IS the
+            # answer — skip the merge task (one less dispatch per query)
+            return futs[0]
         return _merge_topk_task.remote(limit, *futs)
 
     def search_many_async(
@@ -731,11 +849,36 @@ class ScorePool:
         if not remote_qs:
             return ray.put([local[i] for i in range(len(queries))])
         gstats = self._gstats(sorted(stat_terms))
-        futs = [
-            a.score_many.remote(remote_qs, limit, gstats, weighting)
-            for a in self._actors
-        ]
-        merged_ref = _merge_many_task.remote(limit, *futs)
+        R = len(self._replicas)
+        if R == 1 or len(remote_qs) == 1:
+            futs = [
+                a.score_many.remote(remote_qs, limit, gstats, weighting)
+                for a in self._route()
+            ]
+            merged_ref = (
+                futs[0]
+                if len(futs) == 1
+                else _merge_many_task.remote(limit, *futs)
+            )
+        else:
+            # split the batch ACROSS replica groups (strided, so chunk j
+            # holds queries j, j+R, ...) — each group fans out only within
+            # itself, multiplying batch throughput by the replica count
+            chunks = [remote_qs[j::R] for j in range(R)]
+            chunk_refs = []
+            for grp, chunk in zip(self._replicas, chunks):
+                if not chunk:
+                    continue
+                futs = [
+                    a.score_many.remote(chunk, limit, gstats, weighting)
+                    for a in grp
+                ]
+                chunk_refs.append(
+                    futs[0]
+                    if len(futs) == 1
+                    else _merge_many_task.remote(limit, *futs)
+                )
+            merged_ref = _interleave_task.remote(len(remote_qs), *chunk_refs)
         if not local:
             return merged_ref
         return _splice_task.remote(len(queries), local, merged_ref)
@@ -746,14 +889,19 @@ class ScorePool:
         k: int = 10,
         weighting: WeightingModel | None = None,
         strategy: str = "auto",
+        timelimit: float | None = None,
     ) -> tuple[pa.Table, dict]:
         """Distributed block-max WAND: each shard runs the skip-table
         cursor loop over ITS blocks (global idf via shipped stats), merged
-        exactly like search()."""
+        exactly like search(). With ``timelimit``, each actor's cursor loop
+        checks the deadline per iteration; any expiry raises
+        :class:`TimeLimit` carrying the merged partials."""
+        from whoosh_novo_ray.search.wand import TimeLimit
+
         gstats = self._gstats(list(terms))
         futs = [
-            a.wand.remote(list(terms), k, gstats, weighting, strategy)
-            for a in self._actors
+            a.wand.remote(list(terms), k, gstats, weighting, strategy, timelimit)
+            for a in self._route()
         ]
         results = ray.get(futs)
         merged = _merge_topk([t for t, _s in results], k)
@@ -764,6 +912,8 @@ class ScorePool:
                     stats[key] = stats.get(key, 0) + v
                 else:
                     stats[key] = v
+        if stats.get("timed_out"):
+            raise TimeLimit(merged, stats)
         return merged, stats
 
     def _attrs_dir_for(self, attrs_path: str, column: str) -> str:
@@ -801,7 +951,7 @@ class ScorePool:
         gstats = self._gstats(self._stat_terms(q2))
         futs = [
             a.facet_counts.remote(q2, gstats, attrs_dir, column, weighting)
-            for a in self._actors
+            for a in self._route()
         ]
         parts = [t for t in ray.get(futs) if len(t)]
         if not parts:
@@ -827,7 +977,7 @@ class ScorePool:
             a.collapse_candidates.remote(
                 q2, gstats, attrs_dir, column, per_key, weighting
             )
-            for a in self._actors
+            for a in self._route()
         ]
         parts = [t for t in ray.get(futs) if len(t)]
         empty = pa.table(
@@ -858,6 +1008,8 @@ class ScorePool:
         )
 
     def shutdown(self) -> None:
-        for a in self._actors:
-            ray.kill(a)
+        for grp in self._replicas:
+            for a in grp:
+                ray.kill(a)
+        self._replicas = [[]]
         self._actors = []
