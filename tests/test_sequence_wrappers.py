@@ -155,3 +155,39 @@ def test_doc_boost_rank_parity(ray_session, tmp_path):
                 )
             )
             assert got == ref, (term, got, ref)
+
+
+def test_constantscore_zero_scores_one(built_index):
+    """Reference quirk (matching/mcore.py ListMatcher.weight): a falsy
+    all_weights (score=0) falls through to the 1.0 default, so
+    ConstantScoreQuery(child, 0) scores every matching doc 1.0."""
+    s = Searcher(built_index)
+    zero = s.search(ConstantScore(Term("search"), score=0.0), limit=None)
+    one = s.search(ConstantScore(Term("search"), score=1.0), limit=None)
+    assert zero.to_pydict() == one.to_pydict()
+    assert len(zero) > 0
+    assert set(zero["score"].to_pylist()) == {1.0}
+    # non-zero scores are untouched
+    neg = s.search(ConstantScore(Term("search"), score=-0.5), limit=None)
+    assert set(neg["score"].to_pylist()) == {-0.5}
+
+
+@pytest.mark.skipif(not HAVE_REFERENCE, reason="reference not available")
+def test_constantscore_zero_differential(built_index, reference_searcher):
+    from whoosh import query as wq
+
+    s = Searcher(built_index)
+    mine = s.search(
+        Or(ConstantScore(Term("search"), 0.0), Term("data")), limit=1000
+    )
+    rq = wq.Or(
+        [
+            wq.ConstantScoreQuery(wq.Term("text", "search"), 0.0),
+            wq.Term("text", "data"),
+        ]
+    )
+    ref = _ref_topk(reference_searcher, rq)
+    assert mine["doc_id"].to_pylist() == [d for d, _ in ref]
+    assert mine["score"].to_pylist() == pytest.approx(
+        [sc for _, sc in ref], rel=1e-9
+    )

@@ -152,3 +152,37 @@ def test_span_before(env):
         < max(j for j, w in enumerate(tk) if w == "epsilon")
     )
     assert got == expect
+
+
+def test_span_condition(env):
+    s, toks = env
+    from whoosh_novo_ray.search.spans import SpanCondition, evaluate_spans
+
+    # alpha spans, but only in docs that also contain epsilon
+    got = _docs(s, SpanCondition(SpanTerm("alpha"), SpanTerm("epsilon")))
+    expect = sorted(
+        i for i, tk in enumerate(toks) if "alpha" in tk and "epsilon" in tk
+    )
+    assert got == expect
+    # spans come from a ONLY: same spans as a plain alpha scan on those docs
+    aspans = evaluate_spans.__globals__["_spans_of"](
+        s, SpanCondition(SpanTerm("alpha"), SpanTerm("epsilon"))
+    )
+    for d in set(aspans.docs.tolist()):
+        starts = sorted(
+            int(p)
+            for p, dd in zip(aspans.starts, aspans.docs)
+            if int(dd) == d
+        )
+        brute = [j for j, w in enumerate(toks[int(d)]) if w == "alpha"]
+        assert starts == brute
+    # condition on a compound span query
+    outer = SpanNear2([SpanTerm("alpha"), SpanTerm("beta")], slop=1)
+    got2 = _docs(s, SpanCondition(outer, SpanTerm("gamma")))
+    expect2 = sorted(
+        i
+        for i, tk in enumerate(toks)
+        if "gamma" in tk
+        and any(a == "alpha" and b == "beta" for a, b in zip(tk, tk[1:]))
+    )
+    assert got2 == expect2

@@ -320,7 +320,12 @@ class Searcher:
 
         if isinstance(q, Q.ConstantScore):
             ids, _ = self.postings(q.child)
-            return ids, np.full(len(ids), float(q.score))
+            # reference quirk (matching/mcore.py ListMatcher.weight): a
+            # FALSY all_weights (score=0 / 0.0) falls through to the 1.0
+            # default, so ConstantScoreQuery(child, score=0) scores every
+            # matching doc 1.0, not 0.0
+            score = float(q.score) if q.score else 1.0
+            return ids, np.full(len(ids), score)
 
         if isinstance(q, Q.WeightingQuery):
             return self._with_weighting(q.weighting).postings(q.child)

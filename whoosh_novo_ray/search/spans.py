@@ -13,6 +13,10 @@ as Phrase):
   * SpanNot(a, b)            — a's spans that don't overlap any b span
   * SpanContains(a, b)       — a's spans that contain a b span
   * SpanBefore(a, b)         — a's spans that end before some b span starts
+  * SpanCondition(a, b)      — a's spans, only in docs that also match b
+    (span-level Require: b gates the doc set but contributes no spans;
+    reference spans.py:855-930 wraps IntersectionMatcher(a, b) and returns
+    a.spans())
 
 Matching documents score like the And/Or of the underlying terms (the
 reference wraps the same matchers). Span queries evaluate through
@@ -114,6 +118,15 @@ class SpanBefore(_SpanQuery):
         return [self.a, self.b]
 
 
+@dataclass(frozen=True)
+class SpanCondition(_SpanQuery):
+    a: Q.Query
+    b: Q.Query
+
+    def _children(self):
+        return [self.a, self.b]
+
+
 class _Spans:
     """Parallel arrays of spans: docs (uint64), starts, ends (int64)."""
 
@@ -178,6 +191,11 @@ def _spans_of(searcher, q) -> _Spans:
         a = _spans_of(searcher, q.a)
         b = _spans_of(searcher, q.b)
         keep = _contains_any(a, b)
+        return _Spans(a.docs[keep], a.starts[keep], a.ends[keep])
+    if isinstance(q, SpanCondition):
+        a = _spans_of(searcher, q.a)
+        b = _spans_of(searcher, q.b)
+        keep = np.isin(a.docs, np.unique(b.docs))
         return _Spans(a.docs[keep], a.starts[keep], a.ends[keep])
     if isinstance(q, SpanBefore):
         a = _spans_of(searcher, q.a)
