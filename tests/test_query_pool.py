@@ -19,8 +19,20 @@ from whoosh_novo_ray.state import QueryPool
 
 @pytest.fixture(scope="module")
 def pool(ray_session, built_index):
-    p = QueryPool(built_index.path, num_actors=2)
+    import warnings
+
+    with warnings.catch_warnings():
+        # QueryPool is kept as a deprecated A/B baseline; its parity suite
+        # still runs
+        warnings.simplefilter("ignore", DeprecationWarning)
+        p = QueryPool(built_index.path, num_actors=2)
     yield p
+    p.shutdown()
+
+
+def test_querypool_is_deprecated(ray_session, built_index):
+    with pytest.warns(DeprecationWarning, match="ScorePool"):
+        p = QueryPool(built_index.path, num_actors=1)
     p.shutdown()
 
 

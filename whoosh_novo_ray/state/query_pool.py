@@ -1,4 +1,13 @@
-"""Distributed query serving: a pool of bucket-holding actors.
+"""DEPRECATED — use :class:`whoosh_novo_ray.state.score_pool.ScorePool`.
+
+QueryPool is the first-generation serving tier: term-bucket actors serve
+POSTING ROWS and the driver evaluates the query tree. It ships whole posting
+blobs to the driver per query, which does not survive stopword-grade terms at
+fleet scale. ScorePool (doc-shard actors that evaluate WHOLE queries and
+return only per-shard top-k) supersedes it; QueryPool remains solely as an
+A/B baseline and emits a DeprecationWarning on construction.
+
+Original design notes: a pool of bucket-holding actors.
 
 The cluster-level equivalent of the reference's long-lived SegmentReader with
 its open mmap'd term dict and posting files (de-odex/whoosh-novo
@@ -74,6 +83,15 @@ class QueryPool:
     """
 
     def __init__(self, index_path: str, num_actors: int = 4):
+        import warnings
+
+        warnings.warn(
+            "QueryPool is deprecated: it fetches posting blobs to the driver."
+            " Use whoosh_novo_ray.state.score_pool.ScorePool (doc-shard"
+            " actors, per-shard top-k only).",
+            DeprecationWarning,
+            stacklevel=2,
+        )
         self.index = Index(index_path)
         # pool-level term-row cache shared across queries/searchers
         self._cache: dict[tuple[str, bool], list] = {}

@@ -280,6 +280,14 @@ class ScoreServer:
         """RAM held by the pinned scoring tables (the lazy-pinning metric)."""
         return int(sum(t.nbytes for t in self._tables))
 
+    def cache_sizes(self) -> dict[str, int]:
+        """Entry counts of the per-actor caches (soak-test observability:
+        long-running serving must hold these flat/bounded)."""
+        return {
+            "term_cache": len(self._tcache),
+            "attr_cache": len(self._attr_cache),
+        }
+
     def score(
         self,
         q: Q.Query,
@@ -835,11 +843,10 @@ class ScorePool:
         Queries needing the local fallback are evaluated eagerly."""
         rewritten = []
         stat_terms: set[str] = set()
-        local: dict[int, pa.Table] = {}
+        fallback_idx: list[int] = []
         for i, q in enumerate(queries):
             if self._needs_fallback(q):
-                s = Searcher(self.index, weighting=weighting)
-                local[i] = s.search(q, limit=limit)
+                fallback_idx.append(i)
                 rewritten.append(None)
                 continue
             q2 = self._rewrite(q)
@@ -847,7 +854,8 @@ class ScorePool:
             stat_terms.update(self._stat_terms(q2))
         remote_qs = [q2 for q2 in rewritten if q2 is not None]
         if not remote_qs:
-            return ray.put([local[i] for i in range(len(queries))])
+            s = Searcher(self.index, weighting=weighting)
+            return ray.put([s.search(queries[i], limit=limit) for i in fallback_idx])
         gstats = self._gstats(sorted(stat_terms))
         R = len(self._replicas)
         if R == 1 or len(remote_qs) == 1:
@@ -879,8 +887,13 @@ class ScorePool:
                     else _merge_many_task.remote(limit, *futs)
                 )
             merged_ref = _interleave_task.remote(len(remote_qs), *chunk_refs)
-        if not local:
+        if not fallback_idx:
             return merged_ref
+        # fallbacks (Otherwise/Nested*) evaluate driver-side AFTER the remote
+        # dispatch, so the actor fleet is already working while the driver
+        # handles the (rare) global-semantics stragglers
+        s = Searcher(self.index, weighting=weighting)
+        local = {i: s.search(queries[i], limit=limit) for i in fallback_idx}
         return _splice_task.remote(len(queries), local, merged_ref)
 
     def wand_topk(
