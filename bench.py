@@ -607,6 +607,11 @@ def serving_qps(num_actors: int, inflight: int = 32, n_queries: int = 600) -> di
     # search_async returns ONE ObjectRef (shard fan-out + task-side merge)
     import ray as _ray
 
+    def _steal():
+        v = list(map(int, open("/proc/stat").readline().split()[1:]))
+        return v[7], sum(v)
+
+    st0, ct0 = _steal()
     t0 = time.perf_counter()
     pending = []
     done = 0
@@ -619,12 +624,14 @@ def serving_qps(num_actors: int, inflight: int = 32, n_queries: int = 600) -> di
         _ray.get(ready)
         done += len(ready)
     wall = time.perf_counter() - t0
+    st1, ct1 = _steal()
     res = {
         "num_actors": num_actors,
         "num_replicas": num_replicas,
         "actors_per_replica": per_replica,
         "qps": round(n_queries / wall, 1),
         "wall_sec": round(wall, 3),
+        "steal_pct": round(100.0 * (st1 - st0) / max(1, ct1 - ct0), 1),
     }
     pool.shutdown()
     ray.shutdown()
@@ -656,6 +663,8 @@ def main_qps() -> None:
                 "queries": {
                     f"qps_{lo}_actors": results[lo]["qps"],
                     f"qps_{hi}_actors": results[hi]["qps"],
+                    f"steal_pct_{lo}": results[lo].get("steal_pct"),
+                    f"steal_pct_{hi}": results[hi].get("steal_pct"),
                 },
                 "sf": PAGES_PARQUET,
                 "num_cpus": 32,

@@ -646,6 +646,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def phrase_slop2(sf_dir):
         return _search_table(sf_dir, Phrase([_T_MID, _T_MID2], slop=2), 10)
 
+    def spancondition_docs(sf_dir):
+        """Span-level Require: docs where the adjacent pair (_T_MID
+        _T_MID2) occurs AND _T_COMMON is present; spans come from the pair
+        only, but the wrapped IntersectionMatcher scores a+b (reference
+        spans.py:855-930), so the score sums all three terms' BM25."""
+        from whoosh_novo_ray.search.spans import SpanCondition, SpanNear2, SpanTerm
+
+        q = SpanCondition(
+            SpanNear2([SpanTerm(_T_MID), SpanTerm(_T_MID2)], slop=1),
+            SpanTerm(_T_COMMON),
+        )
+        return _search_table(sf_dir, q, 10**9)
+
     def image_features_q(sf_dir):
         import ray.data
         from whoosh_novo_ray.ops.multimodal import image_features
@@ -869,6 +882,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, Phrase([_T_MID, _T_MID2]), 10
         ),
         "phrase_slop2_top10": phrase_slop2,
+        "spancondition_docs": spancondition_docs,
         "fuzzy_docs": fuzzy_docs,
         "suggest_terms": suggest_terms,
         "prefix_docs": lambda sf: _search_table(sf, Prefix("s"), 10**9),
@@ -972,6 +986,22 @@ FROM bm WHERE term IN ({_terms_sql([_T_MID, _T_MID2])})
   AND doc_id IN (SELECT doc_id FROM pdocs)
 GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""",
         "bm25_or_top10_wand": _topk_sql(f"term IN ({_terms_sql([_T_MID, _T_MID2])})", 10),
+        "spancondition_docs": f"""WITH {_BASE_CTES},
+pos AS (
+  SELECT doc_id, term,
+         row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1 AS p
+  FROM filt
+),
+pdocs AS (
+  SELECT DISTINCT a.doc_id FROM pos a
+  JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+  WHERE a.term = '{_T_MID}' AND b.term = '{_T_MID2}'
+)
+SELECT doc_id::BIGINT AS doc_id, round(sum(score), 6) AS score
+FROM bm WHERE term IN ({_terms_sql([_T_MID, _T_MID2, _T_COMMON])})
+  AND doc_id IN (SELECT doc_id FROM pdocs)
+  AND doc_id IN (SELECT doc_id FROM tfs WHERE term = '{_T_COMMON}')
+GROUP BY doc_id ORDER BY score DESC, doc_id""",
         "phrase_slop2_top10": f"""WITH {_BASE_CTES},
 pos AS (
   SELECT doc_id, term,
