@@ -181,6 +181,17 @@ class Searcher:
             e = np.empty(0, np.uint64)
             pos = (e.copy(), np.empty(0, np.int64)) if with_positions else None
             return e, e.copy(), np.empty(0, np.uint8), pos
+        # multi-row terms (salted buckets / multiple pinned shard tables in a
+        # ShardSearcher) pay a concat + argsort + ragged position gather to
+        # merge; rows themselves are decode-memoized, so cache the MERGED
+        # result too (same lifecycle as _term_cache: per-query on the driver,
+        # cross-query + bounded on a serving actor). Callers never mutate the
+        # returned arrays.
+        mkey = ("merged", term, with_positions)
+        if len(rows) > 1:
+            hit = self._term_cache.get(mkey)
+            if hit is not None:
+                return hit
         parts = [r.decode_all() for r in rows]
         ids = np.concatenate([p[0] for p in parts])
         tfs = np.concatenate([p[1] for p in parts])
@@ -205,6 +216,8 @@ class Searcher:
                 counts = sel_cnt
         if with_positions:
             pos = (flat, counts)
+        if len(rows) > 1:
+            self._term_cache[mkey] = (ids, tfs, lens, pos)
         return ids, tfs, lens, pos
 
     def term_stats(self, term: str) -> tuple[int, float, float]:
