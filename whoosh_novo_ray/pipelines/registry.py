@@ -226,12 +226,17 @@ _T_ABSENT = "zzzznope"
 def queries() -> dict[str, Callable[[str], Any]]:
     from whoosh_novo_ray.search import (
         And,
+        AndMaybe,
         AndNot,
+        DisMax,
+        Every,
         Or,
         Phrase,
         Prefix,
         Regex,
+        Require,
         Term,
+        Wildcard,
     )
 
     def term_stats(sf_dir):
@@ -883,6 +888,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "phrase_slop2_top10": phrase_slop2,
         "spancondition_docs": spancondition_docs,
+        "dismax_top10": lambda sf: _pool_search_table(
+            sf, DisMax(Term(_T_MID), Term(_T_MID2)), 10
+        ),
+        "require_top10": lambda sf: _pool_search_table(
+            sf, Require(Term(_T_MID), Term(_T_COMMON)), 10
+        ),
+        "andmaybe_top10": lambda sf: _pool_search_table(
+            sf, AndMaybe(Term(_T_MID), Term(_T_MID2)), 10
+        ),
+        "every_docs": lambda sf: _pool_search_table(sf, Every(), 10**9),
+        # ? = single char: expands to the two live terms (scan, span) —
+        # under the Or-AUTO rule 2 terms stay SCORED (no constantscore)
+        "wildcard_docs": lambda sf: _search_table(sf, Wildcard("s?an"), 10**9),
         "fuzzy_docs": fuzzy_docs,
         "suggest_terms": suggest_terms,
         "prefix_docs": lambda sf: _search_table(sf, Prefix("s"), 10**9),
@@ -986,6 +1004,32 @@ FROM bm WHERE term IN ({_terms_sql([_T_MID, _T_MID2])})
   AND doc_id IN (SELECT doc_id FROM pdocs)
 GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""",
         "bm25_or_top10_wand": _topk_sql(f"term IN ({_terms_sql([_T_MID, _T_MID2])})", 10),
+        # DisjunctionMax: per-doc MAX of the children's scores (reference
+        # DisjunctionMaxMatcher, tiebreak=0)
+        "dismax_top10": f"""WITH {_BASE_CTES}
+SELECT doc_id::BIGINT AS doc_id, round(max(score), 6) AS score
+FROM bm WHERE term IN ({_terms_sql([_T_MID, _T_MID2])})
+GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""",
+        # Require(a, b): docs matching BOTH, scored from a only
+        "require_top10": f"""WITH {_BASE_CTES}
+SELECT doc_id::BIGINT AS doc_id, round(sum(score), 6) AS score
+FROM bm WHERE term = '{_T_MID}'
+  AND doc_id IN (SELECT doc_id FROM tfs WHERE term = '{_T_COMMON}')
+GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""",
+        # AndMaybe(a, b): a's docs; b's score added where it matches
+        "andmaybe_top10": f"""WITH {_BASE_CTES}
+SELECT doc_id::BIGINT AS doc_id, round(sum(score), 6) AS score
+FROM bm WHERE term IN ({_terms_sql([_T_MID, _T_MID2])})
+  AND doc_id IN (SELECT doc_id FROM tfs WHERE term = '{_T_MID}')
+GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""",
+        # Every(): all docs, constant 1.0
+        "every_docs": """
+SELECT doc_id::BIGINT AS doc_id, 1.0 AS score FROM documents ORDER BY doc_id""",
+        # Wildcard('s?an') -> two live terms (scan, span), scored Or
+        "wildcard_docs": f"""WITH {_BASE_CTES}
+SELECT doc_id::BIGINT AS doc_id, round(sum(score), 6) AS score
+FROM bm WHERE term IN (SELECT term FROM dfs WHERE term LIKE 's_an')
+GROUP BY doc_id ORDER BY score DESC, doc_id""",
         "spancondition_docs": f"""WITH {_BASE_CTES},
 pos AS (
   SELECT doc_id, term,
