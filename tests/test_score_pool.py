@@ -578,3 +578,28 @@ def test_wand_deadline(spool):
     # instant expiry: TimeLimit with (possibly empty) partials
     with pytest.raises(TimeLimit):
         spool.wand_topk(["search", "data", "index"], 10, timelimit=1e-9)
+
+
+def test_actor_crash_recovery(built_index):
+    """ScoreServer is a pure read over the on-disk serving layout, so a
+    killed actor restarts, re-pins its shards, and in-flight tasks retry —
+    results stay identical (fleet-scale workers WILL die)."""
+    import ray
+
+    rp = ScorePool(built_index.path, num_actors=2, num_shards=5)
+    try:
+        q = Or(Term("search"), Term("data"), Term("index"))
+        before = rp.search(q, limit=10).to_pydict()
+        # simulate a worker crash (restartable kill, NOT the shutdown path)
+        ray.kill(rp._actors[0], no_restart=False)
+        after = rp.search(q, limit=10).to_pydict()
+        assert after == before
+        # and again mid-micro-batch
+        ray.kill(rp._actors[1], no_restart=False)
+        got = [
+            t.to_pydict()
+            for t in ray.get(rp.search_many_async([q, Term("search")], limit=10))
+        ]
+        assert got[0] == before
+    finally:
+        rp.shutdown()

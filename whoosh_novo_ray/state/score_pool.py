@@ -205,9 +205,14 @@ def _collapse_keep_mask(keys: np.ndarray, per_key: int) -> np.ndarray:
     return keep
 
 
-@ray.remote
+@ray.remote(max_restarts=4, max_task_retries=2)
 class ScoreServer:
-    """Pins a set of doc shards; evaluates queries over them end-to-end."""
+    """Pins a set of doc shards; evaluates queries over them end-to-end.
+
+    Fault-tolerant: every method is a pure read over the on-disk serving
+    layout, so a crashed actor restarts (re-pins its shards from the same
+    parquet) and the in-flight task retries transparently — on a long-lived
+    multi-node fleet individual workers WILL die. Caches rebuild lazily."""
 
     def __init__(self, serving_dir: str, shards: list[int]):
         self._shards = list(shards)
