@@ -437,7 +437,8 @@ def test_replicated_pool_parity(spool, built_index):
             assert rp.search(q, limit=10).to_pydict() == local.search(
                 q, limit=10
             ).to_pydict()
-        # micro-batch splits ACROSS replicas (strided) and re-interleaves;
+        # micro-batch splits ACROSS replicas (cost-balanced) and scatters
+        # results back to their slots;
         # include a fallback (Every is shard-safe, use Otherwise via parser-
         # free construction below is global — use the existing fallback) —
         # the splice must compose with the interleave

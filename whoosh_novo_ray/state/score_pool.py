@@ -516,11 +516,15 @@ def _merge_many_task(
 
 
 @ray.remote(num_cpus=0)
-def _interleave_task(n: int, *chunks: list[pa.Table]) -> list[pa.Table]:
-    """Undo the strided replica split: chunk j holds results j, j+R, ..."""
+def _scatter_task(
+    n: int, idx_lists: list[list[int]], *chunks: list[pa.Table]
+) -> list[pa.Table]:
+    """Put each replica chunk's results back at their original batch
+    positions (chunks are cost-balanced, not strided)."""
     out: list = [None] * n
-    for j, chunk in enumerate(chunks):
-        out[j :: len(chunks)] = chunk
+    for idxs, chunk in zip(idx_lists, chunks):
+        for i, t in zip(idxs, chunk):
+            out[i] = t
     return out
 
 
@@ -897,14 +901,31 @@ class ScorePool:
                 else _merge_many_task.remote(limit, *futs)
             )
         else:
-            # split the batch ACROSS replica groups (strided, so chunk j
-            # holds queries j, j+R, ...) — each group fans out only within
-            # itself, multiplying batch throughput by the replica count
-            chunks = [remote_qs[j::R] for j in range(R)]
+            # split the batch ACROSS replica groups, LPT-style: queries in
+            # descending estimated cost, each to the least-loaded replica
+            # (continuing the pool's running balance). A strided split has
+            # the same aliasing failure as round-robin routing — a cyclic
+            # batch with period R lands every expensive query in one chunk.
+            costs = [
+                self._est_cost(gstats, self._stat_terms(q2)) for q2 in remote_qs
+            ]
+            order = sorted(range(len(remote_qs)), key=lambda i: -costs[i])
+            assign: list[list[int]] = [[] for _ in range(R)]
+            loads = self._replica_load
+            for i in order:
+                r = min(range(R), key=loads.__getitem__)
+                loads[r] += costs[i]
+                assign[r].append(i)
+            if max(loads) > 1e12:  # rebase, keep relative differences
+                m = min(loads)
+                for j in range(R):
+                    loads[j] -= m
             chunk_refs = []
-            for grp, chunk in zip(self._replicas, chunks):
-                if not chunk:
+            idx_lists = []
+            for grp, idxs in zip(self._replicas, assign):
+                if not idxs:
                     continue
+                chunk = [remote_qs[i] for i in idxs]
                 futs = [
                     a.score_many.remote(chunk, limit, gstats, weighting)
                     for a in grp
@@ -914,7 +935,10 @@ class ScorePool:
                     if len(futs) == 1
                     else _merge_many_task.remote(limit, *futs)
                 )
-            merged_ref = _interleave_task.remote(len(remote_qs), *chunk_refs)
+                idx_lists.append(idxs)
+            merged_ref = _scatter_task.remote(
+                len(remote_qs), idx_lists, *chunk_refs
+            )
         if not fallback_idx:
             return merged_ref
         # fallbacks (Otherwise/Nested*) evaluate driver-side AFTER the remote
