@@ -604,3 +604,37 @@ def test_actor_crash_recovery(built_index):
         assert got[0] == before
     finally:
         rp.shutdown()
+
+
+def test_elastic_replicas(built_index):
+    """Scale-out/in under load: add_replica starts serving immediately,
+    remove_replica drains before killing, parity holds throughout."""
+    import ray
+
+    rp = ScorePool(built_index.path, num_actors=2, num_shards=5)
+    try:
+        local = Searcher(built_index)
+        q = Or(Term("search"), Term("data"), Term("index"))
+        want = local.search(q, limit=10).to_pydict()
+        assert rp.search(q, limit=10).to_pydict() == want
+        assert rp.add_replica() == 2
+        assert rp.add_replica() == 3
+        # route enough queries to hit every replica
+        for _ in range(6):
+            assert rp.search(q, limit=10).to_pydict() == want
+        got = [
+            t.to_pydict()
+            for t in ray.get(rp.search_many_async([q, Term("search"), q], limit=10))
+        ]
+        assert got[0] == want and got[2] == want
+        # scale back in with queries still flowing
+        refs = [rp.search_async(q, limit=10) for _ in range(6)]
+        assert rp.remove_replica() == 2
+        assert rp.remove_replica() == 1
+        for r in ray.get(refs):
+            assert r.to_pydict() == want
+        with pytest.raises(ValueError):
+            rp.remove_replica()
+        assert rp.search(q, limit=10).to_pydict() == want
+    finally:
+        rp.shutdown()

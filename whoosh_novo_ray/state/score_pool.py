@@ -622,15 +622,53 @@ class ScorePool:
         assignments: list[list[int]] = [[] for _ in range(num_actors)]
         for i, k in enumerate(all_shards):
             assignments[i % num_actors].append(k)
+        self._assignments = [ks for ks in assignments if ks]
         self._replicas: list[list] = [
-            [ScoreServer.remote(serving_dir, ks) for ks in assignments if ks]
-            for _ in range(max(1, num_replicas))
+            self._spawn_replica() for _ in range(max(1, num_replicas))
         ]
         self._actors = self._replicas[0]
         self._replica_load = [0.0] * len(self._replicas)
         ray.get([a.ping.remote() for grp in self._replicas for a in grp])
         self._stats_cache: _LRUCache = _LRUCache(200_000)
         self._driver_searcher = Searcher(self.index)
+
+    def _spawn_replica(self) -> list:
+        return [
+            ScoreServer.remote(self._serving_dir, ks) for ks in self._assignments
+        ]
+
+    # -- elastic replica scaling ----------------------------------------------
+
+    def add_replica(self) -> int:
+        """Spawn one more full copy of the shard-actor set and start routing
+        to it (fleet scale-OUT under query load). Joins the balance at the
+        current minimum load so it immediately absorbs traffic. Returns the
+        new replica count."""
+        grp = self._spawn_replica()
+        ray.get([a.ping.remote() for a in grp])
+        self._replicas.append(grp)
+        self._replica_load.append(
+            min(self._replica_load) if self._replica_load else 0.0
+        )
+        return len(self._replicas)
+
+    def remove_replica(self) -> int:
+        """Drain and kill the highest-indexed replica (scale-IN). The group
+        leaves the routing table first; a ping barrier then flushes its
+        actor queues (actor tasks from a single submitter run FIFO, so the
+        ping completes only after every previously-dispatched query), and
+        only then are the actors killed — in-flight queries finish cleanly.
+        The last replica cannot be removed. Returns the new count."""
+        if len(self._replicas) <= 1:
+            raise ValueError("cannot remove the last replica")
+        grp = self._replicas.pop()
+        self._replica_load.pop()
+        if self._actors is grp:  # keep the direct-handle alias valid
+            self._actors = self._replicas[0]
+        ray.get([a.ping.remote() for a in grp])  # drain
+        for a in grp:
+            ray.kill(a)
+        return len(self._replicas)
 
     @classmethod
     def for_generational(cls, gi, num_actors: int = 4, num_shards: int | None = None):
