@@ -118,7 +118,12 @@ def _gen_leaf(rng, vocab, bigrams=()):
         return TermRange(lo, hi), wq.TermRange("text", lo, hi)
     if k == 8:
         d = int(rng.integers(1, 3))
-        pl = int(rng.integers(0, 3))
+        # clamp: the REFERENCE crashes (IndexError in
+        # automata/lev.py:levenshtein_automaton, term[i] with i >= len) when
+        # prefixlength exceeds the word length — found by seeds 135/137 on
+        # one-letter vocab words; our terms_within slices gracefully, so the
+        # shape has no oracle
+        pl = min(int(rng.integers(0, 3)), len(w))
         return (
             FuzzyTerm(w, maxdist=d, prefixlength=pl),
             wq.FuzzyTerm("text", w, maxdist=d, prefixlength=pl),

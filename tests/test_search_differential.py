@@ -322,3 +322,26 @@ def test_array_path_or_drops_zero_scored_docs(searcher, reference_searcher):
     alone = searcher.search(zeroing, limit=None)
     assert len(alone) > 0 and set(alone["score"].to_pylist()) == {0.0}
     assert len(mine) < len(alone) + len(searcher.search(Term("xzcjtvd"), limit=None))
+
+
+def test_reference_fuzzy_overlong_prefix_bug_documented(searcher):
+    """REFERENCE BUG (found by fuzz seeds 135/137): FuzzyTerm with
+    prefixlength > len(word) crashes the reference's levenshtein automaton
+    (automata/lev.py:8, term[i] IndexError) before any matching happens.
+    Our terms_within slices the prefix gracefully (the whole word becomes
+    the required prefix) and returns a normal expansion, so the shape is
+    usable but has no reference oracle — the fuzz generator clamps it."""
+    import pytest as _pytest
+
+    from whoosh.automata import lev
+
+    with _pytest.raises(IndexError):
+        lev.levenshtein_automaton("a", 1, prefix=2)
+
+    from whoosh_novo_ray.search.fuzzy import FuzzyTerm, terms_within
+
+    exp = terms_within(searcher.index, "a", maxdist=1, prefix=2)
+    assert isinstance(exp, list)  # graceful, no crash
+    # and the full query path works
+    t = searcher.search(FuzzyTerm("a", maxdist=1, prefixlength=2), limit=5)
+    assert t.num_columns == 2
