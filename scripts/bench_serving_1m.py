@@ -81,6 +81,9 @@ def main() -> None:
         sum(ray.get([a.pinned_bytes.remote() for a in pool._actors]))
     )
     res["pinned_vs_full"] = round(res["pinned_bytes"] / res["full_column_bytes"], 3)
+    res["actor_rss_bytes"] = int(
+        sum(ray.get([a.rss_bytes.remote() for a in pool._actors]))
+    )
 
     qset = {
         "pool_term": Term("search"),

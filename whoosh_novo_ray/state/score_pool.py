@@ -293,6 +293,13 @@ class ScoreServer:
             "attr_cache": len(self._attr_cache),
         }
 
+    def rss_bytes(self) -> int:
+        """This actor process's resident set size (the fleet-memory metric
+        pinned_bytes approximates from the table side)."""
+        import resource
+
+        return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss * 1024
+
     def score(
         self,
         q: Q.Query,
