@@ -301,7 +301,7 @@ def test_pool_fuzz_matches_local(ray_session, built_index, pages_table, vocab, b
     local = Searcher(built_index)
     pool = ScorePool(built_index.path, num_actors=2, num_shards=5)
     try:
-        rng = np.random.default_rng(SEED + 1)
+        rng = np.random.default_rng(SEEDS[0] + 1)
         for i in range(60):
             q, _ = _gen_tree(rng, vocab, 2, bigrams)
             limit = int(rng.choice([1, 10, 50]))

@@ -269,6 +269,8 @@ class ScoreServer:
         # with_positions). Bounded: cleared past 50k entries (stopword-grade
         # terms dominate reuse long before that).
         self._tcache: dict = {}
+        # per-table caches for the deadline path (same bound via _searcher)
+        self._table_caches: dict[int, dict] = {}
 
     def _searcher(self, gstats, weighting) -> ShardSearcher:
         view = _GlobalStatsView(self._doc_count, self._tfl, self._universe)
@@ -334,6 +336,8 @@ class ScoreServer:
         import time as _time
 
         t0 = _time.perf_counter()
+        if sum(len(c) for c in self._table_caches.values()) > 50_000:
+            self._table_caches.clear()
         parts: list[pa.Table] = []
         timed_out = False
         for i, tbl in enumerate(self._tables):
@@ -348,13 +352,15 @@ class ScoreServer:
                 self._tfl,
                 self._shard_universe.get(k, np.empty(0, np.uint64)),
             )
-            # fresh per-table searcher: the shared TermRow cache is keyed by
-            # term only, so sub-searchers over DIFFERENT table subsets must
-            # not share it
+            # per-TABLE searcher (the shared whole-actor TermRow cache is
+            # keyed by term only, so sub-searchers over different table
+            # subsets must not share it) with its own persistent per-table
+            # cache, so repeated deadline queries stay warm
             s = ShardSearcher(
                 view, [tbl], gstats, weighting,
                 paths=[self._paths[i]], lazy_cols=self._lazy_cols,
             )
+            s._term_cache = self._table_caches.setdefault(i, {})
             parts.append(s.search(q, limit=limit))
         return _merge_topk(parts, limit), timed_out
 
