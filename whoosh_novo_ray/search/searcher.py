@@ -571,23 +571,52 @@ class Searcher:
         per_term = [self.term_postings(w, with_positions=True) for w in words]
         if any(len(p[0]) == 0 for p in per_term):
             return _EMPTY
+        # doc-level intersection: cheap (df-sized) early exit for phrases of
+        # terms that never share a doc
         cand = per_term[0][0]
         for ids, *_ in per_term[1:]:
             cand = cand[_in_sorted(cand, ids)]
             if not len(cand):
                 return _EMPTY
 
-        def flat_keys(ids, pos_pair):
-            flat, counts = pos_pair
-            sel = _in_sorted(ids, cand)
-            occ_sel = np.repeat(sel, counts)
-            docs = np.repeat(ids, counts)[occ_sel]
-            cand_idx = np.searchsorted(cand, docs).astype(np.uint64)
-            return (cand_idx << np.uint64(32)) | flat[occ_sel]
+        # Two key layouts for the adjacency chain:
+        #  * doc ids < 2^32 (the common case): GLOBAL keys (doc << 32 | pos)
+        #    are query-independent, already sorted (ids asc, positions asc
+        #    within a doc), and live in the term cache — zero per-query
+        #    repeat/compaction work; position+slop can't carry into the doc
+        #    bits (positions are int32 at build time).
+        #  * huge doc ids: compact to candidate indices per query (the
+        #    original layout).
+        if max(int(p[0][-1]) for p in per_term) < (1 << 32):
+            def flat_keys(t):
+                key = ("occkeys", words[t])
+                hit = self._term_cache.get(key)
+                if hit is not None:
+                    return hit
+                ids, _tfs, _lens, (flat, counts) = per_term[t]
+                k = (np.repeat(ids, counts).astype(np.uint64) << np.uint64(32)) | flat.astype(
+                    np.uint64
+                )
+                self._term_cache[key] = k
+                return k
 
-        allowed = flat_keys(per_term[0][0], per_term[0][3])
+            def doc_of(allowed):
+                return np.unique(allowed >> np.uint64(32))
+        else:
+            def flat_keys(t):
+                ids, _tfs, _lens, (flat, counts) = per_term[t]
+                sel = _in_sorted(ids, cand)
+                occ_sel = np.repeat(sel, counts)
+                docs = np.repeat(ids, counts)[occ_sel]
+                cand_idx = np.searchsorted(cand, docs).astype(np.uint64)
+                return (cand_idx << np.uint64(32)) | flat[occ_sel].astype(np.uint64)
+
+            def doc_of(allowed):
+                return cand[np.unique((allowed >> np.uint64(32)).astype(np.int64))]
+
+        allowed = flat_keys(0)
         for t in range(1, len(words)):
-            nxt = flat_keys(per_term[t][0], per_term[t][3])  # sorted
+            nxt = flat_keys(t)  # sorted
             if q.slop == 1:
                 shifted = allowed + np.uint64(1)
                 allowed = shifted[_in_sorted(shifted, nxt)]  # stays sorted
@@ -600,7 +629,7 @@ class Searcher:
                 allowed = np.unique(np.concatenate(merged)) if merged else nxt[:0]
             if not len(allowed):
                 return _EMPTY
-        good = cand[np.unique((allowed >> np.uint64(32)).astype(np.int64))]
+        good = doc_of(allowed)
         parts = []
         for w, (t_ids, t_tfs, t_lens, _pos) in zip(words, per_term):
             scorer = self.scorer_for(w)
