@@ -611,12 +611,27 @@ def serving_qps(num_actors: int, inflight: int = 32, n_queries: int = 600) -> di
         v = list(map(int, open("/proc/stat").readline().split()[1:]))
         return v[7], sum(v)
 
+    # GRAFT_QPS_BATCH=B switches the client to micro-batched submission
+    # (search_many_async, B queries per call): single-query async hits the
+    # driver's ~2-3 remote-calls-per-query submission ceiling near ~400-500
+    # QPS; batching is how a real serving client goes past it.
+    B = int(os.environ.get("GRAFT_QPS_BATCH", "0"))
     st0, ct0 = _steal()
     t0 = time.perf_counter()
     pending = []
     done = 0
     i = 0
-    while done < n_queries:
+    while done < n_queries or (B and pending):
+        if B:
+            while len(pending) < 8 and i < n_queries:
+                batch = [qset[j % len(qset)] for j in range(i, min(i + B, n_queries))]
+                pending.append(pool.search_many_async(batch, limit=10))
+                i += len(batch)
+            if not pending:
+                break
+            ready, pending = _ray.wait(pending, num_returns=1)
+            done += sum(len(r) for r in _ray.get(ready))
+            continue
         while len(pending) < inflight and i < n_queries:
             pending.append(pool.search_async(qset[i % len(qset)], limit=10))
             i += 1
