@@ -901,22 +901,66 @@ class Searcher:
             if not len(good):
                 return _EMPTY
         else:
-            allowed = child_keys(per_child[0])
-            for parts in per_child[1:]:
-                nxt = child_keys(parts)
-                merged = [
-                    shifted[_in_sorted(shifted, nxt)]
-                    for s in range(1, q.slop + 1)
-                    for shifted in [allowed + np.uint64(s)]
-                ]
-                allowed = (
-                    merged[0]
-                    if len(merged) == 1
-                    else np.unique(np.concatenate(merged))
-                )
-                if not len(allowed):
-                    return _EMPTY
-            good = cand[np.unique((allowed >> np.uint64(32)).astype(np.int64))]
+            # same global-key fast path as _phrase: when doc ids fit 32
+            # bits, each child's occurrence-key union ((doc << 32) | pos,
+            # sorted) is query-independent — cached per term SET, so the
+            # adjacency chain runs with no per-query repeat/compaction
+            if max(int(p[0][-1]) for parts in per_child for p in parts) < (1 << 32):
+                def child_keys_global(ci):
+                    ckey = ("occkeys-union", tuple(kids[ci]))
+                    hit = self._term_cache.get(ckey)
+                    if hit is not None:
+                        return hit
+                    arrs = []
+                    for t, (ids, _tfs, _lens, (flat, counts)) in zip(
+                        kids[ci], per_child[ci]
+                    ):
+                        tk = ("occkeys", t)
+                        a = self._term_cache.get(tk)
+                        if a is None:
+                            a = (
+                                np.repeat(ids, counts).astype(np.uint64)
+                                << np.uint64(32)
+                            ) | flat.astype(np.uint64)
+                            self._term_cache[tk] = a
+                        arrs.append(a)
+                    out = arrs[0] if len(arrs) == 1 else np.sort(np.concatenate(arrs))
+                    self._term_cache[ckey] = out
+                    return out
+
+                allowed = child_keys_global(0)
+                for ci in range(1, len(per_child)):
+                    nxt = child_keys_global(ci)
+                    merged = [
+                        shifted[_in_sorted(shifted, nxt)]
+                        for s in range(1, q.slop + 1)
+                        for shifted in [allowed + np.uint64(s)]
+                    ]
+                    allowed = (
+                        merged[0]
+                        if len(merged) == 1
+                        else np.unique(np.concatenate(merged))
+                    )
+                    if not len(allowed):
+                        return _EMPTY
+                good = np.unique(allowed >> np.uint64(32))
+            else:
+                allowed = child_keys(per_child[0])
+                for parts in per_child[1:]:
+                    nxt = child_keys(parts)
+                    merged = [
+                        shifted[_in_sorted(shifted, nxt)]
+                        for s in range(1, q.slop + 1)
+                        for shifted in [allowed + np.uint64(s)]
+                    ]
+                    allowed = (
+                        merged[0]
+                        if len(merged) == 1
+                        else np.unique(np.concatenate(merged))
+                    )
+                    if not len(allowed):
+                        return _EMPTY
+                good = cand[np.unique((allowed >> np.uint64(32)).astype(np.int64))]
         parts_scored = []
         for terms, parts in zip(kids, per_child):
             for t, (t_ids, t_tfs, t_lens, _p) in zip(terms, parts):
