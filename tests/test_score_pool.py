@@ -638,3 +638,118 @@ def test_elastic_replicas(built_index):
         assert rp.search(q, limit=10).to_pydict() == want
     finally:
         rp.shutdown()
+
+
+def test_many_async_deadline_large_budget(spool, built_index):
+    """Micro-batched deadline path with a generous budget: every entry is
+    (exact table, False), including a local-fallback query (which evaluates
+    driver-side in one shot and never times out)."""
+    import ray
+
+    from whoosh_novo_ray.search import Otherwise
+
+    qs = [
+        Term("search"),
+        Or(Term("search"), Term("data"), Term("index")),
+        Phrase(["search", "data"]),
+        Otherwise(Term("zzzznope"), Term("data")),
+    ]
+    sync = [spool.search(q, limit=10).to_pydict() for q in qs]
+    got = ray.get(spool.search_many_async(qs, limit=10, timelimit=60.0))
+    assert [t.to_pydict() for t, _to in got] == sync
+    assert [to for _t, to in got] == [False] * len(qs)
+
+
+def test_many_async_deadline_partial(spool, built_index):
+    """Each batch entry gets its OWN budget (the reference arms a
+    TimeLimitCollector per search): with 1.0 s/table and a 1.5 s budget the
+    3-table actor times out on EVERY query, and each partial is the exact
+    merge of the tables that finished (subset of the full result, scores
+    identical)."""
+    import ray
+
+    q = Or(Term("search"), Term("data"), Term("index"))
+    full = Searcher(built_index).search(q, limit=None)
+    fmap = dict(zip(full["doc_id"].to_pylist(), full["score"].to_pylist()))
+    got = ray.get(
+        spool.search_many_async(
+            [q, Term("zzzznope")], limit=None, timelimit=1.5, _delay_per_table=1.0
+        )
+    )
+    (p1, to1), (p2, to2) = got
+    assert to1 and to2
+    assert 0 < len(p1) < len(full)
+    for d, s in zip(p1["doc_id"].to_pylist(), p1["score"].to_pylist()):
+        assert fmap[d] == pytest.approx(s, rel=1e-12)
+    assert len(p2) == 0
+
+
+def test_many_async_deadline_replicated(built_index):
+    """The deadline micro-batch composes with replica-split dispatch (chunks
+    merge through _merge_many_deadline_task, scatter preserves slots)."""
+    import ray
+
+    rp = ScorePool(built_index.path, num_actors=2, num_shards=5, num_replicas=2)
+    try:
+        qs = [
+            Term("search"),
+            Or(Term("search"), Term("data")),
+            Phrase(["search", "data"]),
+            And(Term("search"), Term("index")),
+        ]
+        sync = [rp.search(q, limit=10).to_pydict() for q in qs]
+        got = ray.get(rp.search_many_async(qs, limit=10, timelimit=60.0))
+        assert [t.to_pydict() for t, _to in got] == sync
+        assert not any(to for _t, to in got)
+    finally:
+        rp.shutdown()
+
+
+def test_facet_deadline(spool, built_index, attrs_parquet):
+    """Facet counting under a deadline: generous budget is exact; a
+    mid-budget expiry raises TimeLimit whose partial counts are per-key
+    lower bounds of the full counts (exact over the covered tables)."""
+    from whoosh_novo_ray.search.wand import TimeLimit
+
+    q = Term("search")
+    full = spool.facet_counts(q, attrs_parquet, "lang")
+    got = spool.facet_counts(q, attrs_parquet, "lang", timelimit=60.0)
+    assert got.to_pydict() == full.to_pydict()
+    with pytest.raises(TimeLimit) as ei:
+        spool.facet_counts(
+            q, attrs_parquet, "lang", timelimit=1.5, _delay_per_table=1.0
+        )
+    part = ei.value.partial
+    fmap = dict(zip(full["key"].to_pylist(), full["count"].to_pylist()))
+    assert 0 < sum(part["count"].to_pylist()) < sum(full["count"].to_pylist())
+    for k, c in zip(part["key"].to_pylist(), part["count"].to_pylist()):
+        assert c <= fmap[k]
+
+
+def test_collapse_deadline(spool, built_index, attrs_parquet):
+    """Collapse under a deadline: generous budget is exact; a mid-budget
+    expiry's partial is a valid collapse over the covered tables (per-key
+    cardinality respected, scores from the true result set)."""
+    from whoosh_novo_ray.search.wand import TimeLimit
+
+    q = Or(Term("search"), Term("data"))
+    full = spool.collapse_search(q, attrs_parquet, "lang", per_key=2)
+    got = spool.collapse_search(
+        q, attrs_parquet, "lang", per_key=2, timelimit=60.0
+    )
+    assert got.to_pydict() == full.to_pydict()
+    fulldocs = Searcher(built_index).search(q, limit=None)
+    fmap = dict(
+        zip(fulldocs["doc_id"].to_pylist(), fulldocs["score"].to_pylist())
+    )
+    with pytest.raises(TimeLimit) as ei:
+        spool.collapse_search(
+            q, attrs_parquet, "lang", per_key=2,
+            timelimit=1.5, _delay_per_table=1.0,
+        )
+    part = ei.value.partial
+    keys = part["key"].to_pylist()
+    assert 0 < len(part)
+    assert all(keys.count(k) <= 2 for k in set(keys))
+    for d, s in zip(part["doc_id"].to_pylist(), part["score"].to_pylist()):
+        assert fmap[d] == pytest.approx(s, rel=1e-12)

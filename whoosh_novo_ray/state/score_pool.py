@@ -312,6 +312,28 @@ class ScoreServer:
         """Top-``limit`` (score desc, doc_id asc) over THIS actor's docs."""
         return self._searcher(gstats, weighting).search(q, limit=limit)
 
+    def _bound_table_caches(self) -> None:
+        if sum(len(c) for c in self._table_caches.values()) > 50_000:
+            self._table_caches.clear()
+
+    def _table_searcher(self, i: int, gstats, weighting) -> ShardSearcher:
+        """Per-TABLE searcher for the deadline paths (the shared whole-actor
+        TermRow cache is keyed by term only, so sub-searchers over different
+        table subsets must not share it) with its own persistent per-table
+        cache, so repeated deadline queries stay warm."""
+        k = self._table_shards[i]
+        view = _GlobalStatsView(
+            self._doc_count,
+            self._tfl,
+            self._shard_universe.get(k, np.empty(0, np.uint64)),
+        )
+        s = ShardSearcher(
+            view, [self._tables[i]], gstats, weighting,
+            paths=[self._paths[i]], lazy_cols=self._lazy_cols,
+        )
+        s._term_cache = self._table_caches.setdefault(i, {})
+        return s
+
     def score_deadline(
         self,
         q: Q.Query,
@@ -335,34 +357,43 @@ class ScoreServer:
         """
         import time as _time
 
+        self._bound_table_caches()
         t0 = _time.perf_counter()
-        if sum(len(c) for c in self._table_caches.values()) > 50_000:
-            self._table_caches.clear()
         parts: list[pa.Table] = []
         timed_out = False
-        for i, tbl in enumerate(self._tables):
+        for i in range(len(self._tables)):
             if _time.perf_counter() - t0 > budget_s:
                 timed_out = True
                 break
             if _delay_per_table:
                 _time.sleep(_delay_per_table)
-            k = self._table_shards[i]
-            view = _GlobalStatsView(
-                self._doc_count,
-                self._tfl,
-                self._shard_universe.get(k, np.empty(0, np.uint64)),
+            parts.append(
+                self._table_searcher(i, gstats, weighting).search(q, limit=limit)
             )
-            # per-TABLE searcher (the shared whole-actor TermRow cache is
-            # keyed by term only, so sub-searchers over different table
-            # subsets must not share it) with its own persistent per-table
-            # cache, so repeated deadline queries stay warm
-            s = ShardSearcher(
-                view, [tbl], gstats, weighting,
-                paths=[self._paths[i]], lazy_cols=self._lazy_cols,
-            )
-            s._term_cache = self._table_caches.setdefault(i, {})
-            parts.append(s.search(q, limit=limit))
         return _merge_topk(parts, limit), timed_out
+
+    def score_many_deadline(
+        self,
+        qs: list[Q.Query],
+        limit: int | None,
+        gstats: dict[str, tuple[int, float, float]],
+        budget_s: float,
+        weighting: WeightingModel | None = None,
+        _delay_per_table: float = 0.0,
+    ) -> tuple[list[pa.Table], list[bool]]:
+        """Micro-batch with a PER-QUERY deadline: each search gets its own
+        ``budget_s`` clock (the reference's TimeLimitCollector is armed per
+        search, so a batch is B independent deadlines, not one shared one).
+        Returns (tables, timed_out flags) aligned with ``qs``."""
+        tables: list[pa.Table] = []
+        flags: list[bool] = []
+        for q in qs:
+            t, to = self.score_deadline(
+                q, limit, gstats, budget_s, weighting, _delay_per_table
+            )
+            tables.append(t)
+            flags.append(to)
+        return tables, flags
 
     def score_many(
         self,
@@ -440,7 +471,11 @@ class ScoreServer:
         MISSING from the attrs table are dropped (mirroring the None-key
         masking in sorting.facet_counts) rather than taking an out-of-bounds
         position or a neighbor's key."""
-        s = self._searcher(gstats, weighting)
+        return self._matched_keys_for(
+            self._searcher(gstats, weighting), q, attrs_dir, column
+        )
+
+    def _matched_keys_for(self, s: "Searcher", q, attrs_dir, column):
         ids, scores = s.postings(q)
         if not len(ids):
             return ids, scores, np.empty(0, object)
@@ -473,6 +508,112 @@ class ScoreServer:
                 "key": pa.array(uniq, pa.string()),
                 "count": pa.array(counts.astype(np.int64), pa.int64()),
             }
+        )
+
+    def facet_counts_deadline(
+        self,
+        q,
+        gstats,
+        attrs_dir: str,
+        column: str,
+        budget_s: float,
+        weighting=None,
+        _delay_per_table: float = 0.0,
+    ) -> tuple[pa.Table, bool]:
+        """Time-budgeted facet counts (TimeLimitCollector wrapping a
+        FacetCollector): one pinned table at a time under the clock; counts
+        over the tables that finished are exact (tables partition the doc
+        space), coverage is partial when ``timed_out``."""
+        import time as _time
+
+        self._bound_table_caches()
+        t0 = _time.perf_counter()
+        key_parts: list[np.ndarray] = []
+        timed_out = False
+        for i in range(len(self._tables)):
+            if _time.perf_counter() - t0 > budget_s:
+                timed_out = True
+                break
+            if _delay_per_table:
+                _time.sleep(_delay_per_table)
+            s = self._table_searcher(i, gstats, weighting)
+            ids, _scores, keys = self._matched_keys_for(s, q, attrs_dir, column)
+            if len(ids):
+                key_parts.append(keys.astype(str))
+        if not key_parts:
+            empty = pa.table(
+                {"key": pa.array([], pa.string()), "count": pa.array([], pa.int64())}
+            )
+            return empty, timed_out
+        uniq, counts = np.unique(np.concatenate(key_parts), return_counts=True)
+        return (
+            pa.table(
+                {
+                    "key": pa.array(uniq, pa.string()),
+                    "count": pa.array(counts.astype(np.int64), pa.int64()),
+                }
+            ),
+            timed_out,
+        )
+
+    def collapse_candidates_deadline(
+        self,
+        q,
+        gstats,
+        attrs_dir: str,
+        column: str,
+        per_key: int,
+        budget_s: float,
+        weighting=None,
+        _delay_per_table: float = 0.0,
+    ) -> tuple[pa.Table, bool]:
+        """Time-budgeted per-key best candidates: per-table evaluation under
+        the clock, then one keep-pass over the union — still a superset of
+        the global winners for the covered tables."""
+        import time as _time
+
+        self._bound_table_caches()
+        t0 = _time.perf_counter()
+        id_parts: list[np.ndarray] = []
+        sc_parts: list[np.ndarray] = []
+        key_parts: list[np.ndarray] = []
+        timed_out = False
+        for i in range(len(self._tables)):
+            if _time.perf_counter() - t0 > budget_s:
+                timed_out = True
+                break
+            if _delay_per_table:
+                _time.sleep(_delay_per_table)
+            s = self._table_searcher(i, gstats, weighting)
+            ids, scores, keys = self._matched_keys_for(s, q, attrs_dir, column)
+            if len(ids):
+                id_parts.append(ids)
+                sc_parts.append(scores)
+                key_parts.append(keys.astype(str))
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.uint64()),
+                "key": pa.array([], pa.string()),
+                "score": pa.array([], pa.float64()),
+            }
+        )
+        if not id_parts:
+            return empty, timed_out
+        ids = np.concatenate(id_parts)
+        scores = np.concatenate(sc_parts)
+        keys = np.concatenate(key_parts)
+        order = np.lexsort((ids, -scores))
+        ids, scores, keys = ids[order], scores[order], keys[order]
+        keep = _collapse_keep_mask(keys, per_key)
+        return (
+            pa.table(
+                {
+                    "doc_id": pa.array(ids[keep], pa.uint64()),
+                    "key": pa.array(keys[keep], pa.string()),
+                    "score": pa.array(scores[keep], pa.float64()),
+                }
+            ),
+            timed_out,
         )
 
     def collapse_candidates(
@@ -526,6 +667,22 @@ def _merge_many_task(
     """Merge a micro-batch: one aligned result list per actor."""
     n = len(actor_results[0])
     return [_merge_topk([ar[i] for ar in actor_results], limit) for i in range(n)]
+
+
+@ray.remote(num_cpus=0.25)
+def _merge_many_deadline_task(
+    limit: int | None, *actor_results: tuple[list[pa.Table], list[bool]]
+) -> list[tuple[pa.Table, bool]]:
+    """Merge a deadline micro-batch: each actor ships (tables, flags); a
+    query's merged flag is True when ANY actor ran out on it."""
+    n = len(actor_results[0][0])
+    return [
+        (
+            _merge_topk([ar[0][i] for ar in actor_results], limit),
+            any(ar[1][i] for ar in actor_results),
+        )
+        for i in range(n)
+    ]
 
 
 @ray.remote(num_cpus=0)
@@ -918,12 +1075,21 @@ class ScorePool:
         queries: list[Q.Query],
         limit: int | None = 10,
         weighting: WeightingModel | None = None,
+        timelimit: float | None = None,
+        _delay_per_table: float = 0.0,
     ) -> "ray.ObjectRef":
         """Micro-batched non-blocking search: ONE remote call per actor for
         the whole batch plus one merge task, so the driver's per-query
         submission cost is ~(actors+1)/B remote calls. Returns an ObjectRef
         resolving to a list of merged top-k tables aligned with ``queries``.
-        Queries needing the local fallback are evaluated eagerly."""
+        Queries needing the local fallback are evaluated eagerly.
+
+        With ``timelimit`` each query gets its OWN per-actor budget (the
+        reference arms a TimeLimitCollector per search); the ref then
+        resolves to a list of ``(table, timed_out)`` pairs — an async path
+        can't raise per query, so the flag rides the result instead of a
+        :class:`TimeLimit` exception. Local-fallback entries never time out
+        (they evaluate driver-side in one shot, flag False)."""
         rewritten = []
         stat_terms: set[str] = set()
         fallback_idx: list[int] = []
@@ -935,22 +1101,41 @@ class ScorePool:
             q2 = self._rewrite(q)
             rewritten.append(q2)
             stat_terms.update(self._stat_terms(q2))
+
+        def _wrap_local(t: pa.Table):
+            return (t, False) if timelimit is not None else t
+
+        def _score_many_futs(actors, qs):
+            if timelimit is not None:
+                return [
+                    a.score_many_deadline.remote(
+                        qs, limit, gstats, timelimit, weighting, _delay_per_table
+                    )
+                    for a in actors
+                ]
+            return [a.score_many.remote(qs, limit, gstats, weighting) for a in actors]
+
+        def _merge_chunk(futs):
+            # deadline results are (tables, flags) per actor — they always
+            # need the zip/merge task, even from a single actor
+            if timelimit is not None:
+                return _merge_many_deadline_task.remote(limit, *futs)
+            return futs[0] if len(futs) == 1 else _merge_many_task.remote(limit, *futs)
+
         remote_qs = [q2 for q2 in rewritten if q2 is not None]
         if not remote_qs:
             s = Searcher(self.index, weighting=weighting)
-            return ray.put([s.search(queries[i], limit=limit) for i in fallback_idx])
+            return ray.put(
+                [_wrap_local(s.search(queries[i], limit=limit)) for i in fallback_idx]
+            )
         gstats = self._gstats(sorted(stat_terms))
         R = len(self._replicas)
         if R == 1 or len(remote_qs) == 1:
-            futs = [
-                a.score_many.remote(remote_qs, limit, gstats, weighting)
-                for a in self._route(sum(self._est_cost(gstats, self._stat_terms(q2)) for q2 in remote_qs))
-            ]
-            merged_ref = (
-                futs[0]
-                if len(futs) == 1
-                else _merge_many_task.remote(limit, *futs)
+            futs = _score_many_futs(
+                self._route(sum(self._est_cost(gstats, self._stat_terms(q2)) for q2 in remote_qs)),
+                remote_qs,
             )
+            merged_ref = _merge_chunk(futs)
         else:
             # split the batch ACROSS replica groups, LPT-style: queries in
             # descending estimated cost, each to the least-loaded replica
@@ -977,15 +1162,7 @@ class ScorePool:
                 if not idxs:
                     continue
                 chunk = [remote_qs[i] for i in idxs]
-                futs = [
-                    a.score_many.remote(chunk, limit, gstats, weighting)
-                    for a in grp
-                ]
-                chunk_refs.append(
-                    futs[0]
-                    if len(futs) == 1
-                    else _merge_many_task.remote(limit, *futs)
-                )
+                chunk_refs.append(_merge_chunk(_score_many_futs(grp, chunk)))
                 idx_lists.append(idxs)
             merged_ref = _scatter_task.remote(
                 len(remote_qs), idx_lists, *chunk_refs
@@ -996,7 +1173,9 @@ class ScorePool:
         # dispatch, so the actor fleet is already working while the driver
         # handles the (rare) global-semantics stragglers
         s = Searcher(self.index, weighting=weighting)
-        local = {i: s.search(queries[i], limit=limit) for i in fallback_idx}
+        local = {
+            i: _wrap_local(s.search(queries[i], limit=limit)) for i in fallback_idx
+        }
         return _splice_task.remote(len(queries), local, merged_ref)
 
     def wand_topk(
@@ -1056,72 +1235,118 @@ class ScorePool:
         return out
 
     def facet_counts(
-        self, q, attrs_path: str, column: str, weighting=None
+        self, q, attrs_path: str, column: str, weighting=None,
+        timelimit: float | None = None, _delay_per_table: float = 0.0,
     ) -> pa.Table:
         """Distributed FacetCollector: per-shard partial key counts (each
         actor keys against ITS doc-sharded attribute partition) summed on
         the driver. Result identical to sorting.facet_counts over a
-        FieldFacet."""
+        FieldFacet. With ``timelimit`` each actor counts under the budget
+        (shard-table granularity); if any ran out, raises
+        :class:`whoosh_novo_ray.search.wand.TimeLimit` carrying the partial
+        counts (exact over the covered tables) in ``.partial``."""
         attrs_dir = self._attrs_dir_for(attrs_path, column)
         q2 = self._rewrite(q)
         gstats = self._gstats(self._stat_terms(q2))
-        futs = [
-            a.facet_counts.remote(q2, gstats, attrs_dir, column, weighting)
-            for a in self._route(self._est_cost(gstats, self._stat_terms(q2)))
-        ]
-        parts = [t for t in ray.get(futs) if len(t)]
+        actors = self._route(self._est_cost(gstats, self._stat_terms(q2)))
+        timed_out = False
+        if timelimit is not None:
+            futs = [
+                a.facet_counts_deadline.remote(
+                    q2, gstats, attrs_dir, column, timelimit, weighting,
+                    _delay_per_table,
+                )
+                for a in actors
+            ]
+            results = ray.get(futs)
+            parts = [t for t, _to in results if len(t)]
+            timed_out = any(to for _t, to in results)
+        else:
+            futs = [
+                a.facet_counts.remote(q2, gstats, attrs_dir, column, weighting)
+                for a in actors
+            ]
+            parts = [t for t in ray.get(futs) if len(t)]
         if not parts:
-            return pa.table(
+            out = pa.table(
                 {"key": pa.array([], pa.string()), "count": pa.array([], pa.int64())}
             )
-        tbl = pa.concat_tables(parts)
-        g = pa.TableGroupBy(tbl, "key").aggregate([("count", "sum")])
-        g = g.rename_columns(["key", "count"])
-        return g.sort_by("key")
+        else:
+            tbl = pa.concat_tables(parts)
+            g = pa.TableGroupBy(tbl, "key").aggregate([("count", "sum")])
+            g = g.rename_columns(["key", "count"])
+            out = g.sort_by("key")
+        if timed_out:
+            from whoosh_novo_ray.search.wand import TimeLimit
+
+            raise TimeLimit(out, {"timed_out": True})
+        return out
 
     def collapse_search(
         self, q, attrs_path: str, column: str, per_key: int = 1,
         limit=None, weighting=None,
+        timelimit: float | None = None, _delay_per_table: float = 0.0,
     ) -> pa.Table:
         """Distributed CollapseCollector: shards return their per-key best
         candidates (a superset of the global winners); the driver re-runs
-        the collapse over the tiny union — exact."""
+        the collapse over the tiny union — exact. With ``timelimit`` each
+        actor works under the budget; any expiry raises :class:`TimeLimit`
+        carrying the collapse over the covered tables in ``.partial``."""
         attrs_dir = self._attrs_dir_for(attrs_path, column)
         q2 = self._rewrite(q)
         gstats = self._gstats(self._stat_terms(q2))
-        futs = [
-            a.collapse_candidates.remote(
-                q2, gstats, attrs_dir, column, per_key, weighting
-            )
-            for a in self._route(self._est_cost(gstats, self._stat_terms(q2)))
-        ]
-        parts = [t for t in ray.get(futs) if len(t)]
-        empty = pa.table(
-            {
-                "doc_id": pa.array([], pa.uint64()),
-                "key": pa.array([], pa.string()),
-                "score": pa.array([], pa.float64()),
-            }
-        )
+        actors = self._route(self._est_cost(gstats, self._stat_terms(q2)))
+        timed_out = False
+        if timelimit is not None:
+            futs = [
+                a.collapse_candidates_deadline.remote(
+                    q2, gstats, attrs_dir, column, per_key, timelimit,
+                    weighting, _delay_per_table,
+                )
+                for a in actors
+            ]
+            results = ray.get(futs)
+            parts = [t for t, _to in results if len(t)]
+            timed_out = any(to for _t, to in results)
+        else:
+            futs = [
+                a.collapse_candidates.remote(
+                    q2, gstats, attrs_dir, column, per_key, weighting
+                )
+                for a in actors
+            ]
+            parts = [t for t in ray.get(futs) if len(t)]
         if not parts:
-            return empty
-        tbl = pa.concat_tables(parts)
-        ids = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        scores = tbl["score"].to_numpy(zero_copy_only=False)
-        keys = tbl["key"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((ids, -scores))
-        ids, scores, keys = ids[order], scores[order], keys[order]
-        keep = _collapse_keep_mask(keys.astype(str), per_key)
-        ids, scores, keys = ids[keep], scores[keep], keys[keep]
-        if limit is not None:
-            ids, scores, keys = ids[:limit], scores[:limit], keys[:limit]
-        return pa.table(
-            {
-                "doc_id": pa.array(ids, pa.uint64()),
-                "key": pa.array(keys.astype(str), pa.string()),
-                "score": pa.array(scores, pa.float64()),
-            }
-        )
+            out = pa.table(
+                {
+                    "doc_id": pa.array([], pa.uint64()),
+                    "key": pa.array([], pa.string()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        else:
+            tbl = pa.concat_tables(parts)
+            ids = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            scores = tbl["score"].to_numpy(zero_copy_only=False)
+            keys = tbl["key"].to_numpy(zero_copy_only=False)
+            order = np.lexsort((ids, -scores))
+            ids, scores, keys = ids[order], scores[order], keys[order]
+            keep = _collapse_keep_mask(keys.astype(str), per_key)
+            ids, scores, keys = ids[keep], scores[keep], keys[keep]
+            if limit is not None:
+                ids, scores, keys = ids[:limit], scores[:limit], keys[:limit]
+            out = pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.uint64()),
+                    "key": pa.array(keys.astype(str), pa.string()),
+                    "score": pa.array(scores, pa.float64()),
+                }
+            )
+        if timed_out:
+            from whoosh_novo_ray.search.wand import TimeLimit
+
+            raise TimeLimit(out, {"timed_out": True})
+        return out
 
     def shutdown(self) -> None:
         for grp in self._replicas:
