@@ -664,6 +664,131 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return _search_table(sf_dir, q, 10**9)
 
+    def span_first_docs(sf_dir):
+        """SpanFirst: _T_MID occurring within the first 4 token positions
+        (span.end <= 3; reference spans.py SpanFirst). Scored from the term
+        matcher on surviving docs."""
+        from whoosh_novo_ray.search.spans import SpanFirst, SpanTerm
+
+        return _search_table(sf_dir, SpanFirst(SpanTerm(_T_MID), limit=3), 10**9)
+
+    def span_not_docs(sf_dir):
+        """SpanNot: adjacent (_T_MID _T_MID2) pairs whose span does NOT
+        contain an occurrence of _T_COMMON (overlap test, reference
+        spans.py SpanNot); scores sum the involved terms' BM25."""
+        from whoosh_novo_ray.search.spans import SpanNear2, SpanNot, SpanTerm
+
+        q = SpanNot(
+            SpanNear2([SpanTerm(_T_MID), SpanTerm(_T_MID2)], slop=1),
+            SpanTerm(_T_COMMON),
+        )
+        return _search_table(sf_dir, q, 10**9)
+
+    def span_before_docs(sf_dir):
+        """SpanBefore: docs where some _T_MID occurrence precedes some
+        _T_MID2 occurrence (b.start > a.end; reference spans.py:869-901)."""
+        from whoosh_novo_ray.search.spans import SpanBefore, SpanTerm
+
+        return _search_table(
+            sf_dir, SpanBefore(SpanTerm(_T_MID), SpanTerm(_T_MID2)), 10**9
+        )
+
+    def not_docs(sf_dir):
+        """Negation: every doc NOT containing _T_MID (AndNot(Every, term);
+        the reference's Not normalizes to the same matcher shape), constant
+        1.0 from Every."""
+        from whoosh_novo_ray.search import AndNot, Every
+
+        return _search_table(sf_dir, AndNot(Every(), Term(_T_MID)), 10**9)
+
+    def otherwise_top10(sf_dir):
+        """Otherwise(a, b): b's results because a matches nothing (reference
+        query/compound.py:578-590) — drives the local-fallback path."""
+        from whoosh_novo_ray.search import Otherwise
+
+        return _search_table(
+            sf_dir, Otherwise(Term(_T_ABSENT), Term(_T_MID)), 10
+        )
+
+    def facet_nchars_ranges(sf_dir):
+        """RangeFacet: matched-doc counts per n_chars bucket [0,2000) gap
+        500 (reference sorting.py RangeFacet label + clipping semantics)."""
+        from whoosh_novo_ray.search.sorting import RangeFacet, facet_counts
+
+        attrs = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "n_chars"],
+        )
+        return facet_counts(
+            _searcher_for(sf_dir),
+            Term(_T_MID),
+            RangeFacet(attrs, "n_chars", 0, 2000, 500),
+        )
+
+    def facet_query_named(sf_dir):
+        """QueryFacet: key = name of the FIRST matching sub-query (dict
+        order), docs matching neither drop (reference sorting.py
+        QueryFacet)."""
+        from whoosh_novo_ray.search.sorting import QueryFacet, facet_counts
+
+        return facet_counts(
+            _searcher_for(sf_dir),
+            Term(_T_MID),
+            QueryFacet(
+                {"has_window": Term(_T_MID2), "has_table": Term(_T_COMMON)}
+            ),
+        )
+
+    def facet_best_by_lang(sf_dir):
+        """Facet Best map: the single best (score desc, doc_id asc) match
+        per lang key (reference sorting.py Best maptype)."""
+        from whoosh_novo_ray.search.sorting import FieldFacet, facet_groups
+
+        attrs = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "lang"],
+        )
+        t = facet_groups(
+            _searcher_for(sf_dir),
+            Term(_T_MID),
+            FieldFacet(attrs, "lang"),
+            best_only=True,
+        )
+        return pa.table(
+            {
+                "key": t["key"],
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "score": pa.array(np.round(t["score"].to_numpy(), 6), pa.float64()),
+            }
+        )
+
+    def more_like_doc0(sf_dir):
+        """More-like-this for doc 0: Bo1 key-term expansion of its text into
+        an OR query (reference Searcher.more_like, searching.py:509-613)."""
+        import pyarrow.compute as _pc
+
+        from whoosh_novo_ray.search.classify import more_like
+
+        dt = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        )
+        text0 = dt.filter(_pc.equal(dt["doc_id"], 0))["text"][0].as_py()
+        t = more_like(_searcher_for(sf_dir), text0, numterms=5, limit=10)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "score": pa.array(np.round(t["score"].to_numpy(), 6), pa.float64()),
+            }
+        )
+
+    def or3_hit_count(sf_dir):
+        """Total hit count of a 3-term OR (Results length semantics)."""
+        ids, _ = _searcher_for(sf_dir).postings(
+            Or(Term(_T_MID), Term(_T_MID2), Term(_T_COMMON))
+        )
+        return pa.table({"n": pa.array([len(ids)], pa.int64())})
+
     def image_features_q(sf_dir):
         import ray.data
         from whoosh_novo_ray.ops.multimodal import image_features
@@ -888,6 +1013,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "phrase_slop2_top10": phrase_slop2,
         "spancondition_docs": spancondition_docs,
+        "span_first_docs": span_first_docs,
+        "span_not_docs": span_not_docs,
+        "span_before_docs": span_before_docs,
+        "not_docs": not_docs,
+        "otherwise_top10": otherwise_top10,
+        "facet_nchars_ranges": facet_nchars_ranges,
+        "facet_query_named": facet_query_named,
+        "facet_best_by_lang": facet_best_by_lang,
+        "more_like_doc0": more_like_doc0,
+        "or3_hit_count": or3_hit_count,
         "dismax_top10": lambda sf: _pool_search_table(
             sf, DisMax(Term(_T_MID), Term(_T_MID2)), 10
         ),
@@ -1046,6 +1181,126 @@ FROM bm WHERE term IN ({_terms_sql([_T_MID, _T_MID2, _T_COMMON])})
   AND doc_id IN (SELECT doc_id FROM pdocs)
   AND doc_id IN (SELECT doc_id FROM tfs WHERE term = '{_T_COMMON}')
 GROUP BY doc_id ORDER BY score DESC, doc_id""",
+        # positions replicate the StopFilter(renumber=True) quirk: the FIRST
+        # surviving token keeps its ORIGINAL position, later ones increment
+        # by 1 — so p = dense rank + the doc's first-survivor offset
+        # (adjacency oracles are offset-invariant; this absolute one is not)
+        "span_first_docs": f"""WITH {_BASE_CTES},
+pos AS (
+  SELECT doc_id, term,
+         row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1
+           + min(ord) OVER (PARTITION BY doc_id) AS p
+  FROM filt
+),
+sdocs AS (
+  SELECT doc_id FROM pos WHERE term = '{_T_MID}'
+  GROUP BY doc_id HAVING min(p) <= 3
+)
+SELECT doc_id::BIGINT AS doc_id, round(sum(score), 6) AS score
+FROM bm WHERE term = '{_T_MID}'
+  AND doc_id IN (SELECT doc_id FROM sdocs)
+GROUP BY doc_id ORDER BY score DESC, doc_id""",
+        "span_not_docs": f"""WITH {_BASE_CTES},
+pos AS (
+  SELECT doc_id, term,
+         row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1 AS p
+  FROM filt
+),
+pairs AS (
+  SELECT a.doc_id, a.p AS s, b.p AS e FROM pos a
+  JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+  WHERE a.term = '{_T_MID}' AND b.term = '{_T_MID2}'
+),
+sdocs AS (
+  SELECT DISTINCT pr.doc_id FROM pairs pr
+  WHERE NOT EXISTS (
+    SELECT 1 FROM pos c
+    WHERE c.doc_id = pr.doc_id AND c.term = '{_T_COMMON}'
+      AND c.p BETWEEN pr.s AND pr.e
+  )
+)
+SELECT doc_id::BIGINT AS doc_id, round(sum(score), 6) AS score
+FROM bm WHERE term IN ({_terms_sql([_T_MID, _T_MID2, _T_COMMON])})
+  AND doc_id IN (SELECT doc_id FROM sdocs)
+GROUP BY doc_id ORDER BY score DESC, doc_id""",
+        "span_before_docs": f"""WITH {_BASE_CTES},
+pos AS (
+  SELECT doc_id, term,
+         row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1 AS p
+  FROM filt
+),
+sdocs AS (
+  SELECT a.doc_id FROM
+    (SELECT doc_id, min(p) AS mp FROM pos WHERE term = '{_T_MID}' GROUP BY doc_id) a
+  JOIN
+    (SELECT doc_id, max(p) AS xp FROM pos WHERE term = '{_T_MID2}' GROUP BY doc_id) b
+  USING (doc_id)
+  WHERE a.mp < b.xp
+)
+SELECT doc_id::BIGINT AS doc_id, round(sum(score), 6) AS score
+FROM bm WHERE term IN ({_terms_sql([_T_MID, _T_MID2])})
+  AND doc_id IN (SELECT doc_id FROM sdocs)
+GROUP BY doc_id ORDER BY score DESC, doc_id""",
+        "not_docs": f"""WITH {_BASE_CTES}
+SELECT d.doc_id::BIGINT AS doc_id, 1.0 AS score FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM tfs WHERE term = '{_T_MID}')
+ORDER BY doc_id""",
+        # Otherwise(absent, mid): a matches nothing, so the result IS b's
+        "otherwise_top10": _topk_sql(f"term = '{_T_MID}'", 10),
+        "facet_nchars_ranges": f"""WITH {_BASE_CTES},
+m AS (SELECT DISTINCT doc_id FROM tfs WHERE term = '{_T_MID}'),
+b AS (
+  SELECT (d.n_chars // 500) * 500 AS lo
+  FROM documents d JOIN m USING (doc_id)
+  WHERE d.n_chars >= 0 AND d.n_chars < 2000
+)
+SELECT '[' || lo::BIGINT || ', ' || least(lo + 500, 2000)::BIGINT || ')' AS key,
+       count(*)::BIGINT AS count
+FROM b GROUP BY lo ORDER BY key""",
+        "facet_query_named": f"""WITH {_BASE_CTES},
+m AS (SELECT DISTINCT doc_id FROM tfs WHERE term = '{_T_MID}'),
+k AS (
+  SELECT m.doc_id,
+         CASE WHEN m.doc_id IN (SELECT doc_id FROM tfs WHERE term = '{_T_MID2}')
+                THEN 'has_window'
+              WHEN m.doc_id IN (SELECT doc_id FROM tfs WHERE term = '{_T_COMMON}')
+                THEN 'has_table'
+         END AS key
+  FROM m
+)
+SELECT key, count(*)::BIGINT AS count FROM k
+WHERE key IS NOT NULL GROUP BY key ORDER BY key""",
+        "facet_best_by_lang": f"""WITH {_BASE_CTES},
+scored AS (
+  SELECT doc_id, sum(score) AS score FROM bm
+  WHERE term = '{_T_MID}' GROUP BY doc_id
+),
+ranked AS (
+  SELECT d.lang AS key, s.doc_id, s.score,
+         row_number() OVER (
+           PARTITION BY d.lang ORDER BY s.score DESC, s.doc_id
+         ) AS rn
+  FROM scored s JOIN documents d USING (doc_id)
+)
+SELECT key, doc_id::BIGINT AS doc_id, round(score, 6) AS score
+FROM ranked WHERE rn = 1 ORDER BY key""",
+        # Bo1 expansion of doc 0's terms (same formula as key_terms_doc0),
+        # then a BM25 OR over the top-5 expansion terms
+        "more_like_doc0": f"""WITH {_BASE_CTES},
+doc0 AS (SELECT term, tf AS wit FROM tfs WHERE doc_id = 0),
+cf AS (SELECT term, sum(tf) AS cf FROM tfs GROUP BY term),
+kt AS (
+  SELECT d.term FROM doc0 d JOIN cf c USING (term) CROSS JOIN stats s
+  ORDER BY d.wit * log2((1 + c.cf / s.N) / (c.cf / s.N))
+           + log2(1 + c.cf / s.N) DESC, d.term
+  LIMIT 5
+)
+SELECT doc_id::BIGINT AS doc_id, round(sum(score), 6) AS score
+FROM bm WHERE term IN (SELECT term FROM kt)
+GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""",
+        "or3_hit_count": f"""WITH {_BASE_CTES}
+SELECT count(DISTINCT doc_id)::BIGINT AS n FROM tfs
+WHERE term IN ({_terms_sql([_T_MID, _T_MID2, _T_COMMON])})""",
         "phrase_slop2_top10": f"""WITH {_BASE_CTES},
 pos AS (
   SELECT doc_id, term,
