@@ -28,18 +28,8 @@ _RX_SQL = r"[\w*]+(\.?[\w*]+)*"
 _STOPLIST_SQL = ", ".join(f"'{w}'" for w in sorted(STOP_WORDS))
 _LTAB = length_table_sql_literal()
 
-# token stream with per-token ordinal (zipped unnest preserves list order)
-_BASE_CTES = f"""
-tokarr AS (
-  SELECT doc_id, regexp_extract_all(lower(text), '{_RX_SQL}') AS arr FROM documents
-),
-tok AS (
-  SELECT doc_id, unnest(arr) AS term, unnest(range(len(arr))) AS ord FROM tokarr
-),
-filt AS (
-  SELECT doc_id, term, ord FROM tok
-  WHERE length(term) >= 2 AND term NOT IN ({_STOPLIST_SQL})
-),
+# BM25 scoring tail, generic over any `filt(doc_id, term, ord)` token stream
+_SCORE_CTES = f"""
 tfs AS (
   SELECT doc_id, term, count(*)::DOUBLE AS tf FROM filt GROUP BY doc_id, term
 ),
@@ -71,6 +61,30 @@ bm AS (
   CROSS JOIN stats s
 )
 """
+
+# token stream with per-token ordinal (zipped unnest preserves list order)
+_BASE_CTES = f"""
+tokarr AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{_RX_SQL}') AS arr FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(arr) AS term, unnest(range(len(arr))) AS ord FROM tokarr
+),
+filt AS (
+  SELECT doc_id, term, ord FROM tok
+  WHERE length(term) >= 2 AND term NOT IN ({_STOPLIST_SQL})
+),
+{_SCORE_CTES}"""
+
+# char-3-gram stream over the WHOLE lowercased value incl. whitespace
+# (reference NgramTokenizer, ngrams.py:42-130) — same BM25 tail over it
+_NGRAM_CTES = f"""
+tokv AS (SELECT doc_id, lower(text) AS v FROM documents),
+filt AS (
+  SELECT doc_id, substr(v, (i + 1)::BIGINT, 3) AS term, i AS ord
+  FROM tokv, unnest(range(greatest(length(v) - 2, 0))) AS u(i)
+),
+{_SCORE_CTES}"""
 
 
 def _terms_sql(terms: list[str]) -> str:
@@ -980,6 +994,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         ).sort_by([("event_type", "ascending"), ("window_start", "ascending")])
 
+    def _ngram_searcher(sf_dir):
+        """Searcher over a char-3-gram index (reference NGRAM field,
+        fields.py NGRAM / ngrams.py NgramTokenizer): grams over the whole
+        lowercased value, field length = gram count."""
+        from whoosh_novo_ray.analysis import NgramAnalyzer
+        from whoosh_novo_ray.index import Index, IndexConfig, build_index
+        from whoosh_novo_ray.search import Searcher
+
+        key = ("ng3", sf_dir)
+        if key not in _INDEX_CACHE:
+            out = os.path.join(
+                "/tmp/wnr_indexes",
+                sf_dir.strip("/").replace("/", "_") + "_ng3",
+            )
+            build_index(
+                _docs_ds(sf_dir),
+                out,
+                IndexConfig(num_buckets=8, analyzer=NgramAnalyzer(3, 3)),
+                lineage=f"ng3:{sf_dir}",
+                resume=True,
+            )
+            _INDEX_CACHE[key] = Index(out)
+        return Searcher(_INDEX_CACHE[key])
+
+    def ngram_and_top10(sf_dir):
+        """Substring search on the ngram field: query-mode grams of the word
+        (NgramTokenizer mode='query' → one gram size) ANDed, BM25-scored."""
+        from whoosh_novo_ray.analysis import NgramAnalyzer
+
+        grams = NgramAnalyzer(3, 3).query_tokens(_T_MID2)
+        t = _ngram_searcher(sf_dir).search(
+            And(*[Term(g) for g in grams]), limit=10
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "score": pa.array(np.round(t["score"].to_numpy(), 6), pa.float64()),
+            }
+        )
+
     def sessions(sf_dir):
         import ray.data
         from whoosh_novo_ray.ops.windows import sessionize
@@ -1086,6 +1140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": sessions,
         "fielded_and": fielded_and,
         "multifield_parse": multifield_parse,
+        "ngram_and_top10": ngram_and_top10,
     }
 
 
@@ -1097,9 +1152,11 @@ def _collect(ds) -> list[pa.Table]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from whoosh_novo_ray.analysis import NgramAnalyzer
     from whoosh_novo_ray.lang_morph import variations as _morph_variations
 
     raw_tok = f"regexp_extract_all(lower(text), '{_RX_SQL}')"
+    _ng_grams = NgramAnalyzer(3, 3).query_tokens(_T_MID2)
     return {
         "term_stats": f"""WITH {_BASE_CTES}
 SELECT term, count(*)::BIGINT AS df, sum(tf)::DOUBLE AS weight
@@ -1117,6 +1174,11 @@ FROM qdl ORDER BY doc_id""",
 SELECT doc_id::BIGINT AS doc_id, round(sum(score), 6) AS score
 FROM bm WHERE term IN ({_terms_sql([_T_MID, _T_MID2])})
 GROUP BY doc_id HAVING count(DISTINCT term) = 2
+ORDER BY score DESC, doc_id LIMIT 10""",
+        "ngram_and_top10": f"""WITH {_NGRAM_CTES}
+SELECT doc_id::BIGINT AS doc_id, round(sum(score), 6) AS score
+FROM bm WHERE term IN ({_terms_sql(_ng_grams)})
+GROUP BY doc_id HAVING count(DISTINCT term) = {len(set(_ng_grams))}
 ORDER BY score DESC, doc_id LIMIT 10""",
         "bm25_andnot_top10": f"""WITH {_BASE_CTES}
 SELECT doc_id::BIGINT AS doc_id, round(sum(score), 6) AS score
