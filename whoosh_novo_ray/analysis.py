@@ -426,6 +426,66 @@ class NgramAnalyzer:
         return doc_idx, codes, np.asarray(uniques, object), pos, fl
 
 
+@dataclass(frozen=True)
+class NgramWordsAnalyzer:
+    """Word-gram analyzer (reference NgramWordAnalyzer, ngrams.py:259-267):
+    RegexTokenizer | LowercaseFilter | NgramFilter. Grams inherit the source
+    word's position (NgramFilter leaves t.pos untouched, ngrams.py:186-189);
+    field length = emitted gram count. Plugs into IndexConfig."""
+
+    minsize: int = 3
+    maxsize: int | None = None
+    at: str | None = None
+    # duck-type fields other code may probe
+    stem: bool = False
+    stoplist = None
+
+    def __call__(self, text: str) -> list[str]:
+        return ngram_words(text, self.minsize, self.maxsize, self.at)
+
+    def query_tokens(self, word: str) -> list[str]:
+        """Query-mode grams of one word (reference NgramFilter mode=='query',
+        ngrams.py:191-210): one gram size = min(maxsize, len(word))."""
+        mx = self.maxsize or self.minsize
+        v = word.lower()
+        if len(v) < self.minsize:
+            return []
+        size = min(mx, len(v))
+        if self.at == "start":
+            return [v[:size]]
+        if self.at == "end":
+            return [v[len(v) - size :]]
+        return [v[i : i + size] for i in range(0, len(v) - size + 1)]
+
+    def analyze_batch_coded(self, texts):
+        mn = self.minsize
+        mx = self.maxsize or self.minsize
+        word_tok = simple_analyzer()
+        all_grams: list[str] = []
+        counts = np.zeros(len(texts), np.int64)
+        pos_parts: list[np.ndarray] = []
+        for di, t in enumerate(texts):
+            words = word_tok(t) if t else []
+            n0 = len(all_grams)
+            ps: list[int] = []
+            for w_ord, w in enumerate(words):
+                gs = ngram_filter_tokens([w], mn, mx, self.at)
+                all_grams.extend(gs)
+                ps.extend([w_ord] * len(gs))
+            counts[di] = len(all_grams) - n0
+            if ps:
+                pos_parts.append(np.asarray(ps, np.int32))
+        n = int(counts.sum())
+        doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64), counts)
+        if n == 0:
+            e = np.empty(0, np.int64)
+            return e, e.copy(), np.empty(0, object), e.astype(np.int32), counts
+        tokens = np.asarray(all_grams, dtype=object)
+        codes, uniques = pd.factorize(tokens, sort=False)
+        pos = np.concatenate(pos_parts) if pos_parts else np.empty(0, np.int32)
+        return doc_idx, codes, np.asarray(uniques, object), pos, counts
+
+
 def ngram_tokens(text: str, minsize: int, maxsize: int | None = None) -> list[str]:
     """Character n-grams of the raw (lowercased) text, reference NgramTokenizer
     semantics (``src/whoosh/analysis/ngrams.py:42``): all grams of sizes

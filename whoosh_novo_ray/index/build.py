@@ -88,7 +88,7 @@ class IndexConfig:
     def to_json(self) -> dict:
         d = asdict(self)
         d["heavy_terms"] = sorted(self.heavy_terms)
-        from whoosh_novo_ray.analysis import NgramAnalyzer
+        from whoosh_novo_ray.analysis import NgramAnalyzer, NgramWordsAnalyzer
         from whoosh_novo_ray.charsets import CharsetAnalyzer
 
         if isinstance(self.analyzer, CharsetAnalyzer):
@@ -108,6 +108,13 @@ class IndexConfig:
                 "type": "ngram",
                 "minsize": self.analyzer.minsize,
                 "maxsize": self.analyzer.maxsize,
+            }
+        elif isinstance(self.analyzer, NgramWordsAnalyzer):
+            d["analyzer"] = {
+                "type": "ngram_words",
+                "minsize": self.analyzer.minsize,
+                "maxsize": self.analyzer.maxsize,
+                "at": self.analyzer.at,
             }
         else:
             d["analyzer"] = {
@@ -136,6 +143,12 @@ class IndexConfig:
             from whoosh_novo_ray.analysis import NgramAnalyzer
 
             ana = NgramAnalyzer(minsize=a["minsize"], maxsize=a["maxsize"])
+        elif a.get("type") == "ngram_words":
+            from whoosh_novo_ray.analysis import NgramWordsAnalyzer
+
+            ana = NgramWordsAnalyzer(
+                minsize=a["minsize"], maxsize=a["maxsize"], at=a.get("at")
+            )
         else:
             ana = StandardAnalyzer(
                 pattern=a["pattern"],

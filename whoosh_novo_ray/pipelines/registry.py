@@ -86,6 +86,22 @@ filt AS (
 ),
 {_SCORE_CTES}"""
 
+# word-level 3-grams (reference NgramWordAnalyzer, ngrams.py:259-267:
+# RegexTokenizer | Lowercase | NgramFilter — NO stop/minsize word filter);
+# grams inherit the source word's ordinal, dl = total gram count
+_NGRAMWORDS_CTES = f"""
+tokarr AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{_RX_SQL}') AS arr FROM documents
+),
+words AS (
+  SELECT doc_id, unnest(arr) AS w, unnest(range(len(arr))) AS word_ord FROM tokarr
+),
+filt AS (
+  SELECT doc_id, substr(w, (i + 1)::BIGINT, 3) AS term, word_ord AS ord
+  FROM words, unnest(range(greatest(length(w) - 2, 0))) AS u(i)
+),
+{_SCORE_CTES}"""
+
 
 def _terms_sql(terms: list[str]) -> str:
     return ", ".join(f"'{t}'" for t in terms)
@@ -1034,6 +1050,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def ngramwords_or_top10(sf_dir):
+        """NGRAMWORDS field (reference NgramWordAnalyzer): word-level 3-grams
+        indexed, query word expanded to its query-mode grams, Or + BM25."""
+        from whoosh_novo_ray.analysis import NgramWordsAnalyzer
+        from whoosh_novo_ray.index import Index, IndexConfig, build_index
+        from whoosh_novo_ray.search import Searcher
+
+        ana = NgramWordsAnalyzer(3, 3)
+        key = ("nw3", sf_dir)
+        if key not in _INDEX_CACHE:
+            out = os.path.join(
+                "/tmp/wnr_indexes",
+                sf_dir.strip("/").replace("/", "_") + "_nw3",
+            )
+            build_index(
+                _docs_ds(sf_dir),
+                out,
+                IndexConfig(num_buckets=8, analyzer=ana),
+                lineage=f"nw3:{sf_dir}",
+                resume=True,
+            )
+            _INDEX_CACHE[key] = Index(out)
+        grams = ana.query_tokens(_T_MID)
+        t = Searcher(_INDEX_CACHE[key]).search(
+            Or(*[Term(g) for g in grams]), limit=10
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "score": pa.array(np.round(t["score"].to_numpy(), 6), pa.float64()),
+            }
+        )
+
     def sessions(sf_dir):
         import ray.data
         from whoosh_novo_ray.ops.windows import sessionize
@@ -1141,6 +1190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fielded_and": fielded_and,
         "multifield_parse": multifield_parse,
         "ngram_and_top10": ngram_and_top10,
+        "ngramwords_or_top10": ngramwords_or_top10,
     }
 
 
@@ -1155,8 +1205,11 @@ def oracle_sql() -> dict[str, str]:
     from whoosh_novo_ray.analysis import NgramAnalyzer
     from whoosh_novo_ray.lang_morph import variations as _morph_variations
 
+    from whoosh_novo_ray.analysis import NgramWordsAnalyzer
+
     raw_tok = f"regexp_extract_all(lower(text), '{_RX_SQL}')"
     _ng_grams = NgramAnalyzer(3, 3).query_tokens(_T_MID2)
+    _nw_grams = NgramWordsAnalyzer(3, 3).query_tokens(_T_MID)
     return {
         "term_stats": f"""WITH {_BASE_CTES}
 SELECT term, count(*)::BIGINT AS df, sum(tf)::DOUBLE AS weight
@@ -1179,6 +1232,11 @@ ORDER BY score DESC, doc_id LIMIT 10""",
 SELECT doc_id::BIGINT AS doc_id, round(sum(score), 6) AS score
 FROM bm WHERE term IN ({_terms_sql(_ng_grams)})
 GROUP BY doc_id HAVING count(DISTINCT term) = {len(set(_ng_grams))}
+ORDER BY score DESC, doc_id LIMIT 10""",
+        "ngramwords_or_top10": f"""WITH {_NGRAMWORDS_CTES}
+SELECT doc_id::BIGINT AS doc_id, round(sum(score), 6) AS score
+FROM bm WHERE term IN ({_terms_sql(_nw_grams)})
+GROUP BY doc_id
 ORDER BY score DESC, doc_id LIMIT 10""",
         "bm25_andnot_top10": f"""WITH {_BASE_CTES}
 SELECT doc_id::BIGINT AS doc_id, round(sum(score), 6) AS score
