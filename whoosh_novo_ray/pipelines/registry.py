@@ -29,13 +29,16 @@ _STOPLIST_SQL = ", ".join(f"'{w}'" for w in sorted(STOP_WORDS))
 _LTAB = length_table_sql_literal()
 
 # BM25 scoring tail, generic over any `filt(doc_id, term, ord)` token stream
-_SCORE_CTES = f"""
+# and any doc universe `docsrc(doc_id, ...)` (filtered views for the
+# incremental delete/update oracles — N / avgdl follow the live corpus)
+def _score_ctes(docsrc: str = "documents") -> str:
+    return f"""
 tfs AS (
   SELECT doc_id, term, count(*)::DOUBLE AS tf FROM filt GROUP BY doc_id, term
 ),
 dls AS (
   SELECT d.doc_id, coalesce(f.dl, 0)::BIGINT AS dl
-  FROM documents d
+  FROM {docsrc} d
   LEFT JOIN (SELECT doc_id, count(*) AS dl FROM filt GROUP BY doc_id) f USING (doc_id)
 ),
 qdl AS (
@@ -45,7 +48,7 @@ qdl AS (
   FROM dls
 ),
 stats AS (
-  SELECT (SELECT count(*) FROM documents)::DOUBLE AS N,
+  SELECT (SELECT count(*) FROM {docsrc})::DOUBLE AS N,
          (SELECT sum(dl) FROM dls)::DOUBLE AS total_len
 ),
 dfs AS (
@@ -62,10 +65,15 @@ bm AS (
 )
 """
 
-# token stream with per-token ordinal (zipped unnest preserves list order)
-_BASE_CTES = f"""
+
+_SCORE_CTES = _score_ctes()
+
+# token stream with per-token ordinal (zipped unnest preserves list order),
+# over any doc universe `docsrc(doc_id, text)`
+def _base_ctes_over(docsrc: str) -> str:
+    return f"""
 tokarr AS (
-  SELECT doc_id, regexp_extract_all(lower(text), '{_RX_SQL}') AS arr FROM documents
+  SELECT doc_id, regexp_extract_all(lower(text), '{_RX_SQL}') AS arr FROM {docsrc}
 ),
 tok AS (
   SELECT doc_id, unnest(arr) AS term, unnest(range(len(arr))) AS ord FROM tokarr
@@ -74,7 +82,10 @@ filt AS (
   SELECT doc_id, term, ord FROM tok
   WHERE length(term) >= 2 AND term NOT IN ({_STOPLIST_SQL})
 ),
-{_SCORE_CTES}"""
+{_score_ctes(docsrc)}"""
+
+
+_BASE_CTES = _base_ctes_over("documents")
 
 # char-3-gram stream over the WHOLE lowercased value incl. whitespace
 # (reference NgramTokenizer, ngrams.py:42-130) — same BM25 tail over it
@@ -1050,6 +1061,91 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def _doc_ids(sf_dir) -> "np.ndarray":
+        return pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+        )["doc_id"].to_numpy()
+
+    def _incr_index(sf_dir, kind):
+        """Generational-index fixtures driving create/add/delete/update +
+        merge policies through the driver gate. Rebuilt from scratch each
+        process (rmtree: generations persist on disk and a stale CURRENT
+        would double-apply the delta)."""
+        import shutil as _sh
+
+        from whoosh_novo_ray.index import IndexConfig
+        from whoosh_novo_ray.index.incremental import GenerationalIndex
+
+        key = (f"incr_{kind}", sf_dir)
+        if key in _INDEX_CACHE:
+            return _INDEX_CACHE[key]
+        root = os.path.join(
+            "/tmp/wnr_indexes",
+            sf_dir.strip("/").replace("/", "_") + f"_incr_{kind}",
+        )
+        _sh.rmtree(root, ignore_errors=True)
+        cfg = IndexConfig(num_buckets=8)
+
+        def parity(rem):
+            def keep(batch: pa.Table) -> pa.Table:
+                return batch.filter(
+                    pc.equal(pc.bit_wise_and(batch["doc_id"], 1), rem)
+                )
+
+            return _docs_ds(sf_dir).map_batches(keep, batch_format="pyarrow")
+
+        if kind == "add":
+            # even half as the base, odd half appended under MERGE_SMALL —
+            # the search runs over the resulting multi-member MultiIndex
+            gi = GenerationalIndex(root, cfg, policy="merge_small")
+            gi.create(parity(0), lineage=f"incr-add-base:{sf_dir}")
+            idx = gi.add_documents(parity(1), lineage=f"incr-add-delta:{sf_dir}")
+        elif kind == "delete":
+            gi = GenerationalIndex(root, cfg, policy="optimize")
+            gi.create(_docs_ds(sf_dir), lineage=f"incr-del-base:{sf_dir}")
+            ids = _doc_ids(sf_dir)
+            idx = gi.delete_documents(
+                ids[ids % 7 == 0], lineage=f"incr-del:{sf_dir}"
+            )
+        else:  # update (upsert: replaced text rides a trim + delta merge)
+            import ray.data
+
+            gi = GenerationalIndex(root, cfg, policy="merge_small")
+            gi.create(_docs_ds(sf_dir), lineage=f"incr-upd-base:{sf_dir}")
+            ids = _doc_ids(sf_dir)
+            upd = ids[ids % 11 == 0]
+            delta = pa.table(
+                {
+                    "doc_id": pa.array(upd, pa.int64()),
+                    "text": [f"updated window document {i}" for i in upd],
+                }
+            )
+            idx = gi.update_documents(
+                ray.data.from_arrow(delta), lineage=f"incr-upd-delta:{sf_dir}"
+            )
+        _INDEX_CACHE[key] = idx
+        return idx
+
+    def _incr_search(sf_dir, kind, term):
+        from whoosh_novo_ray.search import Searcher
+
+        t = Searcher(_incr_index(sf_dir, kind)).search(Term(term), limit=10)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "score": pa.array(np.round(t["score"].to_numpy(), 6), pa.float64()),
+            }
+        )
+
+    def incr_add_top10(sf_dir):
+        return _incr_search(sf_dir, "add", _T_MID)
+
+    def incr_delete_top10(sf_dir):
+        return _incr_search(sf_dir, "delete", _T_MID)
+
+    def incr_update_top10(sf_dir):
+        return _incr_search(sf_dir, "update", _T_MID2)
+
     def ngramwords_or_top10(sf_dir):
         """NGRAMWORDS field (reference NgramWordAnalyzer): word-level 3-grams
         indexed, query word expanded to its query-mode grams, Or + BM25."""
@@ -1191,6 +1287,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multifield_parse": multifield_parse,
         "ngram_and_top10": ngram_and_top10,
         "ngramwords_or_top10": ngramwords_or_top10,
+        "incr_add_top10": incr_add_top10,
+        "incr_delete_top10": incr_delete_top10,
+        "incr_update_top10": incr_update_top10,
     }
 
 
@@ -1233,6 +1332,28 @@ SELECT doc_id::BIGINT AS doc_id, round(sum(score), 6) AS score
 FROM bm WHERE term IN ({_terms_sql(_ng_grams)})
 GROUP BY doc_id HAVING count(DISTINCT term) = {len(set(_ng_grams))}
 ORDER BY score DESC, doc_id LIMIT 10""",
+        # incremental add = same corpus, different construction path
+        "incr_add_top10": _topk_sql(f"term = '{_T_MID}'", 10),
+        # delete: N / df / avgdl follow the post-delete corpus
+        "incr_delete_top10": f"""WITH docs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0
+),
+{_base_ctes_over("docs")}
+SELECT doc_id::BIGINT AS doc_id, round(sum(score), 6) AS score
+FROM bm WHERE term = '{_T_MID}'
+GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""",
+        # upsert: replaced docs carry the deterministic new text
+        "incr_update_top10": f"""WITH docs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 0
+              THEN 'updated window document ' || CAST(doc_id AS VARCHAR)
+              ELSE text END AS text
+  FROM documents
+),
+{_base_ctes_over("docs")}
+SELECT doc_id::BIGINT AS doc_id, round(sum(score), 6) AS score
+FROM bm WHERE term = '{_T_MID2}'
+GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""",
         "ngramwords_or_top10": f"""WITH {_NGRAMWORDS_CTES}
 SELECT doc_id::BIGINT AS doc_id, round(sum(score), 6) AS score
 FROM bm WHERE term IN ({_terms_sql(_nw_grams)})
