@@ -31,10 +31,13 @@ _LTAB = length_table_sql_literal()
 # BM25 scoring tail, generic over any `filt(doc_id, term, ord)` token stream
 # and any doc universe `docsrc(doc_id, ...)` (filtered views for the
 # incremental delete/update oracles — N / avgdl follow the live corpus)
-def _score_ctes(docsrc: str = "documents") -> str:
+def _score_ctes(docsrc: str = "documents", tfs_cte: str | None = None) -> str:
+    tfs_cte = tfs_cte or (
+        "SELECT doc_id, term, count(*)::DOUBLE AS tf FROM filt GROUP BY doc_id, term"
+    )
     return f"""
 tfs AS (
-  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM filt GROUP BY doc_id, term
+  {tfs_cte}
 ),
 dls AS (
   SELECT d.doc_id, coalesce(f.dl, 0)::BIGINT AS dl
@@ -70,7 +73,7 @@ _SCORE_CTES = _score_ctes()
 
 # token stream with per-token ordinal (zipped unnest preserves list order),
 # over any doc universe `docsrc(doc_id, text)`
-def _base_ctes_over(docsrc: str) -> str:
+def _base_ctes_over(docsrc: str, tfs_cte: str | None = None) -> str:
     return f"""
 tokarr AS (
   SELECT doc_id, regexp_extract_all(lower(text), '{_RX_SQL}') AS arr FROM {docsrc}
@@ -82,7 +85,7 @@ filt AS (
   SELECT doc_id, term, ord FROM tok
   WHERE length(term) >= 2 AND term NOT IN ({_STOPLIST_SQL})
 ),
-{_score_ctes(docsrc)}"""
+{_score_ctes(docsrc, tfs_cte)}"""
 
 
 _BASE_CTES = _base_ctes_over("documents")
@@ -1061,6 +1064,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def term_boost_or_top10(sf_dir):
+        """Query-side boost: Term(boost=2) doubles its BM25 contribution
+        (reference query/terms.py Term.boost through the scorer)."""
+        return _search_table(
+            sf_dir, Or(Term(_T_MID), Term(_T_MID2, boost=2.0)), 10
+        )
+
+    def doc_boost_top10(sf_dir):
+        """Index-side doc boost (reference _boost kwarg, writing.py): posting
+        weight = tf x doc boost, stored float32-quantized with
+        IndexConfig(with_weights=True, boost_col=...); BM25 uses the weight
+        as tf. Boost column derives from doc_id so DuckDB can mirror it."""
+        from whoosh_novo_ray.index import Index, IndexConfig, build_index
+        from whoosh_novo_ray.search import Searcher
+
+        key = ("boost", sf_dir)
+        if key not in _INDEX_CACHE:
+
+            def add_boost(batch: pa.Table) -> pa.Table:
+                ids = batch["doc_id"].to_numpy()
+                return batch.append_column(
+                    "b", pa.array(1.0 + (ids % 4) * 0.5, pa.float64())
+                )
+
+            out = os.path.join(
+                "/tmp/wnr_indexes",
+                sf_dir.strip("/").replace("/", "_") + "_boost",
+            )
+            build_index(
+                _docs_ds(sf_dir).map_batches(add_boost, batch_format="pyarrow"),
+                out,
+                IndexConfig(num_buckets=8, with_weights=True, boost_col="b"),
+                lineage=f"boost:{sf_dir}",
+                resume=True,
+            )
+            _INDEX_CACHE[key] = Index(out)
+        t = Searcher(_INDEX_CACHE[key]).search(Term(_T_MID), limit=10)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "score": pa.array(np.round(t["score"].to_numpy(), 6), pa.float64()),
+            }
+        )
+
     def _doc_ids(sf_dir) -> "np.ndarray":
         return pq.read_table(
             os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
@@ -1290,6 +1337,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incr_add_top10": incr_add_top10,
         "incr_delete_top10": incr_delete_top10,
         "incr_update_top10": incr_update_top10,
+        "term_boost_or_top10": term_boost_or_top10,
+        "doc_boost_top10": doc_boost_top10,
     }
 
 
@@ -1332,6 +1381,20 @@ SELECT doc_id::BIGINT AS doc_id, round(sum(score), 6) AS score
 FROM bm WHERE term IN ({_terms_sql(_ng_grams)})
 GROUP BY doc_id HAVING count(DISTINCT term) = {len(set(_ng_grams))}
 ORDER BY score DESC, doc_id LIMIT 10""",
+        "term_boost_or_top10": f"""WITH {_BASE_CTES}
+SELECT doc_id::BIGINT AS doc_id,
+       round(sum(score * (CASE term WHEN '{_T_MID2}' THEN 2.0 ELSE 1.0 END)), 6) AS score
+FROM bm WHERE term IN ({_terms_sql([_T_MID, _T_MID2])})
+GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""",
+        # doc boost: posting weight = tf x boost (float32-quantized), used as
+        # the BM25 tf in BOTH numerator and saturation denominator
+        "doc_boost_top10": f"""WITH boosted AS (
+  SELECT doc_id, text, 1.0 + (doc_id % 4) * 0.5 AS b FROM documents
+),
+{_base_ctes_over("boosted", "SELECT f.doc_id, f.term, CAST(count(*) * any_value(d.b) AS REAL)::DOUBLE AS tf FROM filt f JOIN boosted d USING (doc_id) GROUP BY f.doc_id, f.term")}
+SELECT doc_id::BIGINT AS doc_id, round(sum(score), 6) AS score
+FROM bm WHERE term = '{_T_MID}'
+GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""",
         # incremental add = same corpus, different construction path
         "incr_add_top10": _topk_sql(f"term = '{_T_MID}'", 10),
         # delete: N / df / avgdl follow the post-delete corpus
