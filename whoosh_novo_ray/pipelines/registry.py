@@ -31,10 +31,22 @@ _LTAB = length_table_sql_literal()
 # BM25 scoring tail, generic over any `filt(doc_id, term, ord)` token stream
 # and any doc universe `docsrc(doc_id, ...)` (filtered views for the
 # incremental delete/update oracles — N / avgdl follow the live corpus)
-def _score_ctes(docsrc: str = "documents", tfs_cte: str | None = None) -> str:
+_BM25_EXPR = """(ln(s.N / (f.df + 1)) + 1) * (t.tf * 2.2)
+           / (t.tf + 1.2 * (0.25 + 0.75 * q.dlq / (s.total_len / s.N)))"""
+
+
+def _score_ctes(
+    docsrc: str = "documents",
+    tfs_cte: str | None = None,
+    score_expr: str | None = None,
+) -> str:
+    """score_expr columns: t.tf, f.df (doc freq), f.cf (collection term
+    weight), q.dlq (dequantized length — what scorers see), q.dl (true
+    length), s.N, s.total_len."""
     tfs_cte = tfs_cte or (
         "SELECT doc_id, term, count(*)::DOUBLE AS tf FROM filt GROUP BY doc_id, term"
     )
+    score_expr = score_expr or _BM25_EXPR
     return f"""
 tfs AS (
   {tfs_cte}
@@ -55,12 +67,11 @@ stats AS (
          (SELECT sum(dl) FROM dls)::DOUBLE AS total_len
 ),
 dfs AS (
-  SELECT term, count(*)::DOUBLE AS df FROM tfs GROUP BY term
+  SELECT term, count(*)::DOUBLE AS df, sum(tf)::DOUBLE AS cf FROM tfs GROUP BY term
 ),
 bm AS (
   SELECT t.doc_id, t.term,
-         (ln(s.N / (f.df + 1)) + 1) * (t.tf * 2.2)
-           / (t.tf + 1.2 * (0.25 + 0.75 * q.dlq / (s.total_len / s.N))) AS score
+         {score_expr} AS score
   FROM tfs t
   JOIN dfs f USING (term)
   JOIN qdl q ON q.doc_id = t.doc_id
@@ -73,7 +84,9 @@ _SCORE_CTES = _score_ctes()
 
 # token stream with per-token ordinal (zipped unnest preserves list order),
 # over any doc universe `docsrc(doc_id, text)`
-def _base_ctes_over(docsrc: str, tfs_cte: str | None = None) -> str:
+def _base_ctes_over(
+    docsrc: str, tfs_cte: str | None = None, score_expr: str | None = None
+) -> str:
     return f"""
 tokarr AS (
   SELECT doc_id, regexp_extract_all(lower(text), '{_RX_SQL}') AS arr FROM {docsrc}
@@ -85,7 +98,7 @@ filt AS (
   SELECT doc_id, term, ord FROM tok
   WHERE length(term) >= 2 AND term NOT IN ({_STOPLIST_SQL})
 ),
-{_score_ctes(docsrc, tfs_cte)}"""
+{_score_ctes(docsrc, tfs_cte, score_expr)}"""
 
 
 _BASE_CTES = _base_ctes_over("documents")
@@ -1064,6 +1077,56 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def _weighted_search(sf_dir, weighting, q, limit=10):
+        from whoosh_novo_ray.search import Searcher
+
+        t = Searcher(_index_for(sf_dir), weighting=weighting).search(q, limit=limit)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "score": pa.array(np.round(t["score"].to_numpy(), 6), pa.float64()),
+            }
+        )
+
+    def tfidf_top10(sf_dir):
+        from whoosh_novo_ray.search.scoring import TFIDF
+
+        return _weighted_search(sf_dir, TFIDF(), Term(_T_MID))
+
+    def frequency_top10(sf_dir):
+        from whoosh_novo_ray.search.scoring import Frequency
+
+        return _weighted_search(sf_dir, Frequency(), Term(_T_MID))
+
+    def dfree_top10(sf_dir):
+        from whoosh_novo_ray.search.scoring import DFree
+
+        return _weighted_search(sf_dir, DFree(), Term(_T_MID))
+
+    def pl2_top10(sf_dir):
+        from whoosh_novo_ray.search.scoring import PL2
+
+        return _weighted_search(sf_dir, PL2(), Term(_T_MID))
+
+    def reverse_bm25_top10(sf_dir):
+        from whoosh_novo_ray.search.scoring import BM25F, ReverseWeighting
+
+        return _weighted_search(sf_dir, ReverseWeighting(BM25F()), Term(_T_MID))
+
+    def function_weighting_top10(sf_dir):
+        """FunctionWeighting: user fn over (tfs, len_bytes, stats) — fn sees
+        the RAW quantized length byte, mirrored by q.len_byte in SQL."""
+        from whoosh_novo_ray.search.scoring import FunctionWeighting
+
+        def fn(tfs, len_bytes, st):
+            return (
+                np.asarray(tfs, np.float64)
+                / (np.asarray(len_bytes, np.float64) + 1.0)
+                * (st["doc_count"] / st["df"])
+            )
+
+        return _weighted_search(sf_dir, FunctionWeighting(fn), Term(_T_MID))
+
     def term_boost_or_top10(sf_dir):
         """Query-side boost: Term(boost=2) doubles its BM25 contribution
         (reference query/terms.py Term.boost through the scorer)."""
@@ -1339,6 +1402,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incr_update_top10": incr_update_top10,
         "term_boost_or_top10": term_boost_or_top10,
         "doc_boost_top10": doc_boost_top10,
+        "tfidf_top10": tfidf_top10,
+        "frequency_top10": frequency_top10,
+        "dfree_top10": dfree_top10,
+        "pl2_top10": pl2_top10,
+        "reverse_bm25_top10": reverse_bm25_top10,
+        "function_weighting_top10": function_weighting_top10,
     }
 
 
@@ -1358,7 +1427,42 @@ def oracle_sql() -> dict[str, str]:
     raw_tok = f"regexp_extract_all(lower(text), '{_RX_SQL}')"
     _ng_grams = NgramAnalyzer(3, 3).query_tokens(_T_MID2)
     _nw_grams = NgramWordsAnalyzer(3, 3).query_tokens(_T_MID)
+
+    # alternative weighting models (search/scoring.py mirrors of the
+    # reference scoring.py); scorers see the DEQUANTIZED length q.dlq and
+    # the collection term weight f.cf
+    def _wtopk(score_expr: str, where: str, k: int = 10) -> str:
+        return f"""WITH {_base_ctes_over("documents", None, score_expr)}
+SELECT doc_id::BIGINT AS doc_id, round(sum(score), 6) AS score
+FROM bm WHERE {where}
+GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT {k}"""
+
+    _dfree_ratio = "(((t.tf + 1) / (q.dlq + 1)) / (t.tf / q.dlq))"
+    _dfree_expr = (
+        f"(t.tf * ln{_dfree_ratio}) * ("
+        "t.tf * ln((t.tf / q.dlq) * (s.total_len / f.cf))"
+        " + (t.tf + 1) * ln(((t.tf + 1) / (q.dlq + 1)) * (s.total_len / f.cf))"
+        f" + 0.5 * ln{_dfree_ratio})"
+    )
+    _pl2_tf = "(t.tf * ln(1 + (s.total_len / s.N) / q.dlq))"
+    _pl2_expr = (
+        f"(1 / ({_pl2_tf} + 1)) * ("
+        f"{_pl2_tf} * ln(1 / (f.cf / s.N))"
+        " + (f.cf / s.N) * (1 / ln(2))"
+        f" + 0.5 * ln(2 * pi() * {_pl2_tf})"
+        f" + {_pl2_tf} * (ln({_pl2_tf}) - 1 / ln(2)))"
+    )
     return {
+        "tfidf_top10": _wtopk(
+            "(ln(s.N / (f.df + 1)) + 1) * t.tf", f"term = '{_T_MID}'"
+        ),
+        "frequency_top10": _wtopk("t.tf", f"term = '{_T_MID}'"),
+        "dfree_top10": _wtopk(_dfree_expr, f"term = '{_T_MID}'"),
+        "pl2_top10": _wtopk(_pl2_expr, f"term = '{_T_MID}'"),
+        "reverse_bm25_top10": _wtopk(f"-({_BM25_EXPR})", f"term = '{_T_MID}'"),
+        "function_weighting_top10": _wtopk(
+            "t.tf / (q.len_byte + 1) * (s.N / f.df)", f"term = '{_T_MID}'"
+        ),
         "term_stats": f"""WITH {_BASE_CTES}
 SELECT term, count(*)::BIGINT AS df, sum(tf)::DOUBLE AS weight
 FROM tfs GROUP BY term ORDER BY term""",
