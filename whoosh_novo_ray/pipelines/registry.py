@@ -1077,6 +1077,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def sequence_prefix_top10(sf_dir):
+        """Sequence with a term-expanding child: Prefix('wi') occurrences
+        union per child, adjacency chain (slop=1), scored as the summed
+        union of the matched terms (the cached global-occurrence-key path)."""
+        from whoosh_novo_ray.search import Sequence
+
+        return _search_table(
+            sf_dir, Sequence(Term(_T_MID), Prefix("wi")), 10
+        )
+
+    def ordered_top10(sf_dir):
+        """Ordered: first child's MIN position precedes every later child's
+        MIN position (reference SpanBefore left-fold quirk — ordering among
+        the later children is NOT enforced)."""
+        from whoosh_novo_ray.search import Ordered
+
+        return _search_table(
+            sf_dir, Ordered(Term(_T_MID), Term(_T_COMMON)), 10
+        )
+
     def _weighted_search(sf_dir, weighting, q, limit=10):
         from whoosh_novo_ray.search import Searcher
 
@@ -1408,6 +1428,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pl2_top10": pl2_top10,
         "reverse_bm25_top10": reverse_bm25_top10,
         "function_weighting_top10": function_weighting_top10,
+        "sequence_prefix_top10": sequence_prefix_top10,
+        "ordered_top10": ordered_top10,
     }
 
 
@@ -1463,6 +1485,38 @@ GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT {k}"""
         "function_weighting_top10": _wtopk(
             "t.tf / (q.len_byte + 1) * (s.N / f.df)", f"term = '{_T_MID}'"
         ),
+        # Sequence(Term, Prefix): adjacency between child-occurrence UNIONS;
+        # matched docs scored over every live term of every child
+        "sequence_prefix_top10": f"""WITH {_BASE_CTES},
+pos AS (
+  SELECT doc_id, term,
+         row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1 AS p
+  FROM filt
+),
+sdocs AS (
+  SELECT DISTINCT a.doc_id FROM pos a
+  JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+  WHERE a.term = '{_T_MID}' AND b.term LIKE 'wi%'
+)
+SELECT doc_id::BIGINT AS doc_id, round(sum(score), 6) AS score
+FROM bm WHERE (term = '{_T_MID}' OR term LIKE 'wi%')
+  AND doc_id IN (SELECT doc_id FROM sdocs)
+GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""",
+        # Ordered: min(child0 pos) < min(child_i pos) per doc (the reference
+        # SpanBefore left-fold quirk)
+        "ordered_top10": f"""WITH {_BASE_CTES},
+pos AS (
+  SELECT doc_id, term,
+         row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1 AS p
+  FROM filt
+),
+m0 AS (SELECT doc_id, min(p) AS mp FROM pos WHERE term = '{_T_MID}' GROUP BY doc_id),
+m1 AS (SELECT doc_id, min(p) AS mp FROM pos WHERE term = '{_T_COMMON}' GROUP BY doc_id),
+odocs AS (SELECT m0.doc_id FROM m0 JOIN m1 USING (doc_id) WHERE m0.mp < m1.mp)
+SELECT doc_id::BIGINT AS doc_id, round(sum(score), 6) AS score
+FROM bm WHERE term IN ({_terms_sql([_T_MID, _T_COMMON])})
+  AND doc_id IN (SELECT doc_id FROM odocs)
+GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""",
         "term_stats": f"""WITH {_BASE_CTES}
 SELECT term, count(*)::BIGINT AS df, sum(tf)::DOUBLE AS weight
 FROM tfs GROUP BY term ORDER BY term""",
