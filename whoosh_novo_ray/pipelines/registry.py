@@ -103,6 +103,17 @@ filt AS (
 
 _BASE_CTES = _base_ctes_over("documents")
 
+# block-join doc universe for the nested-query oracles (see _nested_index)
+_NESTED_CORPUS = """corpus AS (
+  SELECT (CAST(substr(source, 4) AS BIGINT) * 1048576) + 1 + doc_id AS doc_id,
+         text
+  FROM documents
+  UNION ALL
+  SELECT DISTINCT CAST(substr(source, 4) AS BIGINT) * 1048576,
+         'xchap ' || source
+  FROM documents
+)"""
+
 # char-3-gram stream over the WHOLE lowercased value incl. whitespace
 # (reference NgramTokenizer, ngrams.py:42-130) — same BM25 tail over it
 _NGRAM_CTES = f"""
@@ -268,6 +279,61 @@ def _pool_search_table(sf_dir: str, q, limit: int) -> pa.Table:
     )
 
 
+def _nested_index(sf_dir: str):
+    """Block-join corpus for NestedParent/NestedChildren (reference
+    query/nested.py): one parent doc per `source` (text ``xchap srcK``)
+    followed by that source's documents as children. Doc ids are pure
+    arithmetic on BOTH sides — parent = K << 20, child = parent + 1 +
+    doc_id (doc_id < 2^20 at every test scale) — so the owner-parent
+    relation needs no window function in the oracle. Children stream
+    through map_batches; the parent list is one row per source (shard-
+    count-sized metadata, fine on the driver at any corpus scale)."""
+    import ray.data
+    from whoosh_novo_ray.index import Index, IndexConfig, build_index
+
+    key = (sf_dir, "nested")
+    if key not in _INDEX_CACHE:
+        def _children(b: pa.Table) -> pa.Table:
+            src = np.array(
+                [int(s[3:]) for s in b["source"].to_pylist()], np.uint64
+            )
+            ids = (src << np.uint64(20)) + 1 + b["doc_id"].to_numpy().astype(
+                np.uint64
+            )
+            return pa.table({"doc_id": ids, "text": b["text"]})
+
+        children = _docs_ds(sf_dir, columns=("doc_id", "text", "source")).map_batches(
+            _children, batch_format="pyarrow"
+        )
+        srcs = sorted(
+            pc.unique(
+                pq.read_table(
+                    os.path.join(sf_dir, "documents.parquet"), columns=["source"]
+                )["source"]
+            ).to_pylist()
+        )
+        parents = pa.table(
+            {
+                "doc_id": pa.array(
+                    [int(s[3:]) << 20 for s in srcs], pa.uint64()
+                ),
+                "text": [f"xchap {s}" for s in srcs],
+            }
+        )
+        out = os.path.join(
+            "/tmp/wnr_indexes", sf_dir.strip("/").replace("/", "_") + "_nested"
+        )
+        build_index(
+            children.union(ray.data.from_arrow(parents)),
+            out,
+            IndexConfig(num_buckets=8),
+            lineage=f"nested:{sf_dir}",
+            resume=True,
+        )
+        _INDEX_CACHE[key] = Index(out)
+    return _INDEX_CACHE[key]
+
+
 # query terms chosen from the documents vocabulary (common/mid/absent)
 _T_COMMON = "table"
 _T_MID = "query"
@@ -287,6 +353,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         AndNot,
         DisMax,
         Every,
+        NestedChildren,
+        NestedParent,
         Or,
         Phrase,
         Prefix,
@@ -1309,6 +1377,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def nested_parent_top10(sf_dir):
+        """NestedParent: match children (Or of two terms), score the owner
+        parent with the sum of its children's BM25 scores (reference
+        query/nested.py NestedParent, default sum combiner)."""
+        from whoosh_novo_ray.search import Searcher
+
+        t = Searcher(_nested_index(sf_dir)).search(
+            NestedParent(Term("xchap"), Or(Term(_T_MID), Term(_T_MID2))),
+            limit=10,
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "score": pa.array(
+                    np.round(t["score"].to_numpy(), 6), pa.float64()
+                ),
+            }
+        )
+
+    def nested_children_docs(sf_dir):
+        """NestedChildren: all children of parents matching the parent
+        query (reference query/nested.py NestedChildren; constant score)."""
+        from whoosh_novo_ray.search import Searcher
+
+        t = Searcher(_nested_index(sf_dir)).search(
+            NestedChildren(Term("xchap"), Or(Term("src3"), Term("src7"))),
+            limit=10**9,
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "score": pa.array(
+                    np.round(t["score"].to_numpy(), 6), pa.float64()
+                ),
+            }
+        )
+
     def sessions(sf_dir):
         import ray.data
         from whoosh_novo_ray.ops.windows import sessionize
@@ -1430,6 +1535,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "function_weighting_top10": function_weighting_top10,
         "sequence_prefix_top10": sequence_prefix_top10,
         "ordered_top10": ordered_top10,
+        "nested_parent_top10": nested_parent_top10,
+        "nested_children_docs": nested_children_docs,
     }
 
 
@@ -1517,6 +1624,19 @@ SELECT doc_id::BIGINT AS doc_id, round(sum(score), 6) AS score
 FROM bm WHERE term IN ({_terms_sql([_T_MID, _T_COMMON])})
   AND doc_id IN (SELECT doc_id FROM odocs)
 GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""",
+        # block-join corpus: parent doc per source at K<<20, children at
+        # parent + 1 + doc_id — owner parent is pure doc-id arithmetic
+        "nested_parent_top10": f"""WITH {_NESTED_CORPUS},
+{_base_ctes_over("corpus")}
+SELECT ((doc_id // 1048576) * 1048576)::BIGINT AS doc_id,
+       round(sum(score), 6) AS score
+FROM bm WHERE term IN ({_terms_sql([_T_MID, _T_MID2])})
+GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 10""",
+        "nested_children_docs": """
+SELECT ((CAST(substr(source, 4) AS BIGINT) * 1048576) + 1 + doc_id)::BIGINT
+         AS doc_id,
+       1.0::DOUBLE AS score
+FROM documents WHERE source IN ('src3', 'src7') ORDER BY doc_id""",
         "term_stats": f"""WITH {_BASE_CTES}
 SELECT term, count(*)::BIGINT AS df, sum(tf)::DOUBLE AS weight
 FROM tfs GROUP BY term ORDER BY term""",
