@@ -291,6 +291,83 @@ def test_pool_collapse_matches_local(spool, built_index, attrs_parquet):
     assert pooled == local
 
 
+@pytest.fixture(scope="module")
+def attrs2_parquet(pages_table, tmp_path_factory):
+    """Attrs with an order column and blank (falsy) collapse keys."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ids = pages_table["doc_id"].to_pylist()
+    langs = pages_table["lang"].to_pylist()
+    p = str(tmp_path_factory.mktemp("attrs2") / "attrs2.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pages_table["doc_id"],
+                "lang": pa.array(
+                    [("" if d % 7 == 0 else l) for d, l in zip(ids, langs)],
+                    pa.string(),
+                ),
+                "n": pa.array(
+                    [len(t) for t in pages_table["text"].to_pylist()],
+                    pa.int64(),
+                ),
+            }
+        ),
+        p,
+    )
+    return p
+
+
+def test_pool_collapse_order_matches_local(spool, built_index, attrs2_parquet):
+    """order_column selects by LOWEST attribute value; falsy keys are never
+    eliminated — pooled result identical to the local collapse_search."""
+    from whoosh_novo_ray.search.sorting import FieldFacet, collapse_search
+
+    q = Or(Term("search"), Term("data"))
+    for per_key in (1, 2):
+        local = collapse_search(
+            Searcher(built_index),
+            q,
+            FieldFacet(attrs2_parquet, "lang"),
+            per_key=per_key,
+            order_facet=FieldFacet(attrs2_parquet, "n"),
+        ).to_pydict()
+        pooled = spool.collapse_search(
+            q, attrs2_parquet, "lang", per_key=per_key, order_column="n"
+        ).to_pydict()
+        assert pooled == local
+        # blanks survive: more rows than per_key x distinct keys possible
+        assert "" in pooled["key"]
+
+
+def test_pool_collapse_falsy_keys(spool, built_index, attrs2_parquet):
+    from whoosh_novo_ray.search.sorting import FieldFacet, collapse_search
+
+    q = Term("search")
+    local = collapse_search(
+        Searcher(built_index), q, FieldFacet(attrs2_parquet, "lang"), per_key=1
+    ).to_pydict()
+    pooled = spool.collapse_search(
+        q, attrs2_parquet, "lang", per_key=1
+    ).to_pydict()
+    assert pooled == local
+    blanks = [k for k in pooled["key"] if k == ""]
+    assert len(blanks) > 1  # every blank-key match kept at per_key=1
+
+
+def test_pool_collapse_order_deadline(spool, built_index, attrs2_parquet):
+    """A generous deadline with an order column returns the full result."""
+    q = Or(Term("search"), Term("data"))
+    full = spool.collapse_search(
+        q, attrs2_parquet, "lang", per_key=2, order_column="n"
+    )
+    got = spool.collapse_search(
+        q, attrs2_parquet, "lang", per_key=2, order_column="n", timelimit=60.0
+    )
+    assert got.to_pydict() == full.to_pydict()
+
+
 def test_pool_forced_wand_strategy_parity(spool, built_index):
     """Forcing the block-max WAND cursor loop per shard still produces the
     exact top-k (skip proofs hold under global stats)."""

@@ -1377,6 +1377,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def collapse_ordered(sf_dir):
+        """Collapse with an ORDER facet (reference collapse_order): per
+        source keep the matching doc with the LOWEST n_chars (doc_id
+        tiebreak) — selection by the order column, not by score."""
+        t = _pool_for(sf_dir).collapse_search(
+            Term(_T_MID),
+            os.path.join(sf_dir, "documents.parquet"),
+            "source",
+            per_key=1,
+            order_column="n_chars",
+        )
+        return pa.table(
+            {
+                "source": t["key"],
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "score": pa.array(
+                    np.round(t["score"].to_numpy(), 6), pa.float64()
+                ),
+            }
+        ).sort_by([("source", "ascending"), ("doc_id", "ascending")])
+
     def nested_parent_top10(sf_dir):
         """NestedParent: match children (Or of two terms), score the owner
         parent with the sum of its children's BM25 scores (reference
@@ -1537,6 +1558,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ordered_top10": ordered_top10,
         "nested_parent_top10": nested_parent_top10,
         "nested_children_docs": nested_children_docs,
+        "collapse_ordered": collapse_ordered,
     }
 
 
@@ -1624,6 +1646,22 @@ SELECT doc_id::BIGINT AS doc_id, round(sum(score), 6) AS score
 FROM bm WHERE term IN ({_terms_sql([_T_MID, _T_COMMON])})
   AND doc_id IN (SELECT doc_id FROM odocs)
 GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""",
+        # collapse with an order facet: per source keep the match with the
+        # LOWEST n_chars (doc_id tiebreak); score stays the BM25 score
+        "collapse_ordered": f"""WITH {_BASE_CTES},
+scored AS (
+  SELECT doc_id, round(sum(score), 6) AS score FROM bm
+  WHERE term = '{_T_MID}' GROUP BY doc_id
+),
+ranked AS (
+  SELECT d.source, s.doc_id, s.score,
+         row_number() OVER (
+           PARTITION BY d.source ORDER BY d.n_chars, s.doc_id
+         ) AS rn
+  FROM scored s JOIN documents d USING (doc_id)
+)
+SELECT source, doc_id::BIGINT AS doc_id, score
+FROM ranked WHERE rn <= 1 ORDER BY source, doc_id""",
         # block-join corpus: parent doc per source at K<<20, children at
         # parent + 1 + doc_id — owner parent is pure doc-id arithmetic
         "nested_parent_top10": f"""WITH {_NESTED_CORPUS},

@@ -333,23 +333,85 @@ def facet_groups(searcher, q, facet: Facet, best_only: bool = False) -> pa.Table
     )
 
 
+def collapse_keep_mask(keys: np.ndarray, per_key: int) -> np.ndarray:
+    """Boolean keep-mask for rank-within-key < per_key, where rows are
+    ALREADY in selection-priority order. Vectorized: a stable argsort
+    groups equal keys while preserving the priority order inside each
+    group, run offsets give each row's rank in its group — no per-row
+    Python (a broad query can match millions of docs/shard)."""
+    n = len(keys)
+    if not n:
+        return np.zeros(0, bool)
+    order = np.argsort(keys, kind="stable")
+    sk = keys[order]
+    new_run = np.empty(n, bool)
+    new_run[0] = True
+    new_run[1:] = sk[1:] != sk[:-1]
+    starts = np.nonzero(new_run)[0]
+    run_lens = np.diff(np.append(starts, n))
+    ranks = np.arange(n) - np.repeat(starts, run_lens)
+    keep = np.empty(n, bool)
+    keep[order] = ranks < per_key
+    return keep
+
+
+def falsy_key_mask(keys: np.ndarray) -> np.ndarray:
+    """Mask of FALSY collapse keys — the reference CollapseCollector
+    (collectors.py:966-970 ``if not ckey``) never eliminates a document
+    whose key is None / empty string / numeric zero. Vectorized through
+    Arrow for the real dtypes; the per-row fallback only runs for key
+    arrays Arrow cannot infer (mixed objects)."""
+    n = len(keys)
+    if not n:
+        return np.zeros(0, bool)
+    if keys.dtype.kind in "iuf":
+        return keys == 0
+    if keys.dtype.kind in "US":
+        return keys == ""
+    try:
+        arr = pa.array(keys)
+    except (pa.ArrowInvalid, pa.ArrowTypeError, pa.ArrowNotImplementedError):
+        return np.fromiter((not k for k in keys), bool, count=n)
+    mask = arr.is_null().to_numpy(zero_copy_only=False)
+    if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
+        mask |= pc.fill_null(pc.equal(arr, ""), False).to_numpy(
+            zero_copy_only=False
+        )
+    elif pa.types.is_integer(arr.type) or pa.types.is_floating(arr.type):
+        mask |= pc.fill_null(pc.equal(arr, 0), False).to_numpy(
+            zero_copy_only=False
+        )
+    elif pa.types.is_boolean(arr.type):
+        mask |= pc.fill_null(pc.invert(arr), False).to_numpy(
+            zero_copy_only=False
+        )
+    return mask
+
+
 def collapse_search(
-    searcher, q, key_facet: Facet, per_key: int = 1, limit=None
+    searcher, q, key_facet: Facet, per_key: int = 1, limit=None,
+    order_facet: Facet | None = None,
 ) -> pa.Table:
-    """Keep at most ``per_key`` best (score desc, doc_id asc) hits per
-    collapse key (reference CollapseCollector, collectors.py:854-1006)."""
+    """Keep at most ``per_key`` best hits per collapse key (reference
+    CollapseCollector, collectors.py:854-1006). "Best" follows the result
+    order (score desc, doc_id asc) unless ``order_facet`` is given, in
+    which case the LOWEST order keys win (orderer.key_for, :976-982); the
+    kept documents are returned in result order either way, and documents
+    with a falsy collapse key are never eliminated (:966-970)."""
     ids, scores = searcher.postings(q)
-    keys = _facet_keys(searcher, key_facet, ids, scores)
-    order = np.lexsort((ids, -scores))
-    ids, scores, keys = ids[order], scores[order], keys[order]
-    seen: dict = {}
-    keep = np.zeros(len(ids), bool)
-    for i, k in enumerate(keys):
-        c = seen.get(k, 0)
-        if c < per_key:
-            keep[i] = True
-            seen[k] = c + 1
+    keys = np.asarray(_facet_keys(searcher, key_facet, ids, scores))
+    if order_facet is not None:
+        okeys = np.asarray(_facet_keys(searcher, order_facet, ids, scores))
+        _u, orank = np.unique(okeys, return_inverse=True)
+        sel = np.lexsort((ids, orank))
+    else:
+        sel = np.lexsort((ids, -scores))
+    ids, scores, keys = ids[sel], scores[sel], keys[sel]
+    keep = collapse_keep_mask(keys.astype(str), per_key)
+    keep |= falsy_key_mask(keys)
     ids, scores, keys = ids[keep], scores[keep], keys[keep]
+    out = np.lexsort((ids, -scores))
+    ids, scores, keys = ids[out], scores[out], keys[out]
     if limit is not None:
         ids, scores, keys = ids[:limit], scores[:limit], keys[:limit]
     return pa.table(

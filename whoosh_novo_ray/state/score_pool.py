@@ -48,6 +48,7 @@ from whoosh_novo_ray.index.segment import (
 from whoosh_novo_ray.search import query as Q
 from whoosh_novo_ray.search.searcher import Searcher, _in_sorted
 from whoosh_novo_ray.search.scoring import WeightingModel
+from whoosh_novo_ray.search.sorting import collapse_keep_mask, falsy_key_mask
 
 
 class _LRUCache:
@@ -183,26 +184,22 @@ class ShardSearcher(Searcher):
         return super().postings(q)
 
 
-def _collapse_keep_mask(keys: np.ndarray, per_key: int) -> np.ndarray:
-    """Boolean keep-mask for rank-within-key < per_key, where rows are
-    ALREADY in final priority order (score desc, doc_id asc). Vectorized:
-    a stable argsort groups equal keys while preserving the priority order
-    inside each group, run offsets give each row's rank in its group —
-    no per-row Python (a broad query can match millions of docs/shard)."""
-    n = len(keys)
-    if not n:
-        return np.zeros(0, bool)
-    order = np.argsort(keys, kind="stable")
-    sk = keys[order]
-    new_run = np.empty(n, bool)
-    new_run[0] = True
-    new_run[1:] = sk[1:] != sk[:-1]
-    starts = np.nonzero(new_run)[0]
-    run_lens = np.diff(np.append(starts, n))
-    ranks = np.arange(n) - np.repeat(starts, run_lens)
-    keep = np.empty(n, bool)
-    keep[order] = ranks < per_key
-    return keep
+# canonical implementation lives in search.sorting (shared with the local
+# collapse_search); kept under the old private name for in-module callers
+_collapse_keep_mask = collapse_keep_mask
+
+
+def _collapse_sel_order(
+    ids: np.ndarray, scores: np.ndarray, okeys: np.ndarray | None
+) -> np.ndarray:
+    """Selection-priority permutation for a collapse: lowest order-facet
+    key first (doc_id tiebreak) when an orderer is given — reference
+    CollapseCollector collectors.py:976-982 — else result order
+    (score desc, doc_id asc)."""
+    if okeys is not None:
+        _u, orank = np.unique(okeys, return_inverse=True)
+        return np.lexsort((ids, orank))
+    return np.lexsort((ids, -scores))
 
 
 @ray.remote(max_restarts=4, max_task_retries=2)
@@ -491,6 +488,24 @@ class ScoreServer:
         keys = tbl[column].take(pa.array(pos)).to_numpy(zero_copy_only=False)
         return ids, scores, keys
 
+    def _keys_at(self, attrs_dir: str, column: str, ids: np.ndarray):
+        """Attribute values aligned to ``ids`` (used for the collapse ORDER
+        column, on ids already validated against the key column); an id
+        missing from this partition gets a null key."""
+        tbl = self._attr_table(attrs_dir, column)
+        aid = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        pos = np.searchsorted(aid, ids)
+        found = pos < len(aid)
+        found[found] &= aid[pos[found]] == ids[found]
+        out = np.full(len(ids), None, object)
+        if found.any():
+            out[found] = (
+                tbl[column]
+                .take(pa.array(pos[found]))
+                .to_numpy(zero_copy_only=False)
+            )
+        return out
+
     def facet_counts(
         self, q, gstats, attrs_dir: str, column: str, weighting=None
     ) -> pa.Table:
@@ -566,6 +581,8 @@ class ScoreServer:
         budget_s: float,
         weighting=None,
         _delay_per_table: float = 0.0,
+        order_dir: str | None = None,
+        order_column: str | None = None,
     ) -> tuple[pa.Table, bool]:
         """Time-budgeted per-key best candidates: per-table evaluation under
         the clock, then one keep-pass over the union — still a superset of
@@ -577,6 +594,7 @@ class ScoreServer:
         id_parts: list[np.ndarray] = []
         sc_parts: list[np.ndarray] = []
         key_parts: list[np.ndarray] = []
+        okey_parts: list[np.ndarray] = []
         timed_out = False
         for i in range(len(self._tables)):
             if _time.perf_counter() - t0 > budget_s:
@@ -589,7 +607,11 @@ class ScoreServer:
             if len(ids):
                 id_parts.append(ids)
                 sc_parts.append(scores)
-                key_parts.append(keys.astype(str))
+                key_parts.append(keys)
+                if order_column is not None:
+                    okey_parts.append(
+                        self._keys_at(order_dir, order_column, ids)
+                    )
         empty = pa.table(
             {
                 "doc_id": pa.array([], pa.uint64()),
@@ -602,19 +624,21 @@ class ScoreServer:
         ids = np.concatenate(id_parts)
         scores = np.concatenate(sc_parts)
         keys = np.concatenate(key_parts)
-        order = np.lexsort((ids, -scores))
-        ids, scores, keys = ids[order], scores[order], keys[order]
-        keep = _collapse_keep_mask(keys, per_key)
-        return (
-            pa.table(
-                {
-                    "doc_id": pa.array(ids[keep], pa.uint64()),
-                    "key": pa.array(keys[keep], pa.string()),
-                    "score": pa.array(scores[keep], pa.float64()),
-                }
-            ),
-            timed_out,
+        okeys = (
+            np.concatenate(okey_parts) if order_column is not None else None
         )
+        order = _collapse_sel_order(ids, scores, okeys)
+        ids, scores, keys = ids[order], scores[order], keys[order]
+        keep = _collapse_keep_mask(keys.astype(str), per_key)
+        keep |= falsy_key_mask(keys)
+        cols = {
+            "doc_id": pa.array(ids[keep], pa.uint64()),
+            "key": pa.array(keys[keep]),
+            "score": pa.array(scores[keep], pa.float64()),
+        }
+        if okeys is not None:
+            cols["okey"] = pa.array(okeys[order][keep])
+        return pa.table(cols), timed_out
 
     def collapse_candidates(
         self,
@@ -624,31 +648,40 @@ class ScoreServer:
         column: str,
         per_key: int,
         weighting=None,
+        order_dir: str | None = None,
+        order_column: str | None = None,
     ) -> pa.Table:
         """THIS shard's best ``per_key`` hits per collapse key — a superset
         of the global winners (any global winner is within its shard's
-        per-key top), so the driver's re-collapse over the union is exact."""
+        per-key top, and falsy-key docs are never eliminated), so the
+        driver's re-collapse over the union is exact. With an order column
+        the shard also ships each candidate's order key (raw type) for the
+        driver's global re-selection."""
         ids, scores, keys = self._matched_keys(
             q, gstats, attrs_dir, column, weighting
         )
         if not len(ids):
-            return pa.table(
-                {
-                    "doc_id": pa.array([], pa.uint64()),
-                    "key": pa.array([], pa.string()),
-                    "score": pa.array([], pa.float64()),
-                }
-            )
-        order = np.lexsort((ids, -scores))
+            cols = {
+                "doc_id": pa.array([], pa.uint64()),
+                "key": pa.array([], pa.string()),
+                "score": pa.array([], pa.float64()),
+            }
+            return pa.table(cols)
+        okeys = None
+        if order_column is not None:
+            okeys = self._keys_at(order_dir, order_column, ids)
+        order = _collapse_sel_order(ids, scores, okeys)
         ids, scores, keys = ids[order], scores[order], keys[order]
         keep = _collapse_keep_mask(keys.astype(str), per_key)
-        return pa.table(
-            {
-                "doc_id": pa.array(ids[keep], pa.uint64()),
-                "key": pa.array(keys[keep].astype(str), pa.string()),
-                "score": pa.array(scores[keep], pa.float64()),
-            }
-        )
+        keep |= falsy_key_mask(keys)
+        cols = {
+            "doc_id": pa.array(ids[keep], pa.uint64()),
+            "key": pa.array(keys[keep]),
+            "score": pa.array(scores[keep], pa.float64()),
+        }
+        if okeys is not None:
+            cols["okey"] = pa.array(okeys[order][keep])
+        return pa.table(cols)
 
     def ping(self) -> bool:
         return True
@@ -1286,13 +1319,22 @@ class ScorePool:
         self, q, attrs_path: str, column: str, per_key: int = 1,
         limit=None, weighting=None,
         timelimit: float | None = None, _delay_per_table: float = 0.0,
+        order_column: str | None = None,
     ) -> pa.Table:
         """Distributed CollapseCollector: shards return their per-key best
         candidates (a superset of the global winners); the driver re-runs
-        the collapse over the tiny union — exact. With ``timelimit`` each
-        actor works under the budget; any expiry raises :class:`TimeLimit`
-        carrying the collapse over the covered tables in ``.partial``."""
+        the collapse over the tiny union — exact. ``order_column`` selects
+        the kept docs by LOWEST attribute value instead of result order
+        (reference CollapseCollector order facet); falsy collapse keys are
+        never eliminated. With ``timelimit`` each actor works under the
+        budget; any expiry raises :class:`TimeLimit` carrying the collapse
+        over the covered tables in ``.partial``."""
         attrs_dir = self._attrs_dir_for(attrs_path, column)
+        order_dir = (
+            self._attrs_dir_for(attrs_path, order_column)
+            if order_column is not None
+            else None
+        )
         q2 = self._rewrite(q)
         gstats = self._gstats(self._stat_terms(q2))
         actors = self._route(self._est_cost(gstats, self._stat_terms(q2)))
@@ -1301,7 +1343,7 @@ class ScorePool:
             futs = [
                 a.collapse_candidates_deadline.remote(
                     q2, gstats, attrs_dir, column, per_key, timelimit,
-                    weighting, _delay_per_table,
+                    weighting, _delay_per_table, order_dir, order_column,
                 )
                 for a in actors
             ]
@@ -1311,7 +1353,8 @@ class ScorePool:
         else:
             futs = [
                 a.collapse_candidates.remote(
-                    q2, gstats, attrs_dir, column, per_key, weighting
+                    q2, gstats, attrs_dir, column, per_key, weighting,
+                    order_dir, order_column,
                 )
                 for a in actors
             ]
@@ -1329,10 +1372,20 @@ class ScorePool:
             ids = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
             scores = tbl["score"].to_numpy(zero_copy_only=False)
             keys = tbl["key"].to_numpy(zero_copy_only=False)
-            order = np.lexsort((ids, -scores))
-            ids, scores, keys = ids[order], scores[order], keys[order]
+            okeys = (
+                tbl["okey"].to_numpy(zero_copy_only=False)
+                if "okey" in tbl.column_names
+                else None
+            )
+            sel = _collapse_sel_order(ids, scores, okeys)
+            ids, scores, keys = ids[sel], scores[sel], keys[sel]
             keep = _collapse_keep_mask(keys.astype(str), per_key)
+            keep |= falsy_key_mask(keys)
             ids, scores, keys = ids[keep], scores[keep], keys[keep]
+            # kept docs come back in RESULT order regardless of the orderer
+            # (the reference orderer only changes which docs survive)
+            res = np.lexsort((ids, -scores))
+            ids, scores, keys = ids[res], scores[res], keys[res]
             if limit is not None:
                 ids, scores, keys = ids[:limit], scores[:limit], keys[:limit]
             out = pa.table(
