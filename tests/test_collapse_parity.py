@@ -116,6 +116,33 @@ def test_collapse_rank_identity(
     )
 
 
+def test_sorted_multi_reverse_parity(built_index, ref_collapse_searcher, attrs):
+    """Multi-key sort with a per-facet reverse flag (reference
+    ``sortedby=[FieldFacet('lang'), FieldFacet('n', reverse=True)]``)."""
+    from whoosh import query as wq
+    from whoosh import sorting as wsorting
+
+    from whoosh_novo_ray.search.sorting import MultiFacet, sorted_search
+
+    r = ref_collapse_searcher.search(
+        wq.Term("text", "search"),
+        limit=None,
+        sortedby=[
+            wsorting.FieldFacet("lang"),
+            wsorting.FieldFacet("n", reverse=True),
+        ],
+    )
+    ref_ids = [h["doc_id"] for h in r]
+    mine = sorted_search(
+        Searcher(built_index),
+        Term("search"),
+        MultiFacet(
+            [FieldFacet(attrs, "lang"), FieldFacet(attrs, "n", reverse=True)]
+        ),
+    )
+    assert mine["doc_id"].to_pylist() == ref_ids
+
+
 def test_falsy_keys_never_collapsed(built_index, ref_collapse_searcher, attrs):
     """Every blank-lang match survives even at per_key=1 (reference
     collect_matches: ``if not ckey`` docs bypass collapsing)."""

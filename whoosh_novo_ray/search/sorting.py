@@ -84,6 +84,7 @@ class FieldFacet(Facet):
 
     attrs: object  # pa.Table | str | list[str] | ray.data.Dataset
     column: str
+    reverse: bool = False  # per-facet sort flip (reference FieldFacet(reverse=True))
 
     def _table_for(self, doc_ids) -> pa.Table:
         if isinstance(self.attrs, pa.Table):
@@ -270,17 +271,28 @@ def facet_counts(searcher, q, facet: Facet) -> pa.Table:
 
 
 def sorted_search(searcher, q, facet: Facet, reverse: bool = False, limit=None) -> pa.Table:
-    """Matches sorted by facet key (reference SortingCollector); ties break by
-    doc_id ascending."""
+    """Matches sorted by facet key (reference SortingCollector). A
+    MultiFacet sorts by each sub-facet in turn honoring its own ``reverse``
+    flag (reference ``sortedby=[FieldFacet(a), FieldFacet(b, reverse=True)]``);
+    ``reverse=True`` flips every level. Ties break by doc_id ascending."""
     ids, scores = searcher.postings(q)
-    keys = _facet_keys(searcher, facet, ids, scores)
-    # rank the keys (object keys — e.g. MultiFacet tuples — compare in
-    # Python) so np.lexsort always sees a numeric array
-    _uniq, key_rank = np.unique(keys, return_inverse=True)
-    order = np.lexsort((ids, key_rank))
-    if reverse:
-        # reverse key order but keep doc_id ascending within equal keys
-        order = np.lexsort((ids, _invert_rank(keys)))
+    sub = facet.facets if isinstance(facet, MultiFacet) else [facet]
+    subkeys = [_facet_keys(searcher, f, ids, scores) for f in sub]
+    if len(sub) == 1:
+        keys = subkeys[0]
+    else:
+        keys = np.empty(len(ids), dtype=object)
+        for i in range(len(ids)):
+            keys[i] = tuple(c[i] for c in subkeys)
+    ranks = []
+    for f, k in zip(sub, subkeys):
+        # rank the keys (object keys compare in Python) so np.lexsort
+        # always sees a numeric array
+        rank = np.unique(k, return_inverse=True)[1]
+        if bool(getattr(f, "reverse", False)) != bool(reverse):
+            rank = -rank
+        ranks.append(rank)
+    order = np.lexsort((ids, *reversed(ranks)))
     if limit is not None:
         order = order[:limit]
     return pa.table(
@@ -290,11 +302,6 @@ def sorted_search(searcher, q, facet: Facet, reverse: bool = False, limit=None) 
             "score": pa.array(scores[order], pa.float64()),
         }
     )
-
-
-def _invert_rank(keys: np.ndarray) -> np.ndarray:
-    uniq, inv = np.unique(keys, return_inverse=True)
-    return (len(uniq) - 1) - inv
 
 
 def facet_groups(searcher, q, facet: Facet, best_only: bool = False) -> pa.Table:
