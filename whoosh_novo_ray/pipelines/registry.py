@@ -1377,6 +1377,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def sorted_multi_top20(sf_dir):
+        """Multi-key sort with a per-facet reverse flag (reference
+        sortedby=[FieldFacet(lang), FieldFacet(n_chars, reverse=True)]);
+        the limit makes the composite ordering observable in the row set."""
+        from whoosh_novo_ray.search.sorting import (
+            FieldFacet,
+            MultiFacet,
+            sorted_search,
+        )
+
+        path = os.path.join(sf_dir, "documents.parquet")
+        t = sorted_search(
+            _searcher_for(sf_dir),
+            Term(_T_MID),
+            MultiFacet(
+                [
+                    FieldFacet(path, "lang"),
+                    FieldFacet(path, "n_chars", reverse=True),
+                ]
+            ),
+            limit=20,
+        )
+        ids = t["doc_id"].to_numpy().astype(np.int64)
+        attrs = pq.read_table(path, columns=["doc_id", "lang", "n_chars"])
+        aid = attrs["doc_id"].to_numpy()
+        order = np.argsort(aid)
+        pos = order[np.searchsorted(aid[order], ids)]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "lang": attrs["lang"].take(pa.array(pos)),
+                "n_chars": attrs["n_chars"].take(pa.array(pos)).cast(
+                    pa.int64()
+                ),
+            }
+        )
+
     def collapse_ordered(sf_dir):
         """Collapse with an ORDER facet (reference collapse_order): per
         source keep the matching doc with the LOWEST n_chars (doc_id
@@ -1559,6 +1596,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nested_parent_top10": nested_parent_top10,
         "nested_children_docs": nested_children_docs,
         "collapse_ordered": collapse_ordered,
+        "sorted_multi_top20": sorted_multi_top20,
     }
 
 
@@ -1646,6 +1684,11 @@ SELECT doc_id::BIGINT AS doc_id, round(sum(score), 6) AS score
 FROM bm WHERE term IN ({_terms_sql([_T_MID, _T_COMMON])})
   AND doc_id IN (SELECT doc_id FROM odocs)
 GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""",
+        "sorted_multi_top20": f"""WITH {_BASE_CTES}
+SELECT t.doc_id::BIGINT AS doc_id, d.lang, d.n_chars::BIGINT AS n_chars
+FROM (SELECT DISTINCT doc_id FROM tfs WHERE term = '{_T_MID}') t
+JOIN documents d ON d.doc_id = t.doc_id
+ORDER BY d.lang, d.n_chars DESC, t.doc_id LIMIT 20""",
         # collapse with an order facet: per source keep the match with the
         # LOWEST n_chars (doc_id tiebreak); score stays the BM25 score
         "collapse_ordered": f"""WITH {_BASE_CTES},
