@@ -368,6 +368,37 @@ def test_pool_collapse_order_deadline(spool, built_index, attrs2_parquet):
     assert got.to_pydict() == full.to_pydict()
 
 
+def test_pool_sorted_search_matches_local(spool, built_index, attrs2_parquet):
+    """Distributed SortingCollector: single and multi-key (with per-column
+    reverse) pooled sorts identical to the local sorted_search, with and
+    without a limit."""
+    from whoosh_novo_ray.search.sorting import (
+        FieldFacet,
+        MultiFacet,
+        sorted_search,
+    )
+
+    q = Or(Term("search"), Term("data"))
+    s = Searcher(built_index)
+    # single key
+    local = sorted_search(s, q, FieldFacet(attrs2_parquet, "n")).to_pydict()
+    pooled = spool.sorted_search(q, attrs2_parquet, "n").to_pydict()
+    assert pooled == local
+    # multi key with a reversed level + limit (per-shard truncation still
+    # yields the exact global top)
+    mf = MultiFacet(
+        [
+            FieldFacet(attrs2_parquet, "lang"),
+            FieldFacet(attrs2_parquet, "n", reverse=True),
+        ]
+    )
+    local = sorted_search(s, q, mf, limit=17).to_pydict()
+    pooled = spool.sorted_search(
+        q, attrs2_parquet, ["lang", "n"], reverses=[False, True], limit=17
+    ).to_pydict()
+    assert pooled == local
+
+
 def test_pool_forced_wand_strategy_parity(spool, built_index):
     """Forcing the block-max WAND cursor loop per shard still produces the
     exact top-k (skip proofs hold under global stats)."""

@@ -1380,23 +1380,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def sorted_multi_top20(sf_dir):
         """Multi-key sort with a per-facet reverse flag (reference
         sortedby=[FieldFacet(lang), FieldFacet(n_chars, reverse=True)]);
-        the limit makes the composite ordering observable in the row set."""
-        from whoosh_novo_ray.search.sorting import (
-            FieldFacet,
-            MultiFacet,
-            sorted_search,
-        )
-
+        the limit makes the composite ordering observable in the row set.
+        Routed through the distributed SortingCollector: shards return
+        their top-20 by the sort keys, the driver re-ranks the union."""
         path = os.path.join(sf_dir, "documents.parquet")
-        t = sorted_search(
-            _searcher_for(sf_dir),
+        t = _pool_for(sf_dir).sorted_search(
             Term(_T_MID),
-            MultiFacet(
-                [
-                    FieldFacet(path, "lang"),
-                    FieldFacet(path, "n_chars", reverse=True),
-                ]
-            ),
+            path,
+            ["lang", "n_chars"],
+            reverses=[False, True],
             limit=20,
         )
         ids = t["doc_id"].to_numpy().astype(np.int64)

@@ -683,6 +683,52 @@ class ScoreServer:
             cols["okey"] = pa.array(okeys[order][keep])
         return pa.table(cols)
 
+    def sorted_candidates(
+        self,
+        q,
+        gstats,
+        attrs_dirs: list,
+        columns: list,
+        reverses: list,
+        limit,
+        weighting=None,
+    ) -> pa.Table:
+        """THIS shard's matches ranked by the sort columns (each level
+        honoring its reverse flag, doc_id tiebreak), truncated to ``limit``
+        — a superset of the global top-``limit`` (any global winner ranks
+        within its own shard's top). Raw-typed key columns ship alongside
+        so the driver's global re-rank compares true values, not strings.
+        Docs missing from the FIRST sort column are dropped (mirroring
+        _matched_keys); later columns null-fill."""
+        ids, scores, k0 = self._matched_keys(
+            q, gstats, attrs_dirs[0], columns[0], weighting
+        )
+        if not len(ids):
+            out = {
+                "doc_id": pa.array([], pa.uint64()),
+                "score": pa.array([], pa.float64()),
+            }
+            for i in range(len(columns)):
+                out[f"k{i}"] = pa.array([], pa.string())
+            return pa.table(out)
+        keysets = [k0]
+        for d, c in zip(attrs_dirs[1:], columns[1:]):
+            keysets.append(self._keys_at(d, c, ids))
+        ranks = []
+        for k, rev in zip(keysets, reverses):
+            rank = np.unique(k, return_inverse=True)[1]
+            ranks.append(-rank if rev else rank)
+        order = np.lexsort((ids, *reversed(ranks)))
+        if limit is not None:
+            order = order[:limit]
+        out = {
+            "doc_id": pa.array(ids[order], pa.uint64()),
+            "score": pa.array(scores[order], pa.float64()),
+        }
+        for i, k in enumerate(keysets):
+            out[f"k{i}"] = pa.array(k[order])
+        return pa.table(out)
+
     def ping(self) -> bool:
         return True
 
@@ -1400,6 +1446,75 @@ class ScorePool:
 
             raise TimeLimit(out, {"timed_out": True})
         return out
+
+    def sorted_search(
+        self,
+        q,
+        attrs_path: str,
+        columns,
+        reverses=False,
+        limit=None,
+        weighting=None,
+    ) -> pa.Table:
+        """Distributed SortingCollector: each shard returns its matches
+        ranked by the sort columns and truncated to ``limit`` (a superset
+        of the global winners); the driver re-ranks the union on the RAW
+        key values — exact, and numerics compare as numbers end-to-end.
+        ``columns`` is a column name or list; ``reverses`` a flag or
+        per-column list (reference sortedby=[FieldFacet(a),
+        FieldFacet(b, reverse=True)]). Output matches the local
+        ``sorting.sorted_search`` (doc_id, key, score)."""
+        if isinstance(columns, str):
+            columns = [columns]
+        if isinstance(reverses, bool):
+            reverses = [reverses] * len(columns)
+        attrs_dirs = [self._attrs_dir_for(attrs_path, c) for c in columns]
+        q2 = self._rewrite(q)
+        gstats = self._gstats(self._stat_terms(q2))
+        actors = self._route(self._est_cost(gstats, self._stat_terms(q2)))
+        futs = [
+            a.sorted_candidates.remote(
+                q2, gstats, attrs_dirs, columns, list(reverses), limit,
+                weighting,
+            )
+            for a in actors
+        ]
+        parts = [t for t in ray.get(futs) if len(t)]
+        if not parts:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.uint64()),
+                    "key": pa.array([], pa.string()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        tbl = pa.concat_tables(parts)
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        scores = tbl["score"].to_numpy(zero_copy_only=False)
+        keysets = [
+            tbl[f"k{i}"].to_numpy(zero_copy_only=False)
+            for i in range(len(columns))
+        ]
+        ranks = []
+        for k, rev in zip(keysets, reverses):
+            rank = np.unique(k, return_inverse=True)[1]
+            ranks.append(-rank if rev else rank)
+        order = np.lexsort((ids, *reversed(ranks)))
+        if limit is not None:
+            order = order[:limit]
+        if len(columns) == 1:
+            disp = [str(k) for k in keysets[0][order]]
+        else:
+            disp = [
+                str(tuple(ks[i] for ks in keysets)) for i in order
+            ]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[order], pa.uint64()),
+                "key": pa.array(disp, pa.string()),
+                "score": pa.array(scores[order], pa.float64()),
+            }
+        )
 
     def shutdown(self) -> None:
         for grp in self._replicas:
