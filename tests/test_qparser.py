@@ -29,6 +29,12 @@ SCORED = [
     "search ANDNOT data",
     "search^2 OR data",
     "the data",  # 'the' is a stop word and must vanish
+    # SingleQuotePlugin (reference default set): quoted text analyzes
+    # verbatim — wildcard chars inside quotes are literal, not operators
+    "'search data'",
+    "'Search'",
+    "index 'search data'",
+    "'one' OR data",  # quoted single term inside a boolean
 ]
 
 # queries where we assert the matched DOC SET (scoring semantics differ)

@@ -41,6 +41,7 @@ _TOKEN_RX = re.compile(
     (?P<phrase>"(?P<phr>[^"]*)"(~(?P<slop>\d+))?) |
     (?P<brange>\[(?P<b_lo>\S+)\s+TO\s+(?P<b_hi>\S+)\]) |
     (?P<crange>\{(?P<c_lo>\S+)\s+TO\s+(?P<c_hi>\S+)\}) |
+    (?P<squote>'(?P<sq>[^']*)'(?=[\s)\]}]|$)) |
     (?P<word>[^\s()"]+)
     """,
     re.VERBOSE,
@@ -123,6 +124,8 @@ class QueryParser:
                 out.append(("range", (m.group("b_lo"), m.group("b_hi"), False, False)))
             elif m.group("crange") is not None:
                 out.append(("range", (m.group("c_lo"), m.group("c_hi"), True, True)))
+            elif m.group("squote") is not None:
+                out.append(("squote", m.group("sq")))
             else:
                 w = m.group("word")
                 if w in ("AND", "OR", "NOT", "ANDNOT", "ANDMAYBE"):
@@ -166,7 +169,7 @@ class QueryParser:
             if kind == "AND":
                 self._next()
                 parts.append(self._parse_binop())
-            elif kind in ("word", "phrase", "range", "dtq", "(", "NOT", "func"):
+            elif kind in ("word", "squote", "phrase", "range", "dtq", "(", "NOT", "func"):
                 parts.append(self._parse_binop())  # implicit AND
             else:
                 break
@@ -246,6 +249,16 @@ class QueryParser:
             return Q.Phrase(words)
         if kind == "word":
             return self._parse_word(val)
+        if kind == "squote":
+            # SingleQuotePlugin (reference qparser/plugins.py:110-117):
+            # quoted text goes straight to analysis — wildcard / fuzzy /
+            # range syntax inside quotes is literal, never operator
+            toks = self.analyzer(val)
+            if not toks:
+                return NULL
+            if len(toks) == 1:
+                return Q.Term(toks[0])
+            return Q.And(*[Q.Term(t) for t in toks])
         if kind == "func":
             name, argstring, raw = val
             fn = self.functions.get(name)
@@ -255,7 +268,7 @@ class QueryParser:
                 return self._parse_word(raw)
             args, kwargs = _parse_fn_args(argstring)
             qs = []
-            if self._peek()[0] in ("word", "phrase", "range", "dtq", "("):
+            if self._peek()[0] in ("word", "squote", "phrase", "range", "dtq", "("):
                 sub = self._parse_atom()
                 if sub is not NULL:
                     qs.append(sub)
