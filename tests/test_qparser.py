@@ -70,6 +70,29 @@ def test_docset_parity(searcher, reference_searcher, qs):
     assert sorted(mine_t["doc_id"].to_pylist()) == sorted(d for d, _ in ref), qs
 
 
+def test_regex_plugin_parity(searcher, reference_searcher):
+    """Opt-in RegexPlugin: r"pattern" parses to a Regex query; matched doc
+    sets identical to the reference parser with RegexPlugin added."""
+    from whoosh.qparser import QueryParser as RefQP
+    from whoosh.qparser import plugins as refplugins
+
+    rp = RefQP("text", reference_searcher.schema)
+    rp.add_plugin(refplugins.RegexPlugin())
+    p = QueryParser(regex_plugin=True)
+    for qs in ['r"se.*ch"', 'data r"ind.x"', 'r"tok.n" OR web']:
+        ref = reference_searcher.search(rp.parse(qs), limit=None)
+        ref_ids = sorted(hit["doc_id"] for hit in ref)
+        mine = searcher.search(p.parse(qs), limit=None)
+        assert sorted(mine["doc_id"].to_pylist()) == ref_ids, qs
+
+
+def test_regex_plugin_off_is_default_lexing():
+    """With the plugin off (the reference default set), r"..." lexes as the
+    word r + a phrase — byte-for-byte the old token stream."""
+    p = QueryParser()
+    assert repr(p.parse('r"ab cd"')) == repr(p.parse('r "ab cd"'))
+
+
 def test_not_query(searcher, reference_searcher, pages_table):
     from whoosh_novo_ray.analysis import StandardAnalyzer
 

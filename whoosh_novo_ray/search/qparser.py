@@ -17,6 +17,10 @@ Supported syntax (single default field):
                                single-field parser)
   date:'last tuesday to now'   natural-language datetime filter for fields
                                registered via ``datetime_fields``
+  'quoted text'                SingleQuotePlugin: analyzed verbatim —
+                               wildcard/fuzzy chars inside are literal
+  r"pattern"                   Regex query (opt-in regex_plugin=True, like
+                               the reference's non-default RegexPlugin)
   term^2.5                     boost
   ( ... )                      grouping
   *                            Every (match all)
@@ -38,6 +42,7 @@ _TOKEN_RX = re.compile(
     (?P<lparen>\() | (?P<rparen>\)) |
     (?P<func>\#(?P<fn_name>[A-Za-z_][A-Za-z0-9._]*)(\[(?P<fn_args>[^\]]*)\])?) |
     (?P<dtq>(?P<dt_field>[A-Za-z_][A-Za-z0-9_]*):'(?P<dt_text>[^']*)') |
+    (?P<rgx>\br"(?P<rgx_text>[^"]*)"(~(?P<rgx_slop>\d+))?) |
     (?P<phrase>"(?P<phr>[^"]*)"(~(?P<slop>\d+))?) |
     (?P<brange>\[(?P<b_lo>\S+)\s+TO\s+(?P<b_hi>\S+)\]) |
     (?P<crange>\{(?P<c_lo>\S+)\s+TO\s+(?P<c_hi>\S+)\}) |
@@ -86,6 +91,7 @@ class QueryParser:
         analyzer: StandardAnalyzer | None = None,
         datetime_fields: dict | None = None,
         functions: dict | None = None,
+        regex_plugin: bool = False,
     ):
         """``datetime_fields`` maps a field name to (attrs, column,
         basedate) — the DateParserPlugin wiring: ``field:'<natural
@@ -100,6 +106,10 @@ class QueryParser:
         self.analyzer = analyzer or StandardAnalyzer()
         self.datetime_fields = datetime_fields or {}
         self.functions = functions or {}
+        # RegexPlugin (reference qparser/plugins.py:197-216) is NOT in the
+        # reference default set — opt in to make r"pattern" a Regex query
+        # (start-anchored re.match semantics, like the reference's)
+        self.regex_plugin = regex_plugin
 
     # -- lexing ----------------------------------------------------------------
 
@@ -124,6 +134,16 @@ class QueryParser:
                 out.append(("range", (m.group("b_lo"), m.group("b_hi"), False, False)))
             elif m.group("crange") is not None:
                 out.append(("range", (m.group("c_lo"), m.group("c_hi"), True, True)))
+            elif m.group("rgx") is not None:
+                if self.regex_plugin:
+                    out.append(("rgx", m.group("rgx_text")))
+                else:
+                    # plugin off: lex exactly as before — a word 'r' (which
+                    # the analyzer's minsize drops) followed by the phrase
+                    out.append(("word", "r"))
+                    out.append(
+                        ("phrase", (m.group("rgx_text"), int(m.group("rgx_slop") or 1)))
+                    )
             elif m.group("squote") is not None:
                 out.append(("squote", m.group("sq")))
             else:
@@ -169,7 +189,7 @@ class QueryParser:
             if kind == "AND":
                 self._next()
                 parts.append(self._parse_binop())
-            elif kind in ("word", "squote", "phrase", "range", "dtq", "(", "NOT", "func"):
+            elif kind in ("word", "squote", "rgx", "phrase", "range", "dtq", "(", "NOT", "func"):
                 parts.append(self._parse_binop())  # implicit AND
             else:
                 break
@@ -249,6 +269,8 @@ class QueryParser:
             return Q.Phrase(words)
         if kind == "word":
             return self._parse_word(val)
+        if kind == "rgx":
+            return Q.Regex(val)
         if kind == "squote":
             # SingleQuotePlugin (reference qparser/plugins.py:110-117):
             # quoted text goes straight to analysis — wildcard / fuzzy /
@@ -268,7 +290,7 @@ class QueryParser:
                 return self._parse_word(raw)
             args, kwargs = _parse_fn_args(argstring)
             qs = []
-            if self._peek()[0] in ("word", "squote", "phrase", "range", "dtq", "("):
+            if self._peek()[0] in ("word", "squote", "rgx", "phrase", "range", "dtq", "("):
                 sub = self._parse_atom()
                 if sub is not NULL:
                     qs.append(sub)
