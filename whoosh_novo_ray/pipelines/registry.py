@@ -704,6 +704,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def filtered_or_top10(sf_dir):
+        # FilterCollector parity (reference collectors.py:659-763) through
+        # the doc-shard pool: allow = a QUERY (each actor computes its local
+        # comb — the filter's postings never leave the shards), restrict = a
+        # doc-id SET (shipped once, shared via the object store when large)
+        n = pq.read_metadata(
+            os.path.join(sf_dir, "documents.parquet")
+        ).num_rows
+        mask_ids = np.arange(0, n, 7, dtype=np.uint64)
+        t = _pool_for(sf_dir).search(
+            Or(Term(_T_MID), Term(_T_MID2)),
+            limit=10,
+            filter=Term(_T_COMMON),
+            mask=mask_ids,
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "score": pa.array(np.round(t["score"].to_numpy(), 6), pa.float64()),
+            }
+        )
+
     def fuzzy_docs(sf_dir):
         from whoosh_novo_ray.search.fuzzy import FuzzyTerm
 
@@ -1488,6 +1510,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_absent": lambda sf: _pool_search_table(sf, Term(_T_ABSENT), 10),
         "bm25_or_top10": lambda sf: _pool_search_table(sf, Or(Term(_T_MID), Term(_T_MID2)), 10),
         "bm25_or_top10_wand": bm25_or_wand,
+        "filtered_or_top10": filtered_or_top10,
         "bm25_and_top10": lambda sf: _pool_search_table(sf, And(Term(_T_MID), Term(_T_MID2)), 10),
         "bm25_andnot_top10": lambda sf: _pool_search_table(
             sf, AndNot(Term(_T_MID), Term(_T_MID2)), 10
@@ -1722,6 +1745,12 @@ FROM qdl ORDER BY doc_id""",
         "bm25_top100_mid": _topk_sql(f"term = '{_T_MID}'", 100),
         "bm25_absent": _topk_sql(f"term = '{_T_ABSENT}'", 10),
         "bm25_or_top10": _topk_sql(f"term IN ({_terms_sql([_T_MID, _T_MID2])})", 10),
+        "filtered_or_top10": _topk_sql(
+            f"""term IN ({_terms_sql([_T_MID, _T_MID2])})
+  AND doc_id IN (SELECT DISTINCT doc_id FROM filt WHERE term = '{_T_COMMON}')
+  AND doc_id % 7 <> 0""",
+            10,
+        ),
         "bm25_and_top10": f"""WITH {_BASE_CTES}
 SELECT doc_id::BIGINT AS doc_id, round(sum(score), 6) AS score
 FROM bm WHERE term IN ({_terms_sql([_T_MID, _T_MID2])})

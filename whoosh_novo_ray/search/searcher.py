@@ -972,11 +972,37 @@ class Searcher:
 
     # -- top-k ----------------------------------------------------------------
 
+    def _filter_to_comb(self, obj) -> np.ndarray | None:
+        """Normalize a filter/mask argument to an ascending-sorted unique
+        doc-id array (the reference Searcher._filter_to_comb,
+        searching.py:547-560: accepts a query, a results table, or a
+        set-like of doc numbers). Returns None for the reference's falsy
+        bypass (FilterCollector.prepare, collectors.py:706-708: ``ftc(allow)
+        if allow else None`` — an EMPTY set-like disables filtering
+        entirely, while a query matching nothing filters out everything)."""
+        if obj is None:
+            return None
+        if isinstance(obj, Q.Query):
+            if isinstance(obj, Q.NullQuery):
+                return None  # falsy in the reference (qcore.py _NullQuery)
+            ids, _ = self.postings(obj)
+            return np.asarray(ids, np.uint64)
+        if isinstance(obj, pa.Table):
+            obj = obj["doc_id"].to_numpy(zero_copy_only=False)
+        if isinstance(obj, (set, frozenset)):
+            obj = sorted(obj)
+        arr = np.unique(np.asarray(obj, np.uint64))
+        if not len(arr):
+            return None  # reference falsy-bypass quirk
+        return arr
+
     def search(
         self,
         q: Q.Query,
         limit: int | None = 10,
         exclude: np.ndarray | None = None,
+        filter=None,
+        mask=None,
     ) -> pa.Table:
         """Run a query; return Arrow table (doc_id, score) sorted by
         (score desc, doc_id asc) — the reference tie-break
@@ -985,7 +1011,14 @@ class Searcher:
         ``exclude``: ascending-sorted doc ids masked out of the results —
         the NRT pending-delete semantics (reference BufferedWriter deletes,
         writing.py:1312-1320: deleted docs stop matching immediately but
-        stay in the collection stats until the next commit)."""
+        stay in the collection stats until the next commit).
+
+        ``filter`` / ``mask``: the reference FilterCollector allow/restrict
+        sets (collectors.py:659-763; Searcher.search(filter=, mask=),
+        searching.py:784-800): each may be a Query, a results table, or a
+        set-like of doc ids. A doc is kept only if it is in the allow set
+        (when given) and not in the restrict set; filtering happens before
+        the top-``limit`` cut, and scores are unchanged."""
         # batch-fetch every term the query needs up front: one segment read
         # per BUCKET instead of one per term
         terms = q.terms()
@@ -1002,6 +1035,16 @@ class Searcher:
         if exclude is not None and len(exclude) and len(ids):
             keep = ~_in_sorted(ids, np.asarray(exclude, ids.dtype))
             ids, scores = ids[keep], scores[keep]
+        if filter is not None and len(ids):
+            allow = self._filter_to_comb(filter)
+            if allow is not None:
+                keep = _in_sorted(ids, allow)
+                ids, scores = ids[keep], scores[keep]
+        if mask is not None and len(ids):
+            restrict = self._filter_to_comb(mask)
+            if restrict is not None:
+                keep = ~_in_sorted(ids, restrict)
+                ids, scores = ids[keep], scores[keep]
         n = len(ids)
         if limit is not None and n > 4 * limit + 64:
             # O(n) exact top-k: partition on score, resolve the boundary

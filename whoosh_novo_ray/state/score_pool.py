@@ -305,9 +305,19 @@ class ScoreServer:
         limit: int | None,
         gstats: dict[str, tuple[int, float, float]],
         weighting: WeightingModel | None = None,
+        fq=None,
+        mq=None,
     ) -> pa.Table:
-        """Top-``limit`` (score desc, doc_id asc) over THIS actor's docs."""
-        return self._searcher(gstats, weighting).search(q, limit=limit)
+        """Top-``limit`` (score desc, doc_id asc) over THIS actor's docs.
+
+        ``fq`` / ``mq``: FilterCollector allow/restrict (reference
+        collectors.py:659-763) — a Query evaluated against THIS shard's
+        docs, or a pre-sorted global doc-id array. Per-shard filtering
+        before the per-shard top-k cut composes exactly: the global merge
+        of post-filter shard top-k's is the post-filter global top-k."""
+        return self._searcher(gstats, weighting).search(
+            q, limit=limit, filter=fq, mask=mq
+        )
 
     def _bound_table_caches(self) -> None:
         if sum(len(c) for c in self._table_caches.values()) > 50_000:
@@ -339,6 +349,8 @@ class ScoreServer:
         budget_s: float,
         weighting: WeightingModel | None = None,
         _delay_per_table: float = 0.0,
+        fq=None,
+        mq=None,
     ) -> tuple[pa.Table, bool]:
         """Time-budgeted evaluation (reference TimeLimitCollector,
         collectors.py:1012-1107: on expiry the partial results collected so
@@ -365,7 +377,9 @@ class ScoreServer:
             if _delay_per_table:
                 _time.sleep(_delay_per_table)
             parts.append(
-                self._table_searcher(i, gstats, weighting).search(q, limit=limit)
+                self._table_searcher(i, gstats, weighting).search(
+                    q, limit=limit, filter=fq, mask=mq
+                )
             )
         return _merge_topk(parts, limit), timed_out
 
@@ -1080,6 +1094,32 @@ class ScorePool:
 
     # -- search --------------------------------------------------------------
 
+    def _norm_filter(self, obj) -> tuple[object, list[str]]:
+        """Driver-side normalization of a FilterCollector allow/restrict arg
+        (reference collectors.py:659-763). A Query ships to the shards and
+        each actor computes its LOCAL comb (the scale path — the filter's
+        posting set never leaves the actors); a results table / set-like
+        becomes ONE sorted unique id array, ray.put once when large so N
+        actors share a single object-store copy. Returns (normalized,
+        stat_terms_needed)."""
+        if obj is None:
+            return None, []
+        if isinstance(obj, Q.Query):
+            if isinstance(obj, Q.NullQuery):
+                return None, []  # falsy in the reference — filtering off
+            q2 = self._rewrite(obj)
+            return q2, self._stat_terms(q2)
+        if isinstance(obj, pa.Table):
+            obj = obj["doc_id"].to_numpy(zero_copy_only=False)
+        if isinstance(obj, (set, frozenset)):
+            obj = sorted(obj)
+        arr = np.unique(np.asarray(obj, np.uint64))
+        if not len(arr):
+            return None, []  # reference falsy-bypass quirk
+        if arr.nbytes > 65536:
+            return ray.put(arr), []
+        return arr, []
+
     def search(
         self,
         q: Q.Query,
@@ -1087,6 +1127,8 @@ class ScorePool:
         weighting: WeightingModel | None = None,
         timelimit: float | None = None,
         _delay_per_table: float = 0.0,
+        filter=None,
+        mask=None,
     ) -> pa.Table:
         """With ``timelimit`` (seconds), each actor honors the budget
         independently (shard-table check granularity — ScoreServer
@@ -1095,20 +1137,32 @@ class ScorePool:
         merge of everything that DID finish in ``.partial`` (the reference
         TimeLimitCollector contract: partial results stay available).
         Local-fallback queries (Otherwise/Nested) ignore the deadline —
-        they evaluate driver-side in one shot."""
-        if self._needs_fallback(q):
+        they evaluate driver-side in one shot.
+
+        ``filter`` / ``mask``: FilterCollector allow/restrict (a Query,
+        results table, or set-like of doc ids); per-shard filtering happens
+        before each shard's top-k cut, so the merge is exact."""
+        if self._needs_fallback(q) or any(
+            isinstance(f, Q.Query) and self._needs_fallback(f)
+            for f in (filter, mask)
+            if f is not None
+        ):
             s = Searcher(self.index, weighting=weighting)
-            return s.search(q, limit=limit)
+            return s.search(q, limit=limit, filter=filter, mask=mask)
         q2 = self._rewrite(q)
-        gstats = self._gstats(self._stat_terms(q2))
+        fq, fterms = self._norm_filter(filter)
+        mq, mterms = self._norm_filter(mask)
+        stat_terms = self._stat_terms(q2)
+        gstats = self._gstats(sorted({*stat_terms, *fterms, *mterms}))
         if timelimit is not None:
             from whoosh_novo_ray.search.wand import TimeLimit
 
             futs = [
                 a.score_deadline.remote(
-                    q2, limit, gstats, timelimit, weighting, _delay_per_table
+                    q2, limit, gstats, timelimit, weighting, _delay_per_table,
+                    fq, mq,
                 )
-                for a in self._route(self._est_cost(gstats, self._stat_terms(q2)))
+                for a in self._route(self._est_cost(gstats, stat_terms))
             ]
             results = ray.get(futs)
             merged = _merge_topk([t for t, _to in results], limit)
@@ -1116,8 +1170,8 @@ class ScorePool:
                 raise TimeLimit(merged, {"timed_out": True})
             return merged
         futs = [
-            a.score.remote(q2, limit, gstats, weighting)
-            for a in self._route(self._est_cost(gstats, self._stat_terms(q2)))
+            a.score.remote(q2, limit, gstats, weighting, fq, mq)
+            for a in self._route(self._est_cost(gstats, stat_terms))
         ]
         return _merge_topk(ray.get(futs), limit)
 
@@ -1126,6 +1180,8 @@ class ScorePool:
         q: Q.Query,
         limit: int | None = 10,
         weighting: WeightingModel | None = None,
+        filter=None,
+        mask=None,
     ) -> "ray.ObjectRef":
         """Non-blocking search: returns ONE ObjectRef resolving to the merged
         top-k table. The per-shard evaluations fan out to the actors as usual
@@ -1134,14 +1190,21 @@ class ScorePool:
         on merges — the serving-throughput path benchmarked by
         ``bench.py --qps``. Queries needing the local fallback (Otherwise /
         Nested) resolve eagerly via ray.put."""
-        if self._needs_fallback(q):
+        if self._needs_fallback(q) or any(
+            isinstance(f, Q.Query) and self._needs_fallback(f)
+            for f in (filter, mask)
+            if f is not None
+        ):
             s = Searcher(self.index, weighting=weighting)
-            return ray.put(s.search(q, limit=limit))
+            return ray.put(s.search(q, limit=limit, filter=filter, mask=mask))
         q2 = self._rewrite(q)
-        gstats = self._gstats(self._stat_terms(q2))
+        fq, fterms = self._norm_filter(filter)
+        mq, mterms = self._norm_filter(mask)
+        stat_terms = self._stat_terms(q2)
+        gstats = self._gstats(sorted({*stat_terms, *fterms, *mterms}))
         futs = [
-            a.score.remote(q2, limit, gstats, weighting)
-            for a in self._route(self._est_cost(gstats, self._stat_terms(q2)))
+            a.score.remote(q2, limit, gstats, weighting, fq, mq)
+            for a in self._route(self._est_cost(gstats, stat_terms))
         ]
         if len(futs) == 1:
             # single-actor replica covers every shard: its top-k IS the
