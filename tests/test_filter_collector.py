@@ -217,3 +217,94 @@ def test_pool_filter_async(spool, searcher):
     ref = spool.search_async(q, limit=10, filter=Term("web"))
     local = searcher.search(q, limit=10, filter=Term("web"))
     assert _tbl_rows(ray.get(ref)) == _tbl_rows(local)
+
+
+# -- filter through the facet / collapse / sorted collector paths -------------
+
+
+@pytest.fixture(scope="module")
+def attrs_parquet(pages_table, tmp_path_factory):
+    import pyarrow.parquet as pq
+
+    p = str(tmp_path_factory.mktemp("fattrs") / "attrs.parquet")
+    pq.write_table(
+        pa.table({"doc_id": pages_table["doc_id"], "lang": pages_table["lang"]}), p
+    )
+    return p
+
+
+def test_facet_counts_with_filter_matches_manual(searcher, attrs_parquet):
+    from whoosh_novo_ray.search.sorting import FieldFacet, facet_counts
+    from whoosh_novo_ray.search.query import Filtered
+
+    q = Term("search")
+    filtered = facet_counts(
+        searcher, q, FieldFacet(attrs_parquet, "lang"), filter=Term("web")
+    ).to_pydict()
+    # manual: facet over the explicit intersection query
+    manual = facet_counts(
+        searcher, Filtered(q, Term("web"), None), FieldFacet(attrs_parquet, "lang")
+    ).to_pydict()
+    assert filtered == manual
+    unfiltered = facet_counts(searcher, q, FieldFacet(attrs_parquet, "lang")).to_pydict()
+    assert sum(filtered["count"]) < sum(unfiltered["count"])
+
+
+def test_pool_facet_counts_with_filter_matches_local(spool, searcher, attrs_parquet):
+    from whoosh_novo_ray.search.sorting import FieldFacet, facet_counts
+
+    q = Term("search")
+    local = facet_counts(
+        searcher, q, FieldFacet(attrs_parquet, "lang"), filter=Term("web"),
+        mask=Term("index"),
+    ).to_pydict()
+    pooled = spool.facet_counts(
+        q, attrs_parquet, "lang", filter=Term("web"), mask=Term("index")
+    ).to_pydict()
+    assert pooled == local
+
+
+def test_pool_collapse_with_filter_matches_local(spool, searcher, attrs_parquet):
+    from whoosh_novo_ray.search.sorting import FieldFacet, collapse_search
+
+    q = Or(Term("search"), Term("data"))
+    local = collapse_search(
+        searcher, q, FieldFacet(attrs_parquet, "lang"), per_key=2,
+        filter=Term("web"),
+    ).to_pydict()
+    pooled = spool.collapse_search(
+        q, attrs_parquet, "lang", per_key=2, filter=Term("web")
+    ).to_pydict()
+    assert pooled == local
+    assert len(local["doc_id"]) > 0
+
+
+def test_pool_sorted_with_mask_matches_local(spool, searcher, attrs_parquet):
+    from whoosh_novo_ray.search.sorting import FieldFacet, sorted_search
+
+    q = Term("search")
+    local = sorted_search(
+        searcher, q, FieldFacet(attrs_parquet, "lang"), limit=20, mask=Term("web")
+    ).to_pydict()
+    pooled = spool.sorted_search(
+        q, attrs_parquet, "lang", limit=20, mask=Term("web")
+    ).to_pydict()
+    assert pooled == local
+
+
+def test_search_page_with_filter(searcher):
+    q = Or(Term("search"), Term("data"))
+    page = searcher.search_page(q, 2, pagelen=5, filter=Term("web"))
+    full = searcher.search(q, limit=None, filter=Term("web"))
+    assert page["results"].to_pydict() == full.slice(5, 5).to_pydict()
+    assert page["total"] == len(full)
+
+
+def test_set_form_mask_in_facet_path(searcher, attrs_parquet):
+    from whoosh_novo_ray.search.sorting import FieldFacet, facet_counts
+
+    q = Term("search")
+    restrict = np.arange(0, 400, 2, dtype=np.uint64)
+    a = facet_counts(searcher, q, FieldFacet(attrs_parquet, "lang"), mask=restrict)
+    b = facet_counts(searcher, q, FieldFacet(attrs_parquet, "lang"), mask=set(range(0, 400, 2)))
+    assert a.to_pydict() == b.to_pydict()

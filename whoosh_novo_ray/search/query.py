@@ -384,3 +384,28 @@ class NullQuery(Query):
 
 
 NULL = NullQuery()
+
+
+class Filtered(Query):
+    """Internal carrier for the FilterCollector allow/restrict sets
+    (reference collectors.py:659-763): matches are the child's matches
+    restricted to ``allow`` (when given) minus ``restrict``; scores come
+    from the child unchanged. Because it IS a query, every collector path
+    (top-k, facets, collapse, sorted, paging, the shard actors) gets
+    filtering with no extra plumbing. ``allow`` / ``restrict`` may each be
+    a Query (evaluated against the same searcher — per shard in the pool),
+    a results table, or a set-like of doc ids; falsy set-likes and
+    NullQuery disable that side (the reference's ``if allow`` bypass)."""
+
+    def __init__(self, child: Query, allow=None, restrict=None):
+        self.child = child
+        self.allow = allow
+        self.restrict = restrict
+
+    def leaves(self):
+        yield self
+        yield from self.child.leaves()
+        if isinstance(self.allow, Query):
+            yield from self.allow.leaves()
+        if isinstance(self.restrict, Query):
+            yield from self.restrict.leaves()

@@ -250,6 +250,20 @@ class Searcher:
         if isinstance(q, Q.NullQuery):
             return _EMPTY
 
+        if isinstance(q, Q.Filtered):
+            ids, scores = self.postings(q.child)
+            if q.allow is not None and len(ids):
+                allow = self._filter_to_comb(q.allow)
+                if allow is not None:
+                    keep = _in_sorted(ids, allow)
+                    ids, scores = ids[keep], scores[keep]
+            if q.restrict is not None and len(ids):
+                restrict = self._filter_to_comb(q.restrict)
+                if restrict is not None:
+                    keep = ~_in_sorted(ids, restrict)
+                    ids, scores = ids[keep], scores[keep]
+            return ids, scores
+
         if isinstance(q, Q.Term):
             ids, tfs, lens, _ = self.term_postings(q.text)
             if not len(ids):
@@ -1019,6 +1033,8 @@ class Searcher:
         set-like of doc ids. A doc is kept only if it is in the allow set
         (when given) and not in the restrict set; filtering happens before
         the top-``limit`` cut, and scores are unchanged."""
+        if filter is not None or mask is not None:
+            q = Q.Filtered(q, filter, mask)
         # batch-fetch every term the query needs up front: one segment read
         # per BUCKET instead of one per term
         terms = q.terms()
@@ -1035,16 +1051,6 @@ class Searcher:
         if exclude is not None and len(exclude) and len(ids):
             keep = ~_in_sorted(ids, np.asarray(exclude, ids.dtype))
             ids, scores = ids[keep], scores[keep]
-        if filter is not None and len(ids):
-            allow = self._filter_to_comb(filter)
-            if allow is not None:
-                keep = _in_sorted(ids, allow)
-                ids, scores = ids[keep], scores[keep]
-        if mask is not None and len(ids):
-            restrict = self._filter_to_comb(mask)
-            if restrict is not None:
-                keep = ~_in_sorted(ids, restrict)
-                ids, scores = ids[keep], scores[keep]
         n = len(ids)
         if limit is not None and n > 4 * limit + 64:
             # O(n) exact top-k: partition on score, resolve the boundary
@@ -1075,14 +1081,18 @@ class Searcher:
             }
         )
 
-    def search_page(self, q: Q.Query, pagenum: int, pagelen: int = 10):
+    def search_page(
+        self, q: Q.Query, pagenum: int, pagelen: int = 10, filter=None, mask=None
+    ):
         """Paged results (reference Searcher.search_page / ResultsPage,
         searching.py:615-667): returns a dict with the page's table, total
         hit count, page count and 1-based page number. Requesting a page
-        past the end returns the last page (reference behavior)."""
+        past the end returns the last page (reference behavior).
+        ``filter`` / ``mask`` pass through to :meth:`search` (the reference
+        forwards all search kwargs)."""
         if pagenum < 1:
             raise ValueError("pagenum must be >= 1")
-        full = self.search(q, limit=None)
+        full = self.search(q, limit=None, filter=filter, mask=mask)
         total = len(full)
         pagecount = max(1, -(-total // pagelen))
         pagenum = min(pagenum, pagecount)

@@ -256,8 +256,20 @@ def _facet_keys(searcher, facet: Facet, ids, scores):
     return facet.keys_for(searcher, ids)
 
 
-def facet_counts(searcher, q, facet: Facet) -> pa.Table:
+def _filtered(q, filter, mask):
+    """Wrap ``q`` for FilterCollector allow/restrict semantics (reference
+    collectors.py:659-763 — a FilterCollector can wrap ANY collector, so
+    every function here accepts filter/mask)."""
+    from whoosh_novo_ray.search import query as _Q
+
+    if filter is not None or mask is not None:
+        return _Q.Filtered(q, filter, mask)
+    return q
+
+
+def facet_counts(searcher, q, facet: Facet, filter=None, mask=None) -> pa.Table:
     """Count matched docs per facet key (reference FacetCollector + Count)."""
+    q = _filtered(q, filter, mask)
     ids, scores = searcher.postings(q)
     keys = _facet_keys(searcher, facet, ids, scores)
     mask = np.array([k is not None for k in keys], dtype=bool)
@@ -270,11 +282,15 @@ def facet_counts(searcher, q, facet: Facet) -> pa.Table:
     )
 
 
-def sorted_search(searcher, q, facet: Facet, reverse: bool = False, limit=None) -> pa.Table:
+def sorted_search(
+    searcher, q, facet: Facet, reverse: bool = False, limit=None,
+    filter=None, mask=None,
+) -> pa.Table:
     """Matches sorted by facet key (reference SortingCollector). A
     MultiFacet sorts by each sub-facet in turn honoring its own ``reverse``
     flag (reference ``sortedby=[FieldFacet(a), FieldFacet(b, reverse=True)]``);
     ``reverse=True`` flips every level. Ties break by doc_id ascending."""
+    q = _filtered(q, filter, mask)
     ids, scores = searcher.postings(q)
     sub = facet.facets if isinstance(facet, MultiFacet) else [facet]
     subkeys = [_facet_keys(searcher, f, ids, scores) for f in sub]
@@ -397,7 +413,7 @@ def falsy_key_mask(keys: np.ndarray) -> np.ndarray:
 
 def collapse_search(
     searcher, q, key_facet: Facet, per_key: int = 1, limit=None,
-    order_facet: Facet | None = None,
+    order_facet: Facet | None = None, filter=None, mask=None,
 ) -> pa.Table:
     """Keep at most ``per_key`` best hits per collapse key (reference
     CollapseCollector, collectors.py:854-1006). "Best" follows the result
@@ -405,6 +421,7 @@ def collapse_search(
     which case the LOWEST order keys win (orderer.key_for, :976-982); the
     kept documents are returned in result order either way, and documents
     with a falsy collapse key are never eliminated (:966-970)."""
+    q = _filtered(q, filter, mask)
     ids, scores = searcher.postings(q)
     keys = np.asarray(_facet_keys(searcher, key_facet, ids, scores))
     if order_facet is not None:

@@ -1063,7 +1063,10 @@ class ScorePool:
                 return True
             for attr in ("children",):
                 stack.extend(getattr(node, attr, ()) or ())
-            for attr in ("a", "b", "child", "subq", "parents", "parents_q"):
+            for attr in (
+                "a", "b", "child", "subq", "parents", "parents_q",
+                "allow", "restrict",
+            ):
                 c = getattr(node, attr, None)
                 if isinstance(c, Q.Query):
                     stack.append(c)
@@ -1094,7 +1097,7 @@ class ScorePool:
 
     # -- search --------------------------------------------------------------
 
-    def _norm_filter(self, obj) -> tuple[object, list[str]]:
+    def _norm_filter(self, obj, put: bool = True) -> tuple[object, list[str]]:
         """Driver-side normalization of a FilterCollector allow/restrict arg
         (reference collectors.py:659-763). A Query ships to the shards and
         each actor computes its LOCAL comb (the scale path — the filter's
@@ -1116,9 +1119,24 @@ class ScorePool:
         arr = np.unique(np.asarray(obj, np.uint64))
         if not len(arr):
             return None, []  # reference falsy-bypass quirk
-        if arr.nbytes > 65536:
+        if put and arr.nbytes > 65536:
             return ray.put(arr), []
         return arr, []
+
+    def _wrap_filter(self, q2: Q.Query, filter, mask) -> Q.Query:
+        """Fold allow/restrict into the (already rewritten) query as a
+        :class:`Q.Filtered` wrapper — the facet/collapse/sorted actor paths
+        then filter with no extra plumbing (query-form filters still
+        evaluate per shard inside the actors). Set-likes stay inline
+        ndarrays here (no ray.put: the wrapper pickles with the query)."""
+        if filter is None and mask is None:
+            return q2
+        fq, _ = self._norm_filter(filter, put=False)
+        mq, _ = self._norm_filter(mask, put=False)
+        if fq is None and mq is None:
+            # both sides hit the falsy bypass (NullQuery / empty set-like)
+            return q2
+        return Q.Filtered(q2, fq, mq)
 
     def search(
         self,
@@ -1379,6 +1397,7 @@ class ScorePool:
     def facet_counts(
         self, q, attrs_path: str, column: str, weighting=None,
         timelimit: float | None = None, _delay_per_table: float = 0.0,
+        filter=None, mask=None,
     ) -> pa.Table:
         """Distributed FacetCollector: per-shard partial key counts (each
         actor keys against ITS doc-sharded attribute partition) summed on
@@ -1388,7 +1407,7 @@ class ScorePool:
         :class:`whoosh_novo_ray.search.wand.TimeLimit` carrying the partial
         counts (exact over the covered tables) in ``.partial``."""
         attrs_dir = self._attrs_dir_for(attrs_path, column)
-        q2 = self._rewrite(q)
+        q2 = self._wrap_filter(self._rewrite(q), filter, mask)
         gstats = self._gstats(self._stat_terms(q2))
         actors = self._route(self._est_cost(gstats, self._stat_terms(q2)))
         timed_out = False
@@ -1428,7 +1447,7 @@ class ScorePool:
         self, q, attrs_path: str, column: str, per_key: int = 1,
         limit=None, weighting=None,
         timelimit: float | None = None, _delay_per_table: float = 0.0,
-        order_column: str | None = None,
+        order_column: str | None = None, filter=None, mask=None,
     ) -> pa.Table:
         """Distributed CollapseCollector: shards return their per-key best
         candidates (a superset of the global winners); the driver re-runs
@@ -1444,7 +1463,7 @@ class ScorePool:
             if order_column is not None
             else None
         )
-        q2 = self._rewrite(q)
+        q2 = self._wrap_filter(self._rewrite(q), filter, mask)
         gstats = self._gstats(self._stat_terms(q2))
         actors = self._route(self._est_cost(gstats, self._stat_terms(q2)))
         timed_out = False
@@ -1518,6 +1537,8 @@ class ScorePool:
         reverses=False,
         limit=None,
         weighting=None,
+        filter=None,
+        mask=None,
     ) -> pa.Table:
         """Distributed SortingCollector: each shard returns its matches
         ranked by the sort columns and truncated to ``limit`` (a superset
@@ -1532,7 +1553,7 @@ class ScorePool:
         if isinstance(reverses, bool):
             reverses = [reverses] * len(columns)
         attrs_dirs = [self._attrs_dir_for(attrs_path, c) for c in columns]
-        q2 = self._rewrite(q)
+        q2 = self._wrap_filter(self._rewrite(q), filter, mask)
         gstats = self._gstats(self._stat_terms(q2))
         actors = self._route(self._est_cost(gstats, self._stat_terms(q2)))
         futs = [
