@@ -160,3 +160,81 @@ def test_ngram_windows_never_cross_docs(ray_session):
         ).take_all()
     )
     assert out[1]["n_shared_grams"] == 0 and out[2]["n_shared_grams"] == 0
+
+
+def _ds_lang(texts, langs, blocks=3):
+    import ray.data
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+        }
+    )
+    return ray.data.from_arrow(tbl).repartition(blocks)
+
+
+def test_dsir_weights(ray_session):
+    """Docs sharing the target domain's vocabulary score higher than docs
+    made of pool-only tokens; a brute-force replica over the same hashed
+    buckets matches exactly."""
+    import hashlib
+
+    from whoosh_novo_ray.ops import dsir_table
+    from whoosh_novo_ray.ops.curation import DSIR_BUCKETS
+
+    texts = [
+        "alpha beta gamma alpha beta",   # en (target)
+        "alpha beta beta gamma",         # en (target)
+        "rojo verde azul rojo",          # es
+        "alpha beta gamma",              # es but target-like text
+        "",                              # empty
+    ]
+    langs = ["en", "en", "es", "es", "es"]
+    rows = _by_id(dsir_table(_ds_lang(texts, langs)).take_all())
+    assert rows[4]["n_feats"] == 0 and rows[4]["log_weight"] == 0.0
+    # target-like text beats pool-only text regardless of its own lang label
+    assert rows[3]["log_weight"] > rows[2]["log_weight"]
+    assert rows[0]["log_weight"] > rows[2]["log_weight"]
+
+    # brute-force replica (unigrams + bigrams, add-1 smoothing)
+    def bucket(g):
+        return int.from_bytes(
+            hashlib.md5(g.encode()).digest()[8:16], "little"
+        ) % DSIR_BUCKETS
+
+    def feats(t):
+        toks = t.lower().split()
+        return [bucket(g) for g in toks] + [
+            bucket(a + " " + b) for a, b in zip(toks, toks[1:])
+        ]
+
+    ct = np.zeros(DSIR_BUCKETS)
+    cq = np.zeros(DSIR_BUCKETS)
+    for t, l in zip(texts, langs):
+        for b in feats(t):
+            cq[b] += 1
+            if l == "en":
+                ct[b] += 1
+    logr = np.log((ct + 1) / (ct.sum() + DSIR_BUCKETS)) - np.log(
+        (cq + 1) / (cq.sum() + DSIR_BUCKETS)
+    )
+    for i, t in enumerate(texts):
+        fs = feats(t)
+        want = round(float(np.mean([logr[b] for b in fs])), 6) if fs else 0.0
+        assert rows[i]["log_weight"] == pytest.approx(want, abs=1.5e-6)
+        assert rows[i]["n_feats"] == len(fs)
+
+
+def test_dsir_bucket_collisions_shared(ray_session):
+    """Weights depend only on hashed buckets: two distinct grams in the
+    same bucket share mass (the DSIR hashing trick) — force tiny B."""
+    from whoosh_novo_ray.ops.curation import dsir_table
+
+    texts = ["aaa bbb", "ccc ddd"]
+    rows = _by_id(
+        dsir_table(_ds_lang(texts, ["en", "es"]), buckets=2).take_all()
+    )
+    assert set(rows) == {0, 1}
+    assert all(r["n_feats"] == 3 for r in rows.values())  # 2 uni + 1 bi

@@ -19,6 +19,7 @@ from whoosh_novo_ray.ops.knn import (
 from whoosh_novo_ray.ops.curation import (
     boilerplate_table,
     decontaminate_table,
+    dsir_table,
     repetition_table,
     unigram_lm_table,
 )
@@ -40,4 +41,5 @@ __all__ = [
     "decontaminate_table",
     "unigram_lm_table",
     "boilerplate_table",
+    "dsir_table",
 ]

@@ -461,3 +461,135 @@ def pii_scrub_table(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     """Streaming PII scrub over a documents Dataset (the web-text release
     gate): no shuffle, no state — scales as pure map_batches."""
     return docs.map_batches(_pii_scrub, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style hashed n-gram importance weights
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 1024
+
+
+def _dsir_features(texts: list[str], buckets: int):
+    """Hashed unigram+bigram feature stream per doc (DSIR — Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling": raw word
+    n-grams hashed into a fixed bucket space). Returns (doc_idx, bucket)
+    aligned arrays. Hashing runs once per UNIQUE unigram / bigram in the
+    batch (dictionary-coded stream), not per occurrence."""
+    di, codes, uniq, _, _ = _RAW.analyze_batch_coded(texts)
+    if not len(codes):
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    di = np.asarray(di, np.int64)
+    ubuck = (md5_u64_arr(list(uniq)) % np.uint64(buckets)).astype(np.int64)
+    uni_b = ubuck[codes]
+    adj = np.flatnonzero(di[:-1] == di[1:])
+    if not len(adj):
+        return di, uni_b
+    nu = len(uniq)
+    pair = codes[adj].astype(np.int64) * nu + codes[adj + 1]
+    up, inv = np.unique(pair, return_inverse=True)
+    pstr = [uniq[p // nu] + " " + uniq[p % nu] for p in up]
+    pbuck = (md5_u64_arr(pstr) % np.uint64(buckets)).astype(np.int64)
+    return (
+        np.concatenate([di, di[adj]]),
+        np.concatenate([uni_b, pbuck[inv]]),
+    )
+
+
+class _DsirScore:
+    """Per-doc mean feature log importance under the broadcast per-bucket
+    log-ratio vector (B doubles — shipped once per actor)."""
+
+    def __init__(self, logr, buckets: int):
+        self.logr = _deref(logr)
+        self.buckets = buckets
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        n = len(texts)
+        gdi, gb = _dsir_features(texts, self.buckets)
+        nf = np.bincount(gdi, minlength=n).astype(np.int64)
+        mean = np.zeros(n)
+        if len(gb):
+            s = np.bincount(gdi, weights=self.logr[gb], minlength=n)
+            mean = s / np.maximum(nf, 1)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "n_feats": pa.array(nf, pa.int64()),
+                "log_weight": pa.array(np.round(mean, 6), pa.float64()),
+            }
+        )
+
+
+def dsir_table(
+    docs: "ray.data.Dataset",
+    target_lang: str = "en",
+    buckets: int = DSIR_BUCKETS,
+) -> "ray.data.Dataset":
+    """DSIR importance weights over ``docs(doc_id, text, lang)``: how much
+    more likely each doc's hashed n-gram features are under the TARGET
+    domain (rows with ``lang == target_lang``) than under the whole pool.
+
+    Two passes, no shuffle at any scale:
+
+    1. every batch reduces to (bucket, target_count, pool_count) — at most
+       ``buckets`` rows per batch regardless of batch size — and the
+       driver sums the tiny per-batch tables into two length-B vectors;
+    2. the add-1-smoothed per-bucket log-ratio (B doubles) broadcasts via
+       ``ray.put`` and a streaming scan emits each doc's mean feature
+       log-weight. Resampling is then a deterministic rate filter over
+       ``log_weight`` (see ``stratified_sample`` for the hash-rate
+       pattern).
+    """
+
+    def count_batch(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        langs = np.asarray(batch["lang"].to_pylist(), object)
+        gdi, gb = _dsir_features(texts, buckets)
+        if not len(gb):
+            return pa.table(
+                {
+                    "bucket": pa.array([], pa.int64()),
+                    "ct": pa.array([], pa.int64()),
+                    "cq": pa.array([], pa.int64()),
+                }
+            )
+        is_t = (langs == target_lang)[gdi]
+        cq = np.bincount(gb, minlength=buckets)
+        ct = np.bincount(gb[is_t], minlength=buckets)
+        return pa.table(
+            {
+                "bucket": pa.array(np.arange(buckets, dtype=np.int64), pa.int64()),
+                "ct": pa.array(ct.astype(np.int64), pa.int64()),
+                "cq": pa.array(cq.astype(np.int64), pa.int64()),
+            }
+        )
+
+    parts = [
+        t
+        for t in ray.get(
+            docs.map_batches(
+                count_batch, batch_format="pyarrow", zero_copy_batch=True
+            )
+            .materialize()
+            .to_arrow_refs()
+        )
+        if len(t)
+    ]
+    ct = np.zeros(buckets)
+    cq = np.zeros(buckets)
+    for t in parts:
+        b = t["bucket"].to_numpy()
+        ct[b] += t["ct"].to_numpy()
+        cq[b] += t["cq"].to_numpy()
+    logr = np.log((ct + 1.0) / (ct.sum() + buckets)) - np.log(
+        (cq + 1.0) / (cq.sum() + buckets)
+    )
+    return docs.map_batches(
+        _DsirScore,
+        fn_constructor_args=(ray.put(logr), buckets),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=_pool_size(),
+    )

@@ -415,6 +415,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "doc_id"
         )
 
+    def dsir(sf_dir):
+        from whoosh_novo_ray.ops import dsir_table
+
+        return pa.concat_tables(
+            _collect(dsir_table(_docs_ds(sf_dir, columns=("doc_id", "text", "lang"))))
+        ).sort_by("doc_id")
+
     def boilerplate(sf_dir):
         from whoosh_novo_ray.ops import boilerplate_table
 
@@ -1557,6 +1564,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_quality": repetition,
         "decontam_4gram": decontam,
         "unigram_lm_scores": unigram_lm,
+        "dsir_weights": dsir,
         "boilerplate_frac": boilerplate,
         "fingerprint": fingerprint,
         "chunk_windows": chunked,
@@ -2178,6 +2186,44 @@ SELECT d.doc_id::BIGINT AS doc_id,
 FROM documents d LEFT JOIN (
   SELECT doc_id, count(*) AS n, avg(logp) AS m
   FROM tok JOIN lp USING (term) GROUP BY doc_id
+) a USING (doc_id) ORDER BY doc_id""",
+        # DSIR (Xie et al. 2023): hashed unigram+bigram buckets, add-1
+        # smoothed target (lang='en') vs pool log-ratio, per-doc mean —
+        # md5_number_lower(g) % B is byte-identical to the engine's
+        # md5_u64 bucket hash (ops/hashing.py:24-37)
+        "dsir_weights": f"""WITH tokarr AS (
+  SELECT doc_id, {raw_tok} AS arr FROM documents
+),
+tok AS (SELECT doc_id, unnest(arr) AS term, unnest(range(len(arr))) AS ord FROM tokarr),
+feats AS (
+  SELECT doc_id, (md5_number_lower(g) % 1024)::BIGINT AS bucket
+  FROM (
+    SELECT doc_id, term AS g FROM tok
+    UNION ALL
+    SELECT a.doc_id, a.term || ' ' || b.term AS g
+    FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1
+  )
+),
+cnts AS (
+  SELECT f.bucket,
+         sum(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END)::DOUBLE AS ct,
+         count(*)::DOUBLE AS cq
+  FROM feats f JOIN documents d USING (doc_id) GROUP BY f.bucket
+),
+tot AS (SELECT sum(ct) AS t, sum(cq) AS q FROM cnts),
+lr AS (
+  SELECT b.bucket,
+         ln((coalesce(c.ct, 0) + 1) / (t.t + 1024))
+       - ln((coalesce(c.cq, 0) + 1) / (t.q + 1024)) AS logr
+  FROM (SELECT unnest(range(1024)) AS bucket) b
+  LEFT JOIN cnts c USING (bucket) CROSS JOIN tot t
+)
+SELECT d.doc_id::BIGINT AS doc_id,
+       coalesce(a.n, 0)::BIGINT AS n_feats,
+       round(coalesce(a.m, 0), 6) AS log_weight
+FROM documents d LEFT JOIN (
+  SELECT f.doc_id, count(*) AS n, avg(lr.logr) AS m
+  FROM feats f JOIN lr USING (bucket) GROUP BY f.doc_id
 ) a USING (doc_id) ORDER BY doc_id""",
         "boilerplate_frac": f"""WITH tokarr AS (
   SELECT doc_id, {raw_tok} AS arr FROM documents
