@@ -733,6 +733,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def upgrade_extend(sf_dir):
+        # Results merge algebra (reference searching.py:1375-1410): hits of
+        # A also matching B rise (original order kept), then A's rest, then
+        # B's top hits novel to A append — docset membership uses the FULL
+        # match sets, not the top-20 cuts (Results.docs() semantics)
+        s = _searcher_for(sf_dir)
+        a = s.search_results(Or(Term(_T_MID), Term(_T_MID2)), limit=20)
+        b = s.search_results(Term(_T_COMMON), limit=20)
+        a.upgrade_and_extend(b)
+        return pa.table(
+            {
+                "rank": pa.array(np.arange(a.scored_length()), pa.int64()),
+                "doc_id": pa.array(a.ids.astype(np.int64), pa.int64()),
+                "score": pa.array(np.round(a.scores, 6), pa.float64()),
+            }
+        )
+
     def fuzzy_docs(sf_dir):
         from whoosh_novo_ray.search.fuzzy import FuzzyTerm
 
@@ -1518,6 +1535,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_or_top10": lambda sf: _pool_search_table(sf, Or(Term(_T_MID), Term(_T_MID2)), 10),
         "bm25_or_top10_wand": bm25_or_wand,
         "filtered_or_top10": filtered_or_top10,
+        "upgrade_extend_top20": upgrade_extend,
         "bm25_and_top10": lambda sf: _pool_search_table(sf, And(Term(_T_MID), Term(_T_MID2)), 10),
         "bm25_andnot_top10": lambda sf: _pool_search_table(
             sf, AndNot(Term(_T_MID), Term(_T_MID2)), 10
@@ -1764,6 +1782,29 @@ SELECT doc_id::BIGINT AS doc_id, round(sum(score), 6) AS score
 FROM bm WHERE term IN ({_terms_sql([_T_MID, _T_MID2])})
 GROUP BY doc_id HAVING count(DISTINCT term) = 2
 ORDER BY score DESC, doc_id LIMIT 10""",
+        # Results.upgrade_and_extend (searching.py:1375-1410): sections are
+        # (A-hits also matching B, A-hits not in B, B-hits novel to A) —
+        # membership against FULL match sets sa/sb, order within a section
+        # is the source ranking
+        "upgrade_extend_top20": f"""WITH {_BASE_CTES},
+sa AS (SELECT doc_id, round(sum(score), 6) AS score FROM bm
+       WHERE term IN ({_terms_sql([_T_MID, _T_MID2])}) GROUP BY doc_id),
+sb AS (SELECT doc_id, round(sum(score), 6) AS score FROM bm
+       WHERE term = '{_T_COMMON}' GROUP BY doc_id),
+ta AS (SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id) - 1 AS r
+       FROM sa QUALIFY r < 20),
+tb AS (SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id) - 1 AS r
+       FROM sb QUALIFY r < 20),
+merged AS (
+  SELECT 0 AS sec, r, doc_id, score FROM ta WHERE doc_id IN (SELECT doc_id FROM sb)
+  UNION ALL
+  SELECT 1, r, doc_id, score FROM ta WHERE doc_id NOT IN (SELECT doc_id FROM sb)
+  UNION ALL
+  SELECT 2, r, doc_id, score FROM tb WHERE doc_id NOT IN (SELECT doc_id FROM sa)
+)
+SELECT (row_number() OVER (ORDER BY sec, r) - 1)::BIGINT AS rank,
+       doc_id::BIGINT AS doc_id, score
+FROM merged ORDER BY rank""",
         "ngram_and_top10": f"""WITH {_NGRAM_CTES}
 SELECT doc_id::BIGINT AS doc_id, round(sum(score), 6) AS score
 FROM bm WHERE term IN ({_terms_sql(_ng_grams)})

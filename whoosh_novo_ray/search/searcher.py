@@ -1106,6 +1106,22 @@ class Searcher:
             "is_last_page": pagenum == pagecount,
         }
 
+    def search_results(self, q: Q.Query, limit: int | None = 10, **kw):
+        """Like :meth:`search` but returns a :class:`Results` carrying both
+        the top-``limit`` ranked hits AND the full matching docset, so the
+        reference's merge algebra (``extend`` / ``filter`` / ``upgrade`` /
+        ``upgrade_and_extend``, searching.py:1325-1410) applies.  The
+        reference's ``Results.docs()`` also materializes every matching id
+        (``collector.all_ids()``), so computing the full ranking here costs
+        the same class of work."""
+        from whoosh_novo_ray.search.results import Results
+
+        full = self.search(q, limit=None, **kw)
+        ids = full["doc_id"].to_numpy(zero_copy_only=False)
+        scores = full["score"].to_numpy(zero_copy_only=False)
+        cut = slice(None) if limit is None else slice(limit)
+        return Results(ids[cut], scores[cut], np.sort(ids))
+
     def matched_terms(self, q: Q.Query) -> dict[str, np.ndarray]:
         """Which leaf terms matched which result docs (reference
         TermsCollector, collectors.py:1113-1175): term -> sorted doc ids
