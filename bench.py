@@ -241,6 +241,7 @@ def run_ops(sf_dir: str) -> dict:
     )
 
     import numpy as np
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     times = {}
@@ -302,6 +303,33 @@ def run_ops(sf_dir: str) -> dict:
     timed("op_decontam", lambda: decontaminate_table(_docs()).count())
     timed("op_unigram_lm", lambda: unigram_lm_table(_docs()).count())
     timed("op_boilerplate", lambda: boilerplate_table(_docs()).count())
+
+    from whoosh_novo_ray.ops.curation import dsir_table
+    from whoosh_novo_ray.ops.sampling import (
+        mixture_sample_table,
+        perplexity_buckets_table,
+    )
+
+    def _docs_cols(*cols):
+        return ray.data.read_parquet(
+            docs_path, columns=list(cols), override_num_blocks=n_blocks
+        )
+
+    timed(
+        "op_dsir",
+        lambda: dsir_table(_docs_cols("doc_id", "text", "lang")).count(),
+    )
+    timed(
+        "op_perplexity_buckets",
+        lambda: perplexity_buckets_table(_docs()).count(),
+    )
+    timed(
+        "op_mixture_sample",
+        lambda: mixture_sample_table(
+            _docs_cols("doc_id", "source"),
+            {"src0": 0.3, "src1": 0.25, "src2": 0.2, "src3": 0.15, "src4": 0.1},
+        ).count(),
+    )
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     q = pq.read_table(emb_path).column("embedding")[0].as_py()
     qv = np.asarray(q, np.float64)
@@ -353,6 +381,28 @@ def run_ops(sf_dir: str) -> dict:
             ),
             threshold=0.3,
         ),
+    )
+    from whoosh_novo_ray.ops.knn import semdedup_table
+
+    sd_seeds = (
+        pq.read_table(emb_path, columns=["vec_id", "embedding"])
+        .filter(pc.field("vec_id") < 8)
+        .sort_by("vec_id")
+    )
+    sd_c = np.stack(
+        [np.asarray(v.as_py(), np.float64) for v in sd_seeds["embedding"]]
+    )
+    timed(
+        "op_semdedup",
+        lambda: semdedup_table(
+            ray.data.read_parquet(
+                emb_path,
+                columns=["vec_id", "embedding"],
+                override_num_blocks=n_blocks,
+            ),
+            sd_c,
+            threshold=0.45,
+        ).count(),
     )
     return times
 

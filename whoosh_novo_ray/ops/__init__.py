@@ -23,6 +23,10 @@ from whoosh_novo_ray.ops.curation import (
     repetition_table,
     unigram_lm_table,
 )
+from whoosh_novo_ray.ops.sampling import (
+    mixture_sample_table,
+    perplexity_buckets_table,
+)
 
 __all__ = [
     "doc_length_table",
@@ -42,4 +46,6 @@ __all__ = [
     "unigram_lm_table",
     "boilerplate_table",
     "dsir_table",
+    "perplexity_buckets_table",
+    "mixture_sample_table",
 ]

@@ -402,3 +402,81 @@ def ivf_knn(
         vec_col=vec_col,
         concurrency=max(1, min(2, ncpu - 3)),  # leaves room for assign + reads
     )
+
+
+def semdedup_table(
+    embeddings: "ray.data.Dataset",
+    centroids: np.ndarray,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> "ray.data.Dataset":
+    """SemDeDup (Abbas et al. 2023): cluster-blocked semantic dedup over an
+    embedding column.  Vectors are assigned to their max-cosine centroid
+    cell (ties -> lowest cell id), then WITHIN each cell a vector is dropped
+    when some lower-id cellmate has cosine >= ``threshold`` with it — the
+    deterministic keep-lowest-id variant of "keep one per duplicate group".
+
+    Returns ``(vec_id, cell, keep)`` for every vector.  The pairwise work
+    is O(m^2) per CELL, never per corpus — at scale the centroid count
+    grows with the corpus so cells stay bounded, exactly the SemDeDup
+    recipe (they use k-means with k ~ sqrt(n)); cells run as independent
+    groups, so the stage parallelizes across the cluster.
+    """
+    c = np.asarray(centroids, np.float64)
+    cn = np.linalg.norm(c, axis=1)
+    cn[cn == 0] = 1.0
+    c = c / cn[:, None]
+
+    class _CellAssign:
+        def __init__(self, cref):
+            self.c = cref if isinstance(cref, np.ndarray) else ray.get(cref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mat = _batch_mat(batch, vec_col)
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0] = 1.0
+            cell = ((mat / norms[:, None]) @ self.c.T).argmax(axis=1)
+            return pa.table(
+                {
+                    id_col: batch[id_col].cast(pa.int64()),
+                    vec_col: batch[vec_col],
+                    "cell": pa.array(cell.astype(np.int64), pa.int64()),
+                }
+            )
+
+    def dedup_cell(group: pa.Table) -> pa.Table:
+        ids = group[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = _batch_mat(group, vec_col)
+        order = np.argsort(ids)
+        ids, mat = ids[order], mat[order]
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        nm = mat / norms[:, None]
+        m = len(ids)
+        keep = np.ones(m, bool)
+        # row-block the matmul so a hot cell never materializes a full m x m
+        # similarity matrix; each block only compares against EARLIER rows
+        for lo in range(1, m, 1024):
+            hi = min(lo + 1024, m)
+            sims = nm[lo:hi] @ nm[:hi].T
+            local = np.tril(sims >= threshold, k=lo - 1)
+            keep[lo:hi] &= ~local.any(axis=1)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "cell": pa.array(
+                    np.full(m, group["cell"][0].as_py(), np.int64), pa.int64()
+                ),
+                "keep": pa.array(keep.tolist(), pa.bool_()),
+            }
+        )
+
+    assigned = embeddings.map_batches(
+        _CellAssign,
+        fn_constructor_args=(ray.put(c),),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=1,
+    )
+    return assigned.groupby("cell").map_groups(dedup_cell, batch_format="pyarrow")

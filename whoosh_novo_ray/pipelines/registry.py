@@ -338,6 +338,16 @@ def _nested_index(sf_dir: str):
 _T_COMMON = "table"
 _T_MID = "query"
 _T_MID2 = "window"
+
+# target domain mixture for the mixture_sample oracle (DoReMi-style static
+# weights; remaining sources drop to 0)
+_MIX_WEIGHTS = {
+    "src0": 0.30,
+    "src1": 0.25,
+    "src2": 0.20,
+    "src3": 0.15,
+    "src4": 0.10,
+}
 _T_ABSENT = "zzzznope"
 
 
@@ -421,6 +431,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pa.concat_tables(
             _collect(dsir_table(_docs_ds(sf_dir, columns=("doc_id", "text", "lang"))))
         ).sort_by("doc_id")
+
+    def perplexity_buckets(sf_dir):
+        from whoosh_novo_ray.ops import perplexity_buckets_table
+
+        return pa.concat_tables(
+            _collect(
+                perplexity_buckets_table(
+                    _docs_ds(sf_dir, columns=("doc_id", "text"))
+                )
+            )
+        ).sort_by("doc_id")
+
+    def mixture_sample(sf_dir):
+        from whoosh_novo_ray.ops import mixture_sample_table
+
+        return pa.concat_tables(
+            _collect(
+                mixture_sample_table(
+                    _docs_ds(sf_dir, columns=("doc_id", "source")),
+                    _MIX_WEIGHTS,
+                )
+            )
+        ).sort_by("doc_id")
+
+    def semdedup(sf_dir):
+        from whoosh_novo_ray.ops.knn import semdedup_table
+
+        emb_path = os.path.join(sf_dir, "embeddings.parquet")
+        seeds = (
+            pq.read_table(emb_path, columns=["vec_id", "embedding"])
+            .filter(pc.field("vec_id") < 8)
+            .sort_by("vec_id")
+        )
+        c = np.stack(
+            [np.asarray(v.as_py(), np.float64) for v in seeds["embedding"]]
+        )
+        # tau tuned to the synthetic corpus (max within-cell cosine ~0.49)
+        # so the drop path is exercised; real corpora use ~0.95
+        return pa.concat_tables(
+            _collect(semdedup_table(_emb_ds(sf_dir), c, threshold=0.45))
+        ).sort_by("vec_id")
 
     def boilerplate(sf_dir):
         from whoosh_novo_ray.ops import boilerplate_table
@@ -1583,6 +1634,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontam_4gram": decontam,
         "unigram_lm_scores": unigram_lm,
         "dsir_weights": dsir,
+        "perplexity_buckets": perplexity_buckets,
+        "mixture_sample": mixture_sample,
+        "semdedup_keep": semdedup,
         "boilerplate_frac": boilerplate,
         "fingerprint": fingerprint,
         "chunk_windows": chunked,
@@ -2228,6 +2282,77 @@ FROM documents d LEFT JOIN (
   SELECT doc_id, count(*) AS n, avg(logp) AS m
   FROM tok JOIN lp USING (term) GROUP BY doc_id
 ) a USING (doc_id) ORDER BY doc_id""",
+        # CCNet perplexity buckets: unigram-LM mean log-prob (same CTEs as
+        # unigram_lm_scores), tercile cutoffs trained on the deterministic
+        # md5 % 8 == 0 doc sample, tuple-compared (score DESC, doc_id ASC)
+        "perplexity_buckets": f"""WITH tokarr AS (
+  SELECT doc_id, {raw_tok} AS arr FROM documents
+),
+tok AS (SELECT doc_id, unnest(arr) AS term FROM tokarr),
+cnt AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+tot AS (SELECT sum(c)::DOUBLE AS t FROM cnt),
+lp AS (SELECT term, ln(c::DOUBLE / t) AS logp FROM cnt, tot),
+scored AS (
+  SELECT d.doc_id, round(coalesce(a.m, 0), 6) AS m
+  FROM documents d LEFT JOIN (
+    SELECT doc_id, avg(logp) AS m FROM tok JOIN lp USING (term) GROUP BY doc_id
+  ) a USING (doc_id)
+),
+samp AS (SELECT doc_id, m FROM scored
+         WHERE md5_number_lower(doc_id::VARCHAR) % 8 = 0),
+ranked AS (SELECT doc_id, m,
+                  row_number() OVER (ORDER BY m DESC, doc_id) - 1 AS r
+           FROM samp),
+ns AS (SELECT count(*) AS c FROM samp),
+c1 AS (SELECT m, doc_id FROM ranked, ns WHERE r = c // 3),
+c2 AS (SELECT m, doc_id FROM ranked, ns WHERE r = 2 * c // 3)
+SELECT s.doc_id::BIGINT AS doc_id, s.m AS mean_logprob,
+       CASE WHEN s.m > c1.m OR (s.m = c1.m AND s.doc_id < c1.doc_id) THEN 'head'
+            WHEN s.m > c2.m OR (s.m = c2.m AND s.doc_id < c2.doc_id) THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM scored s CROSS JOIN c1 CROSS JOIN c2 ORDER BY doc_id""",
+        # Target-mixture resample: T = min_g n_g/w_g caps the total so no
+        # group oversamples; per-group keep rate w_g*T/n_g via the same
+        # md5-u32 draw as stratified_sample (float arithmetic shape matches
+        # ops/sampling.py exactly — IEEE doubles both sides)
+        "mixture_sample": """WITH cnt AS (
+  SELECT source AS g, count(*)::DOUBLE AS c FROM documents GROUP BY source
+),
+w(g, wt) AS (VALUES ('src0', 0.30), ('src1', 0.25), ('src2', 0.20),
+                    ('src3', 0.15), ('src4', 0.10)),
+tmax AS (SELECT min(c / wt) AS t FROM cnt JOIN w USING (g)),
+rates AS (
+  SELECT g, floor(least(1.0, (wt * t) / c) * 4294967296)::UBIGINT AS thr
+  FROM cnt JOIN w USING (g) CROSS JOIN tmax
+)
+SELECT d.doc_id::BIGINT AS doc_id, d.source
+FROM documents d JOIN rates r ON r.g = d.source
+WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::UBIGINT < r.thr
+ORDER BY doc_id""",
+        # SemDeDup: max-cosine seed-centroid cells (same assignment as
+        # knn_ivf_top10), within-cell drop when a lower-id cellmate has
+        # cosine >= tau (deterministic keep-lowest-id representative;
+        # tau=0.45 is corpus-tuned so drops actually occur)
+        "semdedup_keep": """WITH seeds AS (
+  SELECT vec_id AS cell, embedding AS cv FROM embeddings WHERE vec_id < 8
+),
+assign AS (
+  SELECT e.vec_id, s.cell,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY list_cosine_similarity(e.embedding, s.cv) DESC, s.cell ASC
+         ) AS rn
+  FROM embeddings e CROSS JOIN seeds s
+),
+cells AS (SELECT vec_id, cell FROM assign WHERE rn = 1)
+SELECT a.vec_id::BIGINT AS vec_id, a.cell::BIGINT AS cell,
+       NOT EXISTS (
+         SELECT 1 FROM cells c2 JOIN embeddings e2 ON e2.vec_id = c2.vec_id
+         WHERE c2.cell = a.cell AND c2.vec_id < a.vec_id
+           AND list_cosine_similarity(e2.embedding, ea.embedding) >= 0.45
+       ) AS keep
+FROM cells a JOIN embeddings ea ON ea.vec_id = a.vec_id
+ORDER BY vec_id""",
         # DSIR (Xie et al. 2023): hashed unigram+bigram buckets, add-1
         # smoothed target (lang='en') vs pool log-ratio, per-doc mean —
         # md5_number_lower(g) % B is byte-identical to the engine's
