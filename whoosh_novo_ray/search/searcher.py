@@ -1106,6 +1106,74 @@ class Searcher:
             "is_last_page": pagenum == pagecount,
         }
 
+    def _kw_query(self, kw: dict, attrs) -> Q.Query:
+        """And of per-field equality from keyword args (reference
+        Searcher._query_for_kw, searching.py:398-407): the indexed text
+        field matches via Term, any other field is an equality ColumnQuery
+        over ``attrs`` (the stored-fields table — our engine keeps stored
+        fields in the source parquet rather than duplicating them into the
+        index). No kwargs = Every, like the reference."""
+        qs = []
+        for k, v in kw.items():
+            if k == "text":
+                qs.append(Q.Term(str(v)))
+            else:
+                if attrs is None:
+                    raise ValueError(
+                        f"field {k!r} needs the stored-fields table: pass attrs="
+                    )
+                def pred(vals, _v=v):
+                    return vals == np.asarray(_v)
+
+                qs.append(Q.ColumnQuery(attrs=attrs, column=k, predicate=pred))
+        if not qs:
+            return Q.Every()
+        return qs[0] if len(qs) == 1 else Q.And(*qs)
+
+    def document_numbers(self, attrs=None, **kw) -> np.ndarray:
+        """Sorted doc ids matching the keyword equalities (reference
+        Searcher.document_numbers, searching.py:438-452; generator order
+        there is matcher doc order = ascending docnum)."""
+        ids, _ = self.postings(self._kw_query(kw, attrs))
+        return ids
+
+    def document_number(self, attrs=None, **kw):
+        """First matching doc id or None (searching.py:408-436)."""
+        ids = self.document_numbers(attrs, **kw)
+        return int(ids[0]) if len(ids) else None
+
+    def documents(self, attrs: pa.Table, **kw):
+        """Generator of stored-field dicts for matching docs
+        (searching.py:374-391). ``attrs`` is the stored-fields table
+        (doc_id + columns) and doubles as the equality-match source for
+        non-text keywords."""
+        ids = self.document_numbers(attrs, **kw)
+        if not len(ids):
+            return
+        aid = attrs["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.argsort(aid, kind="stable")
+        pos = order[np.searchsorted(aid[order], ids)]
+        for row in attrs.take(pa.array(pos)).to_pylist():
+            yield row
+
+    def document(self, attrs: pa.Table, **kw):
+        """First matching stored-field dict or None (searching.py:350-372)."""
+        for row in self.documents(attrs, **kw):
+            return row
+        return None
+
+    def find(self, querystring: str, limit: int | None = 10, **kw) -> pa.Table:
+        """Parse with the default QueryParser and search (reference
+        Searcher.find, searching.py:669-674)."""
+        from whoosh_novo_ray.search.qparser import QueryParser
+
+        return self.search(QueryParser().parse(querystring), limit=limit, **kw)
+
+    def docs_for_query(self, q: Q.Query) -> np.ndarray:
+        """Sorted ids of every doc matching ``q`` (searching.py:676-695)."""
+        ids, _ = self.postings(q)
+        return ids
+
     def search_results(self, q: Q.Query, limit: int | None = 10, **kw):
         """Like :meth:`search` but returns a :class:`Results` carrying both
         the top-``limit`` ranked hits AND the full matching docset, so the
