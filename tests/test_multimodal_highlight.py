@@ -256,3 +256,46 @@ def test_pinpoint_byte_parity_vs_reference(pages_table):
             assert mine == ref, (autotrim, terms)
             checked += 1
     assert checked >= 50
+
+
+def test_fragment_order_parity_vs_reference(pages_table):
+    """SCORE / FIRST / LONGER / SHORTER fragment orders match the reference
+    (highlight.py:625-644): SCORE's constant key + stable sort preserves the
+    nlargest score-desc order; LONGER/SHORTER sort by fragment length."""
+    from tests.conftest import HAVE_REFERENCE
+
+    if not HAVE_REFERENCE:
+        import pytest as _pytest
+
+        _pytest.skip("reference not available")
+    from whoosh import highlight as rh
+    from whoosh.analysis import StandardAnalyzer as RSA
+
+    from whoosh_novo_ray.analysis import StandardAnalyzer as MSA
+    from whoosh_novo_ray.search import highlight as mh
+
+    orders = [
+        (rh.SCORE, mh.SCORE),
+        (rh.FIRST, mh.FIRST),
+        (rh.LONGER, mh.LONGER),
+        (rh.SHORTER, mh.SHORTER),
+    ]
+    texts = pages_table["text"].to_pylist()[:20]
+    checked = 0
+    for t in texts:
+        words = [w for w in t.lower().split() if w.isalpha()]
+        if len(words) < 10:
+            continue
+        terms = {words[2], words[5], words[9]}
+        for ro, mo in orders:
+            ref = rh.highlight(
+                t, terms, RSA(), rh.ContextFragmenter(), rh.UppercaseFormatter(),
+                top=4, order=ro,
+            )
+            mine = mh.highlight(
+                t, terms, MSA(), mh.ContextFragmenter(), mh.UppercaseFormatter(),
+                top=4, order=mo,
+            )
+            assert mine == ref, (ro.__name__, terms, mine[:100], ref[:100])
+            checked += 1
+    assert checked >= 60

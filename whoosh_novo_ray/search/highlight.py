@@ -302,16 +302,39 @@ def basic_fragment_score(f: Fragment) -> float:
     return len(f.matches) * ((len({m.text for m in f.matches}) * 100) or 1)
 
 
-def top_fragments(frags: list[Fragment], top: int, minscore: float = 1.0):
+# fragment sorters (reference highlight.py:625-644); SCORE's constant key
+# plus Python's stable sort preserves the nlargest score-desc order
+
+
+def SCORE(f: Fragment):
+    return 1
+
+
+def FIRST(f: Fragment):
+    return f.start
+
+
+def LONGER(f: Fragment):
+    return f.start - f.end
+
+
+def SHORTER(f: Fragment):
+    return f.end - f.start
+
+
+def top_fragments(
+    frags: list[Fragment], top: int, minscore: float = 1.0, order=FIRST
+):
     """Reference top_fragments (highlight.py:919-924): heapq.nlargest over
     (score, fragment) — on score ties the LATER fragment (larger startchar)
-    wins the cutoff slot, unlike a stable sort — then doc-order output and
-    a minscore floor (1.0 drops match-free fragments)."""
+    wins the cutoff slot, unlike a stable sort — then re-sort the winners by
+    ``order`` (FIRST/SCORE/LONGER/SHORTER) and a minscore floor (1.0 drops
+    match-free fragments)."""
     import heapq
 
     best = heapq.nlargest(top, ((basic_fragment_score(f), f) for f in frags))
     out = [f for sc, f in best if sc >= minscore]
-    out.sort(key=lambda f: f.start)
+    out.sort(key=order)
     return out
 
 
@@ -398,6 +421,7 @@ def highlight_from_index(
     formatter=None,
     top: int = 3,
     sep: str = "...",
+    order=FIRST,
 ) -> str:
     """Highlight using the INDEX-STORED character offsets (Characters
     format, requires IndexConfig(with_chars=True)) — no re-tokenization of
@@ -421,7 +445,7 @@ def highlight_from_index(
                 spans.append(Span(int(sc), int(ec), text[int(sc) : int(ec)]))
     spans.sort(key=lambda sp: sp.start)
     frags = fragmenter.fragments(text, spans)
-    frags = top_fragments(frags, top)
+    frags = top_fragments(frags, top, order=order)
     return sep.join(formatter.format_fragment(text, f) for f in frags)
 
 
@@ -433,6 +457,7 @@ def highlight(
     formatter=None,
     top: int = 3,
     sep: str = "...",
+    order=FIRST,
 ) -> str:
     """Highlight occurrences of ``terms`` in ``text`` (reference
     ``highlight.highlight`` / Hit.highlights)."""
@@ -446,7 +471,7 @@ def highlight(
         frags = fragmenter.fragment_tokens(text, _all_tokens(text, termset, analyzer))
     else:
         frags = fragmenter.fragments(text, _matched_spans(text, termset, analyzer))
-    frags = top_fragments(frags, top)
+    frags = top_fragments(frags, top, order=order)
     return sep.join(formatter.format_fragment(text, f) for f in frags)
 
 
