@@ -801,6 +801,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def document_numbers_q(sf_dir):
+        # Searcher.document_numbers keyword lookup (reference
+        # searching.py:438-452): text term AND attribute equality
+        s = _searcher_for(sf_dir)
+        attrs = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "lang"],
+        )
+        ids = s.document_numbers(attrs, text=_T_MID, lang="en")
+        return pa.table({"doc_id": pa.array(ids.astype(np.int64), pa.int64())})
+
     def fuzzy_docs(sf_dir):
         from whoosh_novo_ray.search.fuzzy import FuzzyTerm
 
@@ -1587,6 +1598,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_or_top10_wand": bm25_or_wand,
         "filtered_or_top10": filtered_or_top10,
         "upgrade_extend_top20": upgrade_extend,
+        "document_numbers": document_numbers_q,
         "bm25_and_top10": lambda sf: _pool_search_table(sf, And(Term(_T_MID), Term(_T_MID2)), 10),
         "bm25_andnot_top10": lambda sf: _pool_search_table(
             sf, AndNot(Term(_T_MID), Term(_T_MID2)), 10
@@ -1836,6 +1848,13 @@ SELECT doc_id::BIGINT AS doc_id, round(sum(score), 6) AS score
 FROM bm WHERE term IN ({_terms_sql([_T_MID, _T_MID2])})
 GROUP BY doc_id HAVING count(DISTINCT term) = 2
 ORDER BY score DESC, doc_id LIMIT 10""",
+        # Searcher.document_numbers(text='query', lang='en'): indexed-term
+        # match AND stored-field equality, ascending doc order
+        "document_numbers": f"""WITH {_BASE_CTES}
+SELECT DISTINCT bm.doc_id::BIGINT AS doc_id
+FROM bm JOIN documents d ON d.doc_id = bm.doc_id
+WHERE bm.term = '{_T_MID}' AND d.lang = 'en'
+ORDER BY doc_id""",
         # Results.upgrade_and_extend (searching.py:1375-1410): sections are
         # (A-hits also matching B, A-hits not in B, B-hits novel to A) —
         # membership against FULL match sets sa/sb, order within a section
