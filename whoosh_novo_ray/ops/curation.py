@@ -566,23 +566,21 @@ def dsir_table(
             }
         )
 
-    parts = [
-        t
-        for t in ray.get(
-            docs.map_batches(
-                count_batch, batch_format="pyarrow", zero_copy_batch=True
-            )
-            .materialize()
-            .to_arrow_refs()
-        )
-        if len(t)
-    ]
+    # distributed sum over the per-batch count tables (vectorized native
+    # aggregate, not map_groups): the driver reads AT MOST ``buckets`` rows
+    # no matter how many batches the corpus has
+    agg = (
+        docs.map_batches(count_batch, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .sum(["ct", "cq"])
+        .take_all()
+    )
     ct = np.zeros(buckets)
     cq = np.zeros(buckets)
-    for t in parts:
-        b = t["bucket"].to_numpy()
-        ct[b] += t["ct"].to_numpy()
-        cq[b] += t["cq"].to_numpy()
+    for row in agg:
+        b = int(row["bucket"])
+        ct[b] = row["sum(ct)"]
+        cq[b] = row["sum(cq)"]
     logr = np.log((ct + 1.0) / (ct.sum() + buckets)) - np.log(
         (cq + 1.0) / (cq.sum() + buckets)
     )

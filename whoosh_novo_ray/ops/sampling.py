@@ -141,21 +141,15 @@ def mixture_sample_table(
             }
         )
 
-    parts = [
-        t
-        for t in ray.get(
-            docs.map_batches(
-                count_batch, batch_format="pyarrow", zero_copy_batch=True
-            )
-            .materialize()
-            .to_arrow_refs()
-        )
-        if len(t)
-    ]
-    counts: dict[str, int] = {}
-    for t in parts:
-        for g, c in zip(t["g"].to_pylist(), t["c"].to_pylist()):
-            counts[g] = counts.get(g, 0) + c
+    # distributed sum of the per-batch group counts (native vectorized
+    # aggregate): the driver reads one row per DOMAIN, never per batch
+    agg = (
+        docs.map_batches(count_batch, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("g")
+        .sum("c")
+        .take_all()
+    )
+    counts: dict[str, int] = {row["g"]: int(row["sum(c)"]) for row in agg}
     active = [
         (g, w) for g, w in weights.items() if w > 0 and counts.get(g, 0) > 0
     ]
