@@ -238,3 +238,18 @@ def test_dsir_bucket_collisions_shared(ray_session):
     )
     assert set(rows) == {0, 1}
     assert all(r["n_feats"] == 3 for r in rows.values())  # 2 uni + 1 bi
+
+
+def test_dsir_block_layout_invariant(ray_session):
+    """Weights are invariant to block layout / batch boundaries (the
+    groupby-sum reduce and hashing are layout-free)."""
+    from whoosh_novo_ray.ops import dsir_table
+
+    texts = [f"alpha beta w{i} w{i+1} gamma" for i in range(30)]
+    langs = ["en" if i % 3 else "es" for i in range(30)]
+    a = _by_id(dsir_table(_ds_lang(texts, langs, blocks=1)).take_all())
+    b = _by_id(dsir_table(_ds_lang(texts, langs, blocks=7)).take_all())
+    assert a.keys() == b.keys()
+    for i in a:
+        assert a[i]["log_weight"] == b[i]["log_weight"]
+        assert a[i]["n_feats"] == b[i]["n_feats"]
