@@ -472,11 +472,14 @@ def semdedup_table(
             }
         )
 
+    # size the assign pool below the CPU count so the read tasks and the
+    # groupby shuffle keep their slots (fixed pools reserve CPUs)
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
     assigned = embeddings.map_batches(
         _CellAssign,
         fn_constructor_args=(ray.put(c),),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=1,
+        concurrency=max(1, min(4, ncpu - 2)),
     )
     return assigned.groupby("cell").map_groups(dedup_cell, batch_format="pyarrow")
