@@ -1,0 +1,127 @@
+"""Grouped corpus statistics: per-group caps, exact quantiles, top terms."""
+
+import collections
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from whoosh_novo_ray.analysis import simple_analyzer
+from whoosh_novo_ray.ops.groupstats import (
+    cap_per_group,
+    exact_quantiles,
+    top_terms_per_group,
+)
+
+
+def _table(n=200, seed=3):
+    rng = np.random.RandomState(seed)
+    groups = [f"g{int(x)}" for x in rng.randint(0, 7, n)]
+    words = ["alpha", "beta", "gamma", "delta", "eps"]
+    texts = [
+        " ".join(words[i] for i in rng.randint(0, len(words), rng.randint(1, 12)))
+        for _ in range(n)
+    ]
+    vals = rng.randint(0, 40, n).astype(np.int64)
+    return pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "text": pa.array(texts, pa.string()),
+            "source": pa.array(groups, pa.string()),
+            "n_chars": pa.array(vals),
+        }
+    )
+
+
+def _ds(ray, tbl, blocks=7):
+    import ray.data
+
+    return ray.data.from_arrow(tbl).repartition(blocks)
+
+
+def _collect(ds):
+    import ray
+
+    return pa.concat_tables(
+        [t for t in ray.get(ds.materialize().to_arrow_refs()) if len(t)]
+    )
+
+
+def test_cap_per_group_keeps_lowest_ids_all_columns(ray_session):
+    tbl = _table()
+    out = _collect(cap_per_group(_ds(ray_session, tbl), "source", 5)).sort_by(
+        "doc_id"
+    )
+    # expected: per group, the 5 lowest doc_ids, all columns intact
+    by_group = collections.defaultdict(list)
+    for i, g in enumerate(tbl["source"].to_pylist()):
+        by_group[g].append(i)
+    expect_ids = sorted(i for ids in by_group.values() for i in sorted(ids)[:5])
+    assert out["doc_id"].to_pylist() == expect_ids
+    assert set(out.column_names) == {"doc_id", "text", "source", "n_chars"}
+    sub = tbl.take(expect_ids)
+    for c in ("text", "source", "n_chars"):
+        assert out[c].to_pylist() == sub[c].to_pylist()
+
+
+def test_cap_per_group_block_layout_invariant(ray_session):
+    tbl = _table(seed=11)
+    a = _collect(cap_per_group(_ds(ray_session, tbl, 3), "source", 2)).sort_by(
+        "doc_id"
+    )
+    b = _collect(cap_per_group(_ds(ray_session, tbl, 13), "source", 2)).sort_by(
+        "doc_id"
+    )
+    assert a.equals(b)
+
+
+def test_exact_quantiles_match_numpy_rank_rule(ray_session):
+    tbl = _table(seed=5)
+    vals = np.sort(tbl["n_chars"].to_numpy())
+    qs = (0.0, 0.1, 0.5, 0.9, 1.0)
+    out = exact_quantiles(_ds(ray_session, tbl), "n_chars", qs)
+    got = dict(zip(out["q"].to_pylist(), out["value"].to_pylist()))
+    for q in qs:
+        assert got[q] == int(vals[int(np.floor(q * (len(vals) - 1)))])
+
+
+def test_exact_quantiles_duplicate_heavy(ray_session):
+    tbl = pa.table(
+        {"n_chars": pa.array([7] * 50 + [9] * 10 + [1] * 3, pa.int64())}
+    )
+    out = exact_quantiles(_ds(ray_session, tbl, 4), "n_chars", (0.0, 0.5, 1.0))
+    assert out["value"].to_pylist() == [1, 7, 9]
+
+
+def test_top_terms_per_group_counts_and_tiebreak(ray_session):
+    tbl = _table(seed=8)
+    out = _collect(top_terms_per_group(_ds(ray_session, tbl), "source", 3))
+    ana = simple_analyzer()
+    cnt: dict[str, collections.Counter] = collections.defaultdict(
+        collections.Counter
+    )
+    for g, t in zip(tbl["source"].to_pylist(), tbl["text"].to_pylist()):
+        cnt[g].update(ana(t))
+    expect = []
+    for g in sorted(cnt):
+        top = sorted(cnt[g].items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        expect.extend((g, term, c) for term, c in top)
+    got = sorted(
+        zip(
+            out["group"].to_pylist(),
+            out["term"].to_pylist(),
+            out["cnt"].to_pylist(),
+        ),
+        key=lambda r: (r[0], -r[2], r[1]),
+    )
+    assert got == expect
+
+
+def test_top_terms_block_layout_invariant(ray_session):
+    tbl = _table(seed=21)
+    a = _collect(top_terms_per_group(_ds(ray_session, tbl, 2), "source", 4))
+    b = _collect(top_terms_per_group(_ds(ray_session, tbl, 17), "source", 4))
+    key = lambda t: sorted(
+        zip(t["group"].to_pylist(), t["term"].to_pylist(), t["cnt"].to_pylist())
+    )
+    assert key(a) == key(b)

@@ -1,0 +1,261 @@
+"""Grouped corpus statistics / shaping operators.
+
+Three web-pipeline staples, each Ray-Data-first and DuckDB-oracle-able:
+
+  * ``cap_per_group`` — per-domain frequency caps (keep at most ``cap``
+    docs per group, lowest ``order_col`` first): the standard guard against
+    a handful of template-heavy hosts dominating a crawl. One 64-way
+    hash-shard shuffle of the SURVIVING columns; rank-within-key is a
+    single vectorized lexsort + run-offset pass per shard (never one
+    Python call per group).
+  * ``exact_quantiles`` — exact quantiles of a discrete numeric column via
+    a distributed value-count histogram: per-batch ``np.unique`` pre-reduce
+    (rows bounded by the batch's distinct values), a native ``groupby.sum``
+    whose cardinality is the number of DISTINCT values (not rows), and an
+    O(distinct) driver-side cumulative selection. For continuous columns
+    quantize to a grid first; the histogram stays tiny either way.
+  * ``top_terms_per_group`` — most frequent terms per group (per-domain
+    vocabulary profiling): per-batch (group, term) count pre-reduce out of
+    the coded analyzer stream, a sharded vectorized count reduce, then a
+    per-group top-k selection inside a second 64-way shard. Both shuffles
+    move (group, term, count) rows — bounded by vocabulary x groups, never
+    by corpus size.
+
+Reference analog: none (whoosh-novo has no corpus-statistics surface);
+these extend the engine along the SURVEY training-data axis like
+ops/curation.py. Shard keys are md5-derived (ops/hashing.py) so placement
+is identical across worker processes — Python's salted ``hash()`` is never
+used on data.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from whoosh_novo_ray.analysis import simple_analyzer
+from whoosh_novo_ray.ops.hashing import md5_u64_arr
+
+N_SHARDS = 64
+
+_RAW = simple_analyzer()
+
+
+def _group_shards(values) -> np.ndarray:
+    """Deterministic 64-way shard of arbitrary group values (md5 of str)."""
+    return (md5_u64_arr([str(v) for v in values]) % np.uint64(N_SHARDS)).astype(
+        np.int32
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-group frequency caps
+# ---------------------------------------------------------------------------
+
+
+def cap_per_group(
+    docs: "ray.data.Dataset",
+    group_col: str,
+    cap: int,
+    order_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Keep at most ``cap`` rows per ``group_col`` value, preferring the
+    lowest ``order_col`` (deterministic: reruns and the SQL oracle pick the
+    same rows). All input columns pass through.
+
+    Scale shape: one shuffle keyed on ``md5(group) % 64`` — co-locating
+    each group inside a shard — then a single lexsort + run-offset rank
+    per shard. A per-group ``groupby(group_col)`` would pay one Python
+    call per distinct group (pathological for million-domain crawls).
+    """
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_shard", pa.array(_group_shards(batch[group_col].to_pylist()))
+        )
+
+    def keep_cap(tbl: pa.Table) -> pa.Table:
+        groups = np.asarray(tbl[group_col].to_pylist(), object)
+        order_v = tbl[order_col].to_numpy(zero_copy_only=False)
+        # stable sort: group asc, then order_col asc within the group
+        srt = np.lexsort((order_v, groups))
+        g_s = groups[srt]
+        run_start = np.flatnonzero(
+            np.concatenate(([True], g_s[1:] != g_s[:-1]))
+        )
+        run_len = np.diff(np.append(run_start, len(g_s)))
+        rank = np.arange(len(g_s)) - np.repeat(run_start, run_len)
+        keep = srt[rank < cap]
+        keep.sort()
+        return tbl.take(keep).drop_columns(["_shard"])
+
+    return (
+        docs.map_batches(add_shard, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_shard")
+        .map_groups(keep_cap, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact quantiles via a distributed value-count histogram
+# ---------------------------------------------------------------------------
+
+
+def exact_quantiles(
+    ds: "ray.data.Dataset", col: str, qs: tuple[float, ...]
+) -> pa.Table:
+    """Exact quantiles of a discrete numeric column.
+
+    Selection rule (mirrored verbatim in SQL): the value at 0-based rank
+    ``floor(q * (n - 1))`` of the ascending sort — both sides compute the
+    rank in IEEE doubles. The driver holds one (value, count) row per
+    DISTINCT value, never per input row. Returns a small arrow table
+    ``(q, value)``.
+    """
+
+    def value_counts(batch: pa.Table) -> pa.Table:
+        v, c = np.unique(batch[col].to_numpy(zero_copy_only=False), return_counts=True)
+        return pa.table(
+            {"v": pa.array(v.astype(np.int64)), "c": pa.array(c.astype(np.int64))}
+        )
+
+    hist = (
+        ds.map_batches(value_counts, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("v")
+        .sum("c")
+        .take_all()
+    )
+    vals = np.asarray(sorted(r["v"] for r in hist), np.int64)
+    cnts = np.asarray(
+        [r["sum(c)"] for r in sorted(hist, key=lambda r: r["v"])], np.int64
+    )
+    cum = np.cumsum(cnts)
+    n = int(cum[-1]) if len(cum) else 0
+    out_v = []
+    for q in qs:
+        if n == 0:
+            out_v.append(0)
+            continue
+        rank = int(np.floor(q * (n - 1)))
+        out_v.append(int(vals[np.searchsorted(cum, rank + 1, side="left")]))
+    return pa.table(
+        {"q": pa.array(list(qs), pa.float64()), "value": pa.array(out_v, pa.int64())}
+    )
+
+
+# ---------------------------------------------------------------------------
+# top-k terms per group
+# ---------------------------------------------------------------------------
+
+
+class _GroupTermCounts:
+    """Per-batch (group, term, c, _shard) pre-reduce over the coded
+    analyzer stream: hashing runs once per unique term, counting is one
+    packed np.unique — rows emitted are bounded by the batch's
+    (groups x batch vocabulary), not its token count."""
+
+    def __init__(self, group_col: str):
+        self.group_col = group_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        groups = np.asarray(batch[self.group_col].to_pylist(), object)
+        di, codes, uniq, _, _ = _RAW.analyze_batch_coded(texts)
+        if len(codes) == 0:
+            return pa.table(
+                {
+                    "g": pa.array([], pa.string()),
+                    "term": pa.array([], pa.string()),
+                    "c": pa.array([], pa.int64()),
+                    "_shard": pa.array([], pa.int32()),
+                }
+            )
+        gvals, ginv = np.unique(groups, return_inverse=True)
+        V = len(uniq)
+        key = ginv[di].astype(np.int64) * V + codes
+        uk, cnt = np.unique(key, return_counts=True)
+        g_of = gvals[(uk // V).astype(np.int64)]
+        t_of = uniq[(uk % V).astype(np.int64)]
+        shard = (
+            (md5_u64_arr([str(g) for g in g_of]) ^ md5_u64_arr(list(t_of)))
+            % np.uint64(N_SHARDS)
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "g": pa.array(g_of.tolist(), pa.string()),
+                "term": pa.array(t_of.tolist(), pa.string()),
+                "c": pa.array(cnt.astype(np.int64)),
+                "_shard": pa.array(shard),
+            }
+        )
+
+
+def top_terms_per_group(
+    docs: "ray.data.Dataset", group_col: str = "source", k: int = 5
+) -> "ray.data.Dataset":
+    """Top-``k`` most frequent analyzer terms per group (count desc, term
+    asc tie-break). Returns a Dataset of ``(group, term, cnt)``.
+
+    Two tiny shuffles: (1) ``md5(g) ^ md5(term) % 64`` co-locates each
+    (group, term)'s partial counts for a vectorized sum; (2) ``md5(g) % 64``
+    co-locates each group's summed terms for the vectorized top-k. Every
+    row in flight is a (group, term, count) triple.
+    """
+
+    def sum_shard(tbl: pa.Table) -> pa.Table:
+        g = np.asarray(tbl["g"].to_pylist(), object)
+        t = np.asarray(tbl["term"].to_pylist(), object)
+        c = tbl["c"].to_numpy(zero_copy_only=False)
+        packed = np.char.add(
+            np.char.add(g.astype("U"), "\x00"), t.astype("U")
+        )
+        uk, rep, inv = np.unique(packed, return_index=True, return_inverse=True)
+        sums = np.zeros(len(uk), np.int64)
+        np.add.at(sums, inv, c)
+        gshard = (md5_u64_arr([str(x) for x in g[rep]]) % np.uint64(N_SHARDS)).astype(
+            np.int32
+        )
+        return pa.table(
+            {
+                "g": pa.array(g[rep].tolist(), pa.string()),
+                "term": pa.array(t[rep].tolist(), pa.string()),
+                "c": pa.array(sums),
+                "_shard": pa.array(gshard),
+            }
+        )
+
+    def topk_shard(tbl: pa.Table) -> pa.Table:
+        g = np.asarray(tbl["g"].to_pylist(), object)
+        t = np.asarray(tbl["term"].to_pylist(), object).astype("U")
+        c = tbl["c"].to_numpy(zero_copy_only=False)
+        # group asc, count desc, term asc
+        srt = np.lexsort((t, -c, g))
+        g_s = g[srt]
+        run_start = np.flatnonzero(
+            np.concatenate(([True], g_s[1:] != g_s[:-1]))
+        )
+        run_len = np.diff(np.append(run_start, len(g_s)))
+        rank = np.arange(len(g_s)) - np.repeat(run_start, run_len)
+        keep = srt[rank < k]
+        return pa.table(
+            {
+                "group": pa.array(g[keep].tolist(), pa.string()),
+                "term": pa.array(t[keep].tolist(), pa.string()),
+                "cnt": pa.array(c[keep].astype(np.int64)),
+            }
+        )
+
+    return (
+        docs.map_batches(
+            _GroupTermCounts(group_col),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("_shard")
+        .map_groups(sum_shard, batch_format="pyarrow")
+        .groupby("_shard")
+        .map_groups(topk_shard, batch_format="pyarrow")
+    )

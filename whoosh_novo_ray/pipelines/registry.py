@@ -1583,6 +1583,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
         t = pa.concat_tables(_collect(sessionize(ev, gap_s=1800)))
         return t.sort_by([("event_id", "ascending")])
 
+    def source_cap(sf_dir):
+        """Per-domain frequency cap: at most 10 docs per source (lowest ids)."""
+        from whoosh_novo_ray.ops.groupstats import cap_per_group
+
+        t = pa.concat_tables(
+            _collect(
+                cap_per_group(_docs_ds(sf_dir, ("doc_id", "source")), "source", 10)
+            )
+        )
+        return t.sort_by("doc_id")
+
+    def nchars_quantiles(sf_dir):
+        """Exact corpus quantiles of n_chars via a distributed histogram."""
+        from whoosh_novo_ray.ops.groupstats import exact_quantiles
+
+        return exact_quantiles(
+            _docs_ds(sf_dir, ("n_chars",)),
+            "n_chars",
+            (0.1, 0.25, 0.5, 0.75, 0.9, 0.99),
+        )
+
+    def top_terms_per_source(sf_dir):
+        """Top-5 most frequent terms per source (count desc, term asc)."""
+        from whoosh_novo_ray.ops.groupstats import top_terms_per_group
+
+        t = pa.concat_tables(
+            _collect(
+                top_terms_per_group(
+                    _docs_ds(sf_dir, ("doc_id", "text", "source")), "source", 5
+                )
+            )
+        )
+        return t.sort_by(
+            [("group", "ascending"), ("cnt", "descending"), ("term", "ascending")]
+        )
+
     return {
         # --- inverted index + BM25 core ---
         "term_stats": term_stats,
@@ -1649,6 +1685,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "perplexity_buckets": perplexity_buckets,
         "mixture_sample": mixture_sample,
         "semdedup_keep": semdedup,
+        "source_cap": source_cap,
+        "nchars_quantiles": nchars_quantiles,
+        "top_terms_per_source": top_terms_per_source,
         "boilerplate_frac": boilerplate,
         "fingerprint": fingerprint,
         "chunk_windows": chunked,
@@ -2348,6 +2387,40 @@ SELECT d.doc_id::BIGINT AS doc_id, d.source
 FROM documents d JOIN rates r ON r.g = d.source
 WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::UBIGINT < r.thr
 ORDER BY doc_id""",
+        # per-domain frequency cap: keep the 10 lowest doc_ids per source
+        "source_cap": """
+SELECT doc_id::BIGINT AS doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn <= 10 ORDER BY doc_id""",
+        # exact quantiles: value at 0-based rank floor(q*(n-1)) of the
+        # ascending sort — same IEEE-double rank rule as exact_quantiles
+        "nchars_quantiles": """
+WITH ord AS (
+  SELECT n_chars AS v,
+         row_number() OVER (ORDER BY n_chars) - 1 AS r
+  FROM documents
+),
+n AS (SELECT count(*)::BIGINT AS c FROM documents),
+qs(q) AS (VALUES (0.1), (0.25), (0.5), (0.75), (0.9), (0.99))
+SELECT q, v::BIGINT AS value
+FROM qs, n JOIN ord ON ord.r = floor(q * (c - 1))::BIGINT
+ORDER BY q""",
+        # top-5 terms per source, count desc / term asc tie-break
+        "top_terms_per_source": f"""
+WITH tokarr AS (
+  SELECT source, {raw_tok} AS arr FROM documents
+),
+tok AS (SELECT source, unnest(arr) AS term FROM tokarr),
+cnt AS (SELECT source, term, count(*)::BIGINT AS cnt FROM tok GROUP BY 1, 2),
+rk AS (
+  SELECT source, term, cnt,
+         row_number() OVER (PARTITION BY source ORDER BY cnt DESC, term) AS rn
+  FROM cnt
+)
+SELECT source AS "group", term, cnt FROM rk WHERE rn <= 5
+ORDER BY "group", cnt DESC, term""",
         # SemDeDup: max-cosine seed-centroid cells (same assignment as
         # knn_ivf_top10), within-cell drop when a lower-id cellmate has
         # cosine >= tau (deterministic keep-lowest-id representative;
