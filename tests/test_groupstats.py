@@ -75,6 +75,29 @@ def test_cap_per_group_block_layout_invariant(ray_session):
     assert a.equals(b)
 
 
+def test_cap_per_group_hot_group_skew(ray_session):
+    # one group holds 90% of rows: the pre-cap combiner must not change
+    # the result, and the kept set is still the globally lowest ids
+    n = 400
+    groups = ["hot"] * 360 + [f"g{i % 4}" for i in range(40)]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "text": pa.array(["x"] * n, pa.string()),
+            "source": pa.array(groups, pa.string()),
+            "n_chars": pa.array(np.ones(n, np.int64)),
+        }
+    )
+    out = _collect(cap_per_group(_ds(ray_session, tbl, 9), "source", 7)).sort_by(
+        "doc_id"
+    )
+    by_group = collections.defaultdict(list)
+    for i, g in enumerate(groups):
+        by_group[g].append(i)
+    expect = sorted(i for ids in by_group.values() for i in sorted(ids)[:7])
+    assert out["doc_id"].to_pylist() == expect
+
+
 def test_exact_quantiles_match_numpy_rank_rule(ray_session):
     tbl = _table(seed=5)
     vals = np.sort(tbl["n_chars"].to_numpy())

@@ -72,12 +72,8 @@ def cap_per_group(
     call per distinct group (pathological for million-domain crawls).
     """
 
-    def add_shard(batch: pa.Table) -> pa.Table:
-        return batch.append_column(
-            "_shard", pa.array(_group_shards(batch[group_col].to_pylist()))
-        )
-
-    def keep_cap(tbl: pa.Table) -> pa.Table:
+    def _cap_rows(tbl: pa.Table) -> np.ndarray:
+        """Sorted row indices of the <= cap lowest order_col rows per group."""
         groups = np.asarray(tbl[group_col].to_pylist(), object)
         order_v = tbl[order_col].to_numpy(zero_copy_only=False)
         # stable sort: group asc, then order_col asc within the group
@@ -90,10 +86,23 @@ def cap_per_group(
         rank = np.arange(len(g_s)) - np.repeat(run_start, run_len)
         keep = srt[rank < cap]
         keep.sort()
-        return tbl.take(keep).drop_columns(["_shard"])
+        return keep
+
+    def precap_shard(batch: pa.Table) -> pa.Table:
+        # combiner: a globally-kept row is among its BATCH's cap lowest too,
+        # so the local pre-cap is lossless and the shuffle ships at most
+        # cap x (groups present) rows per batch — a hot domain with half the
+        # corpus never funnels the whole corpus into one shard
+        batch = batch.take(_cap_rows(batch))
+        return batch.append_column(
+            "_shard", pa.array(_group_shards(batch[group_col].to_pylist()))
+        )
+
+    def keep_cap(tbl: pa.Table) -> pa.Table:
+        return tbl.take(_cap_rows(tbl)).drop_columns(["_shard"])
 
     return (
-        docs.map_batches(add_shard, batch_format="pyarrow", zero_copy_batch=True)
+        docs.map_batches(precap_shard, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("_shard")
         .map_groups(keep_cap, batch_format="pyarrow")
     )
