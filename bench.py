@@ -330,6 +330,20 @@ def run_ops(sf_dir: str) -> dict:
             {"src0": 0.3, "src1": 0.25, "src2": 0.2, "src3": 0.15, "src4": 0.1},
         ).count(),
     )
+    from whoosh_novo_ray.ops.groupstats import cap_per_group, top_terms_per_group
+
+    timed(
+        "op_source_cap",
+        lambda: cap_per_group(
+            _docs_cols("doc_id", "source"), "source", 100
+        ).count(),
+    )
+    timed(
+        "op_top_terms",
+        lambda: top_terms_per_group(
+            _docs_cols("doc_id", "text", "source"), "source", 10
+        ).count(),
+    )
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     q = pq.read_table(emb_path).column("embedding")[0].as_py()
     qv = np.asarray(q, np.float64)

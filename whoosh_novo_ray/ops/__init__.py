@@ -27,6 +27,11 @@ from whoosh_novo_ray.ops.sampling import (
     mixture_sample_table,
     perplexity_buckets_table,
 )
+from whoosh_novo_ray.ops.groupstats import (
+    cap_per_group,
+    exact_quantiles,
+    top_terms_per_group,
+)
 
 __all__ = [
     "doc_length_table",
@@ -48,4 +53,7 @@ __all__ = [
     "dsir_table",
     "perplexity_buckets_table",
     "mixture_sample_table",
+    "cap_per_group",
+    "exact_quantiles",
+    "top_terms_per_group",
 ]
