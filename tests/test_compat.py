@@ -1,0 +1,190 @@
+"""Reference-shaped facade (compat.py): Schema / create_in / writer /
+searcher, differential vs the reference engine on the same corpus."""
+
+import numpy as np
+import pytest
+
+import whoosh_novo_ray.compat as C
+
+WORDS = [
+    "search", "engine", "index", "query", "table", "window", "merge",
+    "batch", "spark", "row", "scan", "fast", "slow", "value", "hash",
+]
+
+
+def _texts(n, seed):
+    rng = np.random.RandomState(seed)
+    return [
+        " ".join(WORDS[i] for i in rng.randint(0, len(WORDS), rng.randint(3, 14)))
+        for _ in range(n)
+    ]
+
+
+def _schema():
+    return C.Schema(
+        title=C.TEXT(stored=True),
+        body=C.TEXT(),
+        tag=C.ID(stored=True, unique=True),
+        n=C.NUMERIC("int"),
+        flag=C.BOOLEAN(),
+    )
+
+
+def _build_compat(tmp_path, titles, bodies):
+    ix = C.create_in(str(tmp_path / "cix"), _schema())
+    with ix.writer() as w:
+        for i, (t, b) in enumerate(zip(titles, bodies)):
+            w.add_document(title=t, body=b, tag=f"tag{i}", n=i % 7, flag=i % 2 == 0)
+    return ix
+
+
+def _build_reference(tmp_path, titles, bodies):
+    whoosh = pytest.importorskip("whoosh")
+    from whoosh import index as windex
+    from whoosh.fields import BOOLEAN, ID, NUMERIC, TEXT, Schema
+
+    d = tmp_path / "ref"
+    d.mkdir()
+    schema = Schema(
+        title=TEXT(stored=True),
+        body=TEXT(),
+        tag=ID(stored=True, unique=True),
+        n=NUMERIC(int, stored=True),
+        flag=BOOLEAN(),
+    )
+    ix = windex.create_in(str(d), schema)
+    w = ix.writer()
+    for i, (t, b) in enumerate(zip(titles, bodies)):
+        w.add_document(title=t, body=b, tag=f"tag{i}", n=i % 7, flag=bool(i % 2 == 0))
+    w.commit()
+    return ix
+
+
+def _ref_search(ix, q, limit=10):
+    with ix.searcher() as s:
+        r = s.search(q, limit=limit)
+        return [(int(h.docnum), float(h.score)) for h in r]
+
+
+def test_schema_json_roundtrip():
+    s = _schema()
+    s2 = C.Schema.from_json(s.to_json())
+    assert s2.indexed_names() == s.indexed_names()
+    assert s2.attr_names() == s.attr_names()
+    assert s2["tag"].unique and s2["n"].numtype == "int"
+
+
+def test_single_field_rank_and_score_parity_vs_reference(ray_session, tmp_path):
+    from whoosh.query import Term as RTerm
+
+    from whoosh_novo_ray.search.query import Term
+
+    titles, bodies = _texts(80, 1), _texts(80, 2)
+    cix = _build_compat(tmp_path, titles, bodies)
+    rix = _build_reference(tmp_path, titles, bodies)
+
+    for word in ("search", "table", "hash"):
+        ours = cix.searcher().search(Term(word, field="body"), limit=10)
+        ref = _ref_search(rix, RTerm("body", word), limit=10)
+        assert [(h.docnum, round(h.score, 9)) for h in ours] == [
+            (d, round(s, 9)) for d, s in ref
+        ]
+
+
+def test_multifield_or_parity_vs_reference(ray_session, tmp_path):
+    from whoosh.qparser import MultifieldParser as RMFP
+
+    titles, bodies = _texts(60, 3), _texts(60, 4)
+    cix = _build_compat(tmp_path, titles, bodies)
+    rix = _build_reference(tmp_path, titles, bodies)
+
+    s = cix.searcher()
+    rp = RMFP(["title", "body"], schema=rix.schema)
+    for qs in ("engine", "query merge", "title:window OR body:scan"):
+        ours = [(h.docnum, round(h.score, 9)) for h in s.search(qs, limit=10)]
+        ref = [
+            (d, round(sc, 9)) for d, sc in _ref_search(rix, rp.parse(qs), limit=10)
+        ]
+        assert ours == ref, qs
+
+
+def test_stored_fields_and_document_lookup(ray_session, tmp_path):
+    titles, bodies = _texts(30, 5), _texts(30, 6)
+    cix = _build_compat(tmp_path, titles, bodies)
+    s = cix.searcher()
+
+    hit = s.search("engine OR table", limit=3)[0]
+    assert hit["title"] == titles[hit.docnum]
+    assert hit["tag"] == f"tag{hit.docnum}"
+    assert hit["n"] == hit.docnum % 7
+
+    d = s.document(tag="tag7")
+    assert d["title"] == titles[7] and d["n"] == 0
+    # native-column equality lookup (ColumnQuery over attrs)
+    nums = s.document_numbers(n=3)
+    assert list(nums) == [i for i in range(30) if i % 7 == 3]
+    # boolean term lookup
+    evens = s.document_numbers(flag=True)
+    assert list(evens) == [i for i in range(30) if i % 2 == 0]
+
+
+def test_update_delete_lifecycle(ray_session, tmp_path):
+    titles, bodies = _texts(20, 7), _texts(20, 8)
+    cix = _build_compat(tmp_path, titles, bodies)
+    assert cix.doc_count() == 20
+
+    w = cix.writer()
+    w.update_document(title="zebra unique text", body="zebra", tag="tag3", n=99)
+    w.commit()
+    assert cix.doc_count() == 20  # replaced, not added
+
+    s = cix.searcher()
+    d = s.document(tag="tag3")
+    assert d["title"] == "zebra unique text" and d["n"] == 99
+    from whoosh_novo_ray.search.query import Term
+
+    hits = s.search(Term("zebra", field="body"), limit=5)
+    assert len(hits) == 1 and hits[0]["tag"] == "tag3"
+
+    w = cix.writer()
+    w.delete_by_term("tag", "tag3")
+    w.commit()
+    assert cix.doc_count() == 19
+    s = cix.searcher()
+    assert s.document(tag="tag3") is None
+    assert len(s.search(Term("zebra", field="body"), limit=5)) == 0
+
+
+def test_writer_cancel_and_missing_fields(ray_session, tmp_path):
+    ix = C.create_in(str(tmp_path / "c2"), _schema())
+    w = ix.writer()
+    w.add_document(title="only title here", tag="a")
+    w.add_document(body="only body here", tag="b")
+    w.commit()
+    assert ix.doc_count() == 2
+    s = ix.searcher()
+    from whoosh_novo_ray.search.query import Term
+
+    assert [h.docnum for h in s.search(Term("title", field="title"))] == [0]
+    assert [h.docnum for h in s.search(Term("body", field="body"))] == [1]
+
+    w = ix.writer()
+    w.add_document(title="never lands", tag="c")
+    w.cancel()
+    w.commit()
+    assert ix.refresh().doc_count() == 2
+
+    with pytest.raises(ValueError):
+        ix.writer().add_document(nope="x")
+    with pytest.raises(ValueError):
+        ix.writer().update_document(title="no unique key given")
+
+
+def test_open_dir_roundtrip(ray_session, tmp_path):
+    p = str(tmp_path / "c3")
+    ix = C.create_in(p, _schema())
+    with ix.writer() as w:
+        w.add_document(title="hello world", tag="k")
+    ix2 = C.open_dir(p)
+    assert ix2.doc_count() == 1
+    assert not C.exists_in(str(tmp_path / "missing"))

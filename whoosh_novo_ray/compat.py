@@ -1,0 +1,639 @@
+"""Reference-shaped convenience API: Schema / create_in / writer / searcher.
+
+A user of the reference engine writes
+
+    ix = index.create_in("dir", Schema(title=TEXT(stored=True), id=ID(unique=True)))
+    w = ix.writer(); w.add_document(title=..., id=...); w.commit()
+    with ix.searcher() as s: s.search(parser.parse("title:hello"))
+
+This module offers the same workflow over the Ray-Data-native engine
+(reference surface: src/whoosh/fields.py:1375 Schema, index.py create_in /
+open_dir, writing.py IndexWriter, searching.py Searcher):
+
+  * each indexed field is its own GenerationalIndex under ``root/field=F``
+    (same doc-id space) — adds/updates/deletes ride the generational
+    machinery (merge_small tiering, atomic CURRENT) per field;
+  * stored / numeric / datetime fields live in a columnar attrs table
+    (``root/stored/part-*.parquet``), never duplicated into postings — at
+    cluster scale stored fields stay in the source parquet, which is
+    exactly what this layout is;
+  * a ``Searcher`` facade routes fielded Term/Phrase nodes to their
+    field's index (MultiFieldSearcher semantics) and serves stored fields.
+
+Deliberate deltas from the reference, documented not hidden:
+  * ``writer()`` buffers in memory and ``commit()`` runs Ray jobs — there
+    is no posting-pool spill because the SHUFFLE is the external sort;
+  * query strings parse with the default field's analyzer; exact-case
+    terms against no-lowercase fields (ID/KEYWORD) should be passed as
+    ``Term(text, field=...)`` AST nodes;
+  * STORED values are strings (Arrow-typed, not pickles).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+from types import SimpleNamespace
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from whoosh_novo_ray.analysis import (
+    StandardAnalyzer,
+    id_analyzer,
+    keyword_analyzer,
+    simple_analyzer,
+    stemming_analyzer,
+)
+
+SCHEMA_FILE = "schema.json"
+META_FILE = "compat_meta.json"
+
+
+# ---------------------------------------------------------------------------
+# field types + schema
+# ---------------------------------------------------------------------------
+
+
+class FieldSpec:
+    kind = "base"
+    indexed = False
+    unique = False
+
+    def __init__(self, stored: bool = False):
+        self.stored = stored
+
+    def analyzer(self):
+        raise NotImplementedError
+
+    def arrow_type(self) -> pa.DataType:
+        return pa.string()
+
+    def to_index_value(self, v) -> str:
+        return "" if v is None else str(v)
+
+    def options(self) -> dict:
+        return {"stored": self.stored}
+
+    def to_json(self) -> dict:
+        return {"kind": self.kind, **self.options()}
+
+
+class TEXT(FieldSpec):
+    """Analyzed full-text field (reference fields.TEXT)."""
+
+    kind = "text"
+    indexed = True
+
+    def __init__(self, stored: bool = False, stem: bool = False, minsize: int = 2):
+        super().__init__(stored)
+        self.stem = stem
+        self.minsize = minsize
+
+    def analyzer(self):
+        if self.stem:
+            return stemming_analyzer(minsize=self.minsize)
+        return StandardAnalyzer(minsize=self.minsize)
+
+    def options(self):
+        return {"stored": self.stored, "stem": self.stem, "minsize": self.minsize}
+
+
+class ID(FieldSpec):
+    """Whole value = one exact term (reference fields.ID)."""
+
+    kind = "id"
+    indexed = True
+
+    def __init__(self, stored: bool = False, unique: bool = False):
+        super().__init__(stored)
+        self.unique = unique
+
+    def analyzer(self):
+        return id_analyzer()
+
+    def options(self):
+        return {"stored": self.stored, "unique": self.unique}
+
+
+class KEYWORD(FieldSpec):
+    """Space/comma-separated exact keywords (reference fields.KEYWORD)."""
+
+    kind = "keyword"
+    indexed = True
+
+    def __init__(
+        self, stored: bool = False, commas: bool = False, lowercase: bool = False
+    ):
+        super().__init__(stored)
+        self.commas = commas
+        self.lowercase = lowercase
+
+    def analyzer(self):
+        return keyword_analyzer(lowercase=self.lowercase, commas=self.commas)
+
+    def options(self):
+        return {
+            "stored": self.stored,
+            "commas": self.commas,
+            "lowercase": self.lowercase,
+        }
+
+
+class BOOLEAN(FieldSpec):
+    """Indexed as the reference's 't'/'f' terms (fields.BOOLEAN)."""
+
+    kind = "boolean"
+    indexed = True
+
+    def analyzer(self):
+        return id_analyzer()
+
+    def arrow_type(self):
+        return pa.bool_()
+
+    def to_index_value(self, v) -> str:
+        return "t" if v else "f"
+
+
+class NUMERIC(FieldSpec):
+    """Native numeric column; range/equality queries use NumericRange /
+    ColumnQuery over the attrs table (SURVEY §1.5: no tiered terms)."""
+
+    kind = "numeric"
+
+    def __init__(self, numtype: str = "int"):
+        super().__init__(stored=True)
+        if numtype not in ("int", "float"):
+            raise ValueError("numtype must be 'int' or 'float'")
+        self.numtype = numtype
+
+    def arrow_type(self):
+        return pa.int64() if self.numtype == "int" else pa.float64()
+
+    def options(self):
+        return {"numtype": self.numtype}
+
+
+class DATETIME(FieldSpec):
+    """Native timestamp column (DateRange queries over attrs)."""
+
+    kind = "datetime"
+
+    def __init__(self):
+        super().__init__(stored=True)
+
+    def arrow_type(self):
+        return pa.timestamp("us")
+
+    def options(self):
+        return {}
+
+
+class STORED(FieldSpec):
+    """Stored-only string column (reference fields.STORED, string-typed)."""
+
+    kind = "stored"
+
+    def __init__(self):
+        super().__init__(stored=True)
+
+    def options(self):
+        return {}
+
+
+_KINDS = {
+    c.kind: c for c in (TEXT, ID, KEYWORD, BOOLEAN, NUMERIC, DATETIME, STORED)
+}
+
+
+class Schema:
+    def __init__(self, **fields: FieldSpec):
+        for name, spec in fields.items():
+            if not isinstance(spec, FieldSpec):
+                raise TypeError(f"field {name!r}: expected a FieldSpec instance")
+        if not any(s.indexed for s in fields.values()):
+            raise ValueError("schema needs at least one indexed field")
+        self.fields: dict[str, FieldSpec] = dict(fields)
+
+    def names(self) -> list[str]:
+        return sorted(self.fields)
+
+    def indexed_names(self) -> list[str]:
+        return sorted(n for n, s in self.fields.items() if s.indexed)
+
+    def unique_names(self) -> list[str]:
+        return sorted(n for n, s in self.fields.items() if s.unique)
+
+    def attr_names(self) -> list[str]:
+        """Columns of the stored/attrs table: stored + native columns."""
+        return sorted(n for n, s in self.fields.items() if s.stored)
+
+    def __contains__(self, name: str) -> bool:
+        return name in self.fields
+
+    def __getitem__(self, name: str) -> FieldSpec:
+        return self.fields[name]
+
+    def to_json(self) -> dict:
+        return {n: s.to_json() for n, s in self.fields.items()}
+
+    @classmethod
+    def from_json(cls, d: dict) -> "Schema":
+        fields = {}
+        for n, spec in d.items():
+            opts = dict(spec)
+            fields[n] = _KINDS[opts.pop("kind")](**opts)
+        return cls(**fields)
+
+
+# ---------------------------------------------------------------------------
+# index directory
+# ---------------------------------------------------------------------------
+
+
+def create_in(dirname: str, schema: Schema, policy: str = "merge_small") -> "CompatIndex":
+    os.makedirs(dirname, exist_ok=True)
+    with open(os.path.join(dirname, SCHEMA_FILE), "w") as f:
+        json.dump({"schema": schema.to_json(), "policy": policy}, f, indent=1)
+    with open(os.path.join(dirname, META_FILE), "w") as f:
+        json.dump({"next_id": 0}, f)
+    return CompatIndex(dirname)
+
+
+def open_dir(dirname: str) -> "CompatIndex":
+    if not exists_in(dirname):
+        raise FileNotFoundError(f"no index schema in {dirname}")
+    return CompatIndex(dirname)
+
+
+def exists_in(dirname: str) -> bool:
+    return os.path.exists(os.path.join(dirname, SCHEMA_FILE))
+
+
+class CompatIndex:
+    def __init__(self, root: str):
+        self.root = root
+        with open(os.path.join(root, SCHEMA_FILE)) as f:
+            d = json.load(f)
+        self.schema = Schema.from_json(d["schema"])
+        self.policy = d.get("policy", "merge_small")
+
+    # -- plumbing ---------------------------------------------------------
+
+    def _meta(self) -> dict:
+        with open(os.path.join(self.root, META_FILE)) as f:
+            return json.load(f)
+
+    def _write_meta(self, meta: dict) -> None:
+        tmp = os.path.join(self.root, META_FILE + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, os.path.join(self.root, META_FILE))
+
+    def _field_gi(self, name: str):
+        from whoosh_novo_ray.index.build import IndexConfig
+        from whoosh_novo_ray.index.incremental import GenerationalIndex
+
+        spec = self.schema[name]
+        cfg = IndexConfig(
+            text_col=name, id_col="doc_id", analyzer=spec.analyzer(), num_buckets=8
+        )
+        return GenerationalIndex(
+            os.path.join(self.root, f"field={name}"), cfg, policy=self.policy
+        )
+
+    def _open_field(self, name: str):
+        gi = self._field_gi(name)
+        try:
+            return gi.open()
+        except FileNotFoundError:
+            return None
+
+    def _stored_parts(self) -> list[str]:
+        return sorted(glob.glob(os.path.join(self.root, "stored", "part-*.parquet")))
+
+    def _attrs(self, live_ids: np.ndarray | None) -> pa.Table:
+        cols = self.schema.attr_names()
+        schema = pa.schema(
+            [("doc_id", pa.uint64())]
+            + [(n, self.schema[n].arrow_type()) for n in cols]
+        )
+        parts = self._stored_parts()
+        if not parts:
+            return schema.empty_table()
+        t = pa.concat_tables([pq.read_table(p) for p in parts]).combine_chunks()
+        if live_ids is not None and len(t):
+            ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            keep = np.isin(ids, live_ids)
+            t = t.filter(pa.array(keep))
+        return t
+
+    # -- reference-shaped surface ------------------------------------------
+
+    def writer(self) -> "CompatWriter":
+        return CompatWriter(self)
+
+    def searcher(self, **field_params) -> "CompatSearcher":
+        return CompatSearcher(self, **field_params)
+
+    def doc_count(self) -> int:
+        idx = self._open_field(self.schema.indexed_names()[0])
+        return 0 if idx is None else int(idx.doc_count)
+
+    def is_empty(self) -> bool:
+        return self.doc_count() == 0
+
+    def refresh(self) -> "CompatIndex":
+        return CompatIndex(self.root)
+
+
+# ---------------------------------------------------------------------------
+# writer
+# ---------------------------------------------------------------------------
+
+
+class CompatWriter:
+    """Buffers documents, runs the Ray build jobs at commit() (reference
+    IndexWriter workflow, writing.py:372-520 — the PostingPool's external
+    sort is the bucket shuffle here)."""
+
+    def __init__(self, index: CompatIndex):
+        self.index = index
+        self.schema = index.schema
+        self._adds: list[dict] = []
+        self._updates: list[dict] = []
+        self._del_terms: list[tuple[str, str]] = []
+        self._cancelled = False
+
+    def _check(self, kw: dict) -> dict:
+        for k in kw:
+            if k not in self.schema:
+                raise ValueError(f"unknown field {k!r}")
+        return kw
+
+    def add_document(self, **kw) -> None:
+        self._adds.append(self._check(kw))
+
+    def update_document(self, **kw) -> None:
+        """Delete any docs matching this doc's unique-field values, then add
+        (reference IndexWriter.update_document, writing.py:577-640)."""
+        self._check(kw)
+        if not any(u in kw for u in self.schema.unique_names()):
+            raise ValueError("update_document needs a unique field value")
+        self._updates.append(kw)
+
+    def delete_by_term(self, fieldname: str, text) -> None:
+        if fieldname not in self.schema or not self.schema[fieldname].indexed:
+            raise ValueError(f"{fieldname!r} is not an indexed field")
+        self._del_terms.append((fieldname, text))
+
+    def cancel(self) -> None:
+        self._cancelled = True
+        self._adds, self._updates, self._del_terms = [], [], []
+
+    # -- commit -------------------------------------------------------------
+
+    def _lookup_ids(self, field: str, text) -> np.ndarray:
+        idx = self.index._open_field(field)
+        if idx is None:
+            return np.empty(0, np.uint64)
+        from whoosh_novo_ray.search import query as Q
+        from whoosh_novo_ray.search.searcher import Searcher
+
+        term = self.schema[field].to_index_value(text)
+        ids, _ = Searcher(idx).postings(Q.Term(term))
+        return np.asarray(ids, np.uint64)
+
+    def commit(self) -> None:
+        if self._cancelled:
+            return
+        import ray
+        import ray.data
+
+        ix = self.index
+        meta = ix._meta()
+        next_id = int(meta["next_id"])
+
+        delete_ids = [self._lookup_ids(f, t) for f, t in self._del_terms]
+        for doc in self._updates:
+            for u in ix.schema.unique_names():
+                if u in doc:
+                    delete_ids.append(self._lookup_ids(u, doc[u]))
+        dels = (
+            np.unique(np.concatenate(delete_ids))
+            if delete_ids
+            else np.empty(0, np.uint64)
+        )
+
+        new_docs = self._updates + self._adds
+        ids = np.arange(next_id, next_id + len(new_docs), dtype=np.uint64)
+
+        indexed = ix.schema.indexed_names()
+        for fname in indexed:
+            gi = ix._field_gi(fname)
+            if len(dels) and gi.current_generation() is not None:
+                gi.delete_documents(dels, lineage="compat:delete")
+            if new_docs:
+                spec = ix.schema[fname]
+                tbl = pa.table(
+                    {
+                        "doc_id": pa.array(ids, pa.uint64()),
+                        fname: pa.array(
+                            [
+                                spec.to_index_value(d.get(fname))
+                                if d.get(fname) is not None
+                                else ""
+                                for d in new_docs
+                            ],
+                            pa.string(),
+                        ),
+                    }
+                )
+                n_blocks = max(
+                    1, min(len(new_docs), int(ray.cluster_resources().get("CPU", 4)))
+                )
+                gi.add_documents(
+                    ray.data.from_arrow(tbl).repartition(n_blocks),
+                    lineage=f"compat:gen{next_id}",
+                )
+
+        if new_docs:
+            cols: dict[str, pa.Array] = {"doc_id": pa.array(ids, pa.uint64())}
+            for n in ix.schema.attr_names():
+                typ = ix.schema[n].arrow_type()
+                cols[n] = pa.array([d.get(n) for d in new_docs], typ)
+            os.makedirs(os.path.join(ix.root, "stored"), exist_ok=True)
+            part = os.path.join(
+                ix.root, "stored", f"part-{len(ix._stored_parts()):06d}.parquet"
+            )
+            pq.write_table(pa.table(cols), part + ".tmp")
+            os.replace(part + ".tmp", part)
+
+        meta["next_id"] = next_id + len(new_docs)
+        ix._write_meta(meta)
+        self._adds, self._updates, self._del_terms = [], [], []
+
+    # context-manager sugar: `with ix.writer() as w: ...` commits on success
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, exc, tb):
+        if exc_type is None:
+            self.commit()
+        else:
+            self.cancel()
+        return False
+
+
+# ---------------------------------------------------------------------------
+# searcher
+# ---------------------------------------------------------------------------
+
+
+class Hit:
+    def __init__(self, docnum: int, score: float, fields: dict):
+        self.docnum = docnum
+        self.score = score
+        self._fields = fields
+
+    def fields(self) -> dict:
+        return dict(self._fields)
+
+    def get(self, k, default=None):
+        return self._fields.get(k, default)
+
+    def __getitem__(self, k):
+        return self._fields[k]
+
+    def __contains__(self, k):
+        return k in self._fields
+
+    def __repr__(self):
+        return f"<Hit {self.docnum} {self.score:.6f} {self._fields!r}>"
+
+
+class Results(list):
+    """List of Hit, ranked (score desc, doc_id asc)."""
+
+    def scored_length(self) -> int:
+        return len(self)
+
+
+class CompatSearcher:
+    def __init__(self, index: CompatIndex, **field_params):
+        from whoosh_novo_ray.index.multifield import MultiFieldSearcher
+
+        self.index = index
+        self.schema = index.schema
+        names = self.schema.indexed_names()
+        opened = {n: index._open_field(n) for n in names}
+        self._opened = {n: v for n, v in opened.items() if v is not None}
+        default = names[0] if names[0] in self._opened else next(iter(self._opened), None)
+        self._router = (
+            MultiFieldSearcher(
+                SimpleNamespace(fields=self._opened),
+                default_field=default,
+                **field_params,
+            )
+            if self._opened
+            else None
+        )
+        live = (
+            self._opened[default].all_doc_ids()
+            if self._opened
+            else np.empty(0, np.uint64)
+        )
+        self.attrs = index._attrs(live)
+        self._attr_ids = (
+            self.attrs["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            if len(self.attrs)
+            else np.empty(0, np.uint64)
+        )
+
+    def parse(self, qstring: str):
+        """Parse with the default-analyzer MultifieldParser: unfielded terms
+        search every indexed TEXT field, explicit ``field:term`` routes."""
+        from whoosh_novo_ray.search.qparser import MultifieldParser
+
+        text_fields = [
+            n for n in self.schema.indexed_names() if self.schema[n].kind == "text"
+        ] or self.schema.indexed_names()
+        return MultifieldParser(text_fields).parse(qstring)
+
+    def _stored_for(self, doc_ids: np.ndarray) -> list[dict]:
+        if not len(self._attr_ids):
+            return [{} for _ in doc_ids]
+        order = np.argsort(self._attr_ids, kind="stable")
+        pos = np.searchsorted(self._attr_ids[order], doc_ids)
+        out = []
+        rows = self.attrs
+        for i, d in zip(pos, doc_ids):
+            if i < len(order) and self._attr_ids[order[i]] == d:
+                out.append(
+                    {k: v for k, v in rows.slice(order[i], 1).to_pylist()[0].items() if k != "doc_id"}
+                )
+            else:
+                out.append({})
+        return out
+
+    def search(self, q, limit: int | None = 10) -> Results:
+        if isinstance(q, str):
+            q = self.parse(q)
+        if self._router is None:
+            return Results()
+        t = self._router.search(q, limit=limit)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        scores = t["score"].to_numpy(zero_copy_only=False)
+        stored = self._stored_for(ids)
+        return Results(
+            Hit(int(d), float(s), f) for d, s, f in zip(ids, scores, stored)
+        )
+
+    # -- document lookups ----------------------------------------------------
+
+    def _kw_query(self, kw: dict):
+        from whoosh_novo_ray.search import query as Q
+
+        qs = []
+        for k, v in kw.items():
+            spec = self.schema[k]
+            if spec.indexed:
+                qs.append(Q.Term(spec.to_index_value(v), field=k))
+            else:
+                pred = (lambda val: (lambda col: col == val))(v)
+                qs.append(Q.ColumnQuery(attrs=self.attrs, column=k, predicate=pred))
+        if not qs:
+            return Q.Every()
+        return qs[0] if len(qs) == 1 else Q.And(*qs)
+
+    def document_numbers(self, **kw) -> np.ndarray:
+        if self._router is None:
+            return np.empty(0, np.uint64)
+        ids, _ = self._router.postings(self._kw_query(kw))
+        return np.asarray(ids, np.uint64)
+
+    def document_number(self, **kw):
+        ids = self.document_numbers(**kw)
+        return int(ids[0]) if len(ids) else None
+
+    def documents(self, **kw):
+        ids = self.document_numbers(**kw)
+        for f in self._stored_for(ids):
+            yield f
+
+    def document(self, **kw):
+        for f in self.documents(**kw):
+            return f
+        return None
+
+    def doc_count(self) -> int:
+        return self.index.doc_count()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        return False

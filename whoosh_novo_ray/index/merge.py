@@ -255,10 +255,17 @@ def merge_indexes(
         for b in i.manifest["buckets"]
         if b["path"]  # skip docmeta-only (segment-less) bucket rows
     ]
-    postings = ray.data.read_parquet(seg_files).map_batches(
-        DecodeSegmentRows(wp, delete_doc_ids),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+    # an input can be postings-EMPTY (every bucket docmeta-only, e.g. a
+    # delta whose docs all analyzed to zero tokens in this field): merge
+    # only the docmeta side then
+    postings = (
+        ray.data.read_parquet(seg_files).map_batches(
+            DecodeSegmentRows(wp, delete_doc_ids),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        if seg_files
+        else None
     )
 
     # per-doc metadata rows from the inputs' docmeta tables
@@ -279,6 +286,8 @@ def merge_indexes(
         dm_rows = ray.data.read_parquet(dm_files).map_batches(
             dm_to_rows, batch_format="pyarrow", zero_copy_batch=True
         )
-        postings = postings.union(dm_rows)
+        postings = dm_rows if postings is None else postings.union(dm_rows)
+    if postings is None:
+        raise ValueError("merge_indexes: inputs have no postings and no docmeta")
 
     return build_index_from_postings(postings, out_dir, cfg, lineage=lineage)
