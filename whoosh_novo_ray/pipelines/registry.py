@@ -1583,6 +1583,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
         t = pa.concat_tables(_collect(sessionize(ev, gap_s=1800)))
         return t.sort_by([("event_id", "ascending")])
 
+    def compat_bm25_top10(sf_dir):
+        """The reference-user workflow end-to-end: Schema / create_in /
+        writer.add_document / searcher.search over the documents table
+        (compat.py facade), BM25 Term top-10."""
+        import shutil
+
+        import whoosh_novo_ray.compat as C
+
+        key = ("compat", sf_dir)
+        if key not in _INDEX_CACHE:
+            root = os.path.join(
+                "/tmp/wnr_compat", sf_dir.strip("/").replace("/", "_")
+            )
+            shutil.rmtree(root, ignore_errors=True)
+            cix = C.create_in(root, C.Schema(text=C.TEXT()))
+            rows = pq.read_table(
+                os.path.join(sf_dir, "documents.parquet"),
+                columns=["doc_id", "text"],
+            ).sort_by("doc_id")
+            with cix.writer() as w:
+                for txt in rows["text"].to_pylist():
+                    w.add_document(text=txt)
+            _INDEX_CACHE[key] = cix
+        s = _INDEX_CACHE[key].searcher()
+        hits = s.search(Term(_T_MID, field="text"), limit=10)
+        return pa.table(
+            {
+                "doc_id": pa.array([h.docnum for h in hits], pa.int64()),
+                "score": pa.array(
+                    [round(h.score, 6) for h in hits], pa.float64()
+                ),
+            }
+        )
+
     def source_cap(sf_dir):
         """Per-domain frequency cap: at most 10 docs per source (lowest ids)."""
         from whoosh_novo_ray.ops.groupstats import cap_per_group
@@ -1688,6 +1722,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_cap": source_cap,
         "nchars_quantiles": nchars_quantiles,
         "top_terms_per_source": top_terms_per_source,
+        "compat_bm25_top10": compat_bm25_top10,
         "boilerplate_frac": boilerplate,
         "fingerprint": fingerprint,
         "chunk_windows": chunked,
@@ -1874,6 +1909,9 @@ FROM qdl ORDER BY doc_id""",
         "bm25_top10_common": _topk_sql(f"term = '{_T_COMMON}'", 10),
         "bm25_top10_mid": _topk_sql(f"term = '{_T_MID}'", 10),
         "bm25_top100_mid": _topk_sql(f"term = '{_T_MID}'", 100),
+        # the compat facade builds its own index over the same corpus with
+        # the same analyzer/scoring — identical oracle as bm25_top10_mid
+        "compat_bm25_top10": _topk_sql(f"term = '{_T_MID}'", 10),
         "bm25_absent": _topk_sql(f"term = '{_T_ABSENT}'", 10),
         "bm25_or_top10": _topk_sql(f"term IN ({_terms_sql([_T_MID, _T_MID2])})", 10),
         "filtered_or_top10": _topk_sql(
