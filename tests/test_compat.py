@@ -180,6 +180,19 @@ def test_writer_cancel_and_missing_fields(ray_session, tmp_path):
         ix.writer().update_document(title="no unique key given")
 
 
+def test_fielded_parse_uses_field_analyzer(ray_session, tmp_path):
+    # ID terms keep case through parse (per-field analyzers in qparser)
+    ix = C.create_in(str(tmp_path / "c4"), _schema())
+    with ix.writer() as w:
+        w.add_document(title="mixed case doc", tag="TagMixed")
+        w.add_document(title="plain doc", tag="plain")
+    s = ix.searcher()
+    hits = s.search("tag:TagMixed", limit=5)
+    assert [h.docnum for h in hits] == [0]
+    # unfielded words still go through the TEXT analyzer (lowercase+stop)
+    assert [h.docnum for h in s.search("PLAIN", limit=5)] == [1]
+
+
 def test_open_dir_roundtrip(ray_session, tmp_path):
     p = str(tmp_path / "c3")
     ix = C.create_in(p, _schema())

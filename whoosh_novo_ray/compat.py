@@ -23,9 +23,9 @@ open_dir, writing.py IndexWriter, searching.py Searcher):
 Deliberate deltas from the reference, documented not hidden:
   * ``writer()`` buffers in memory and ``commit()`` runs Ray jobs — there
     is no posting-pool spill because the SHUFFLE is the external sort;
-  * query strings parse with the default field's analyzer; exact-case
-    terms against no-lowercase fields (ID/KEYWORD) should be passed as
-    ``Term(text, field=...)`` AST nodes;
+  * unfielded query-string terms analyze with the default TEXT analyzer;
+    explicitly-fielded terms use their field's analyzer (ID/KEYWORD keep
+    case) — wildcard/prefix syntax still lowercases like the base parser;
   * STORED values are strings (Arrow-typed, not pickles).
 """
 
@@ -554,14 +554,20 @@ class CompatSearcher:
         )
 
     def parse(self, qstring: str):
-        """Parse with the default-analyzer MultifieldParser: unfielded terms
-        search every indexed TEXT field, explicit ``field:term`` routes."""
+        """Parse schema-aware: unfielded terms search every indexed TEXT
+        field; explicit ``field:term`` routes AND analyzes with that field's
+        own analyzer (ID/KEYWORD terms keep their case)."""
         from whoosh_novo_ray.search.qparser import MultifieldParser
 
         text_fields = [
             n for n in self.schema.indexed_names() if self.schema[n].kind == "text"
         ] or self.schema.indexed_names()
-        return MultifieldParser(text_fields).parse(qstring)
+        return MultifieldParser(
+            text_fields,
+            field_analyzers={
+                n: self.schema[n].analyzer() for n in self.schema.indexed_names()
+            },
+        ).parse(qstring)
 
     def _stored_for(self, doc_ids: np.ndarray) -> list[dict]:
         if not len(self._attr_ids):

@@ -92,6 +92,7 @@ class QueryParser:
         datetime_fields: dict | None = None,
         functions: dict | None = None,
         regex_plugin: bool = False,
+        field_analyzers: dict | None = None,
     ):
         """``datetime_fields`` maps a field name to (attrs, column,
         basedate) — the DateParserPlugin wiring: ``field:'<natural
@@ -102,14 +103,23 @@ class QueryParser:
         (qparser/plugins.py:558-640): ``#name[arg1,key=val] atom`` calls
         ``fn([atom_query], *args, **kwargs)`` on the immediately-following
         atom (``fn([], ...)`` when the function ends the input) and splices
-        the returned query in."""
+        the returned query in.
+
+        ``field_analyzers`` maps a field name to the analyzer used for
+        explicitly-fielded terms (the reference parses each fielded chunk
+        with that schema field's analyzer, qparser/default.py:180-220) —
+        e.g. an ID field's terms keep their case."""
         self.analyzer = analyzer or StandardAnalyzer()
         self.datetime_fields = datetime_fields or {}
         self.functions = functions or {}
+        self.field_analyzers = field_analyzers or {}
         # RegexPlugin (reference qparser/plugins.py:197-216) is NOT in the
         # reference default set — opt in to make r"pattern" a Regex query
         # (start-anchored re.match semantics, like the reference's)
         self.regex_plugin = regex_plugin
+
+    def _analyze(self, text: str, field: str | None = None) -> list[str]:
+        return (self.field_analyzers.get(field) or self.analyzer)(text)
 
     # -- lexing ----------------------------------------------------------------
 
@@ -261,12 +271,12 @@ class QueryParser:
                 attrs, column, basedate = self.datetime_fields[field]
                 return date_range_query(attrs, column, text, basedate)
             # unregistered field: treat the quoted text as a phrase
-            words = self.analyzer(text)
+            words = self._analyze(text, field)
             if not words:
                 return NULL
             if len(words) == 1:
                 return Q.Term(words[0], field=field)
-            return Q.Phrase(words)
+            return Q.Phrase(words, field=field)
         if kind == "word":
             return self._parse_word(val)
         if kind == "rgx":
@@ -338,7 +348,7 @@ class QueryParser:
             else:
                 q = Q.Wildcard(wl, boost=boost)
             return q
-        toks = self.analyzer(w)
+        toks = self._analyze(w, field)
         if not toks:
             return NULL
         if len(toks) == 1:
