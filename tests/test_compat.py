@@ -193,6 +193,30 @@ def test_fielded_parse_uses_field_analyzer(ray_session, tmp_path):
     assert [h.docnum for h in s.search("PLAIN", limit=5)] == [1]
 
 
+def test_hit_highlights_match_reference(ray_session, tmp_path):
+    titles, bodies = _texts(40, 9), _texts(40, 10)
+    cix = _build_compat(tmp_path, titles, bodies)
+    rix = _build_reference(tmp_path, titles, bodies)
+
+    from whoosh.query import Term as RTerm
+
+    from whoosh_novo_ray.search.query import Term
+
+    ours = cix.searcher().search(Term("search", field="title"), limit=5)
+    with rix.searcher() as rs:
+        ref = rs.search(RTerm("title", "search"), limit=5)
+        ref_hl = [h.highlights("title") for h in ref]
+    # defaults match the reference's (ContextFragmenter + HtmlFormatter("b"))
+    got_hl = [h.highlights("title") for h in ours]
+    assert got_hl == ref_hl
+    assert all('class="match' in h for h in got_hl if h)
+
+    # text= override for unstored fields
+    h0 = ours[0]
+    snip = h0.highlights("body", text=bodies[h0.docnum])
+    assert isinstance(snip, str)
+
+
 def test_open_dir_roundtrip(ray_session, tmp_path):
     p = str(tmp_path / "c3")
     ix = C.create_in(p, _schema())

@@ -494,10 +494,11 @@ class CompatWriter:
 
 
 class Hit:
-    def __init__(self, docnum: int, score: float, fields: dict):
+    def __init__(self, docnum: int, score: float, fields: dict, hl_ctx=None):
         self.docnum = docnum
         self.score = score
         self._fields = fields
+        self._hl_ctx = hl_ctx  # (query, searcher) for highlights()
 
     def fields(self) -> dict:
         return dict(self._fields)
@@ -510,6 +511,41 @@ class Hit:
 
     def __contains__(self, k):
         return k in self._fields
+
+    def highlights(
+        self,
+        fieldname: str,
+        text: str | None = None,
+        top: int = 3,
+        fragmenter=None,
+        formatter=None,
+    ) -> str:
+        """Highlighted snippets of this hit (reference Hit.highlights,
+        searching.py:1120-1180): stored field text (or ``text=``), query
+        terms of that field, the field's own analyzer."""
+        if self._hl_ctx is None:
+            raise ValueError("Hit has no query context for highlighting")
+        q, searcher = self._hl_ctx
+        if text is None:
+            text = self._fields.get(fieldname)
+            if text is None:
+                raise ValueError(
+                    f"field {fieldname!r} is not stored: pass text="
+                )
+        terms = searcher._field_terms(q, fieldname)
+        from whoosh_novo_ray.search.highlight import HtmlFormatter
+        from whoosh_novo_ray.search.highlight import highlight as _hl
+
+        # reference Hit.highlights default: HtmlFormatter(tagname="b")
+        formatter = formatter or HtmlFormatter(tagname="b")
+        return _hl(
+            text,
+            terms,
+            analyzer=searcher.schema[fieldname].analyzer(),
+            fragmenter=fragmenter,
+            formatter=formatter,
+            top=top,
+        )
 
     def __repr__(self):
         return f"<Hit {self.docnum} {self.score:.6f} {self._fields!r}>"
@@ -594,9 +630,26 @@ class CompatSearcher:
         ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
         scores = t["score"].to_numpy(zero_copy_only=False)
         stored = self._stored_for(ids)
+        ctx = (q, self)
         return Results(
-            Hit(int(d), float(s), f) for d, s, f in zip(ids, scores, stored)
+            Hit(int(d), float(s), f, hl_ctx=ctx)
+            for d, s, f in zip(ids, scores, stored)
         )
+
+    def _field_terms(self, q, fieldname: str) -> set[str]:
+        """Query terms addressing ``fieldname`` (field=None = default)."""
+        from whoosh_novo_ray.search import query as Q
+
+        default = self._router.default_field if self._router else None
+        out: set[str] = set()
+        for leaf in q.leaves():
+            if isinstance(leaf, Q.Term):
+                if (leaf.field or default) == fieldname:
+                    out.add(leaf.text)
+            elif isinstance(leaf, Q.Phrase):
+                if (leaf.field or default) == fieldname:
+                    out.update(leaf.words)
+        return out
 
     # -- document lookups ----------------------------------------------------
 
