@@ -217,6 +217,28 @@ def test_hit_highlights_match_reference(ray_session, tmp_path):
     assert isinstance(snip, str)
 
 
+def test_optimize_compacts_members(ray_session, tmp_path):
+    from whoosh_novo_ray.search.query import Term
+
+    ix = C.create_in(str(tmp_path / "c5"), _schema())
+    for batch in range(3):
+        with ix.writer() as w:
+            for i in range(5):
+                w.add_document(
+                    title=f"batch {batch} doc word{i}", tag=f"b{batch}d{i}"
+                )
+    before = ix.searcher().search(Term("batch", field="title"), limit=None)
+    gi = ix._field_gi("title")
+    assert len(gi._members(gi.current_path())) > 1
+    ix.optimize()
+    gi = ix._field_gi("title")
+    assert len(gi._members(gi.current_path())) == 1
+    after = ix.searcher().search(Term("batch", field="title"), limit=None)
+    assert [(h.docnum, round(h.score, 9)) for h in after] == [
+        (h.docnum, round(h.score, 9)) for h in before
+    ]
+
+
 def test_open_dir_roundtrip(ray_session, tmp_path):
     p = str(tmp_path / "c3")
     ix = C.create_in(p, _schema())

@@ -346,6 +346,24 @@ class CompatIndex:
     def is_empty(self) -> bool:
         return self.doc_count() == 0
 
+    def optimize(self) -> None:
+        """Compact every field's generations down to one segment set
+        (reference IndexWriter commit(optimize=True))."""
+        from whoosh_novo_ray.index.merge import merge_indexes
+
+        for name in self.schema.indexed_names():
+            gi = self._field_gi(name)
+            cur = gi.current_path()
+            if cur is None:
+                continue
+            members = gi._members(cur)
+            if len(members) == 1:
+                continue
+            gen = gi.current_generation() + 1
+            out = os.path.join(gi.root, f"gen-{gen:06d}")
+            merge_indexes(members, out, cfg=gi.cfg, lineage="compat:optimize")
+            gi._commit(gen)
+
     def refresh(self) -> "CompatIndex":
         return CompatIndex(self.root)
 
