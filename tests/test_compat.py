@@ -239,6 +239,73 @@ def test_optimize_compacts_members(ray_session, tmp_path):
     ]
 
 
+def test_add_dataset_bulk_matches_buffered(ray_session, tmp_path):
+    """The scale ingestion path: add_dataset (blocks stay in the object
+    store) produces an index identical to per-row add_document."""
+    import pyarrow as pa
+    import ray.data
+
+    from whoosh_novo_ray.search.query import Term
+
+    titles, bodies = _texts(50, 11), _texts(50, 12)
+    tbl = pa.table(
+        {
+            "title": pa.array(titles),
+            "body": pa.array(bodies),
+            "tag": pa.array([f"tag{i}" for i in range(50)]),
+            "n": pa.array([i % 7 for i in range(50)], pa.int64()),
+            "flag": pa.array([i % 2 == 0 for i in range(50)]),
+        }
+    )
+    bulk = C.create_in(str(tmp_path / "bulk"), _schema())
+    with bulk.writer() as w:
+        w.add_dataset(ray.data.from_arrow(tbl).repartition(5))
+    buffered = _build_compat(tmp_path, titles, bodies)
+
+    assert bulk.doc_count() == 50
+    sb, sf = bulk.searcher(), buffered.searcher()
+    for q in (Term("search", field="body"), Term("table", field="title")):
+        a = [(h.docnum, round(h.score, 9)) for h in sb.search(q, limit=10)]
+        b = [(h.docnum, round(h.score, 9)) for h in sf.search(q, limit=10)]
+        assert a == b
+    # stored fields come from the dataset-written part dir
+    hit = sb.search(Term("search", field="body"), limit=1)[0]
+    assert hit["title"] == titles[hit.docnum]
+    assert hit["n"] == hit.docnum % 7
+
+
+def test_add_dataset_explicit_ids_and_mixed_commit(ray_session, tmp_path):
+    import pyarrow as pa
+    import ray.data
+
+    from whoosh_novo_ray.search.query import Term
+
+    ix = C.create_in(str(tmp_path / "mix"), _schema())
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([100, 101, 102], pa.int64()),
+            "title": pa.array(["bulk one zebra", "bulk two", "bulk three zebra"]),
+            "tag": pa.array(["b1", "b2", "b3"]),
+        }
+    )
+    w = ix.writer()
+    w.add_document(title="buffered zebra doc", tag="buf")
+    w.add_dataset(ray.data.from_arrow(tbl).repartition(2), id_col="doc_id")
+    w.commit()
+    assert ix.doc_count() == 4
+
+    s = ix.searcher()
+    hits = s.search(Term("zebra", field="title"), limit=10)
+    assert sorted(h.docnum for h in hits) == [0, 100, 102]
+    assert s.document(tag="b2")["title"] == "bulk two"
+    # next commit's sequential ids start past the explicit ones
+    w = ix.writer()
+    w.add_document(title="later doc", tag="later")
+    w.commit()
+    s = ix.searcher()
+    assert s.document_number(tag="later") == 103
+
+
 def test_open_dir_roundtrip(ray_session, tmp_path):
     p = str(tmp_path / "c3")
     ix = C.create_in(p, _schema())

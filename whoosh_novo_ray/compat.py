@@ -313,7 +313,16 @@ class CompatIndex:
             return None
 
     def _stored_parts(self) -> list[str]:
-        return sorted(glob.glob(os.path.join(self.root, "stored", "part-*.parquet")))
+        """Stored-field parquet files: single-file parts from buffered
+        commits, plus files under part directories written by bulk
+        add_dataset commits."""
+        out = []
+        for p in sorted(glob.glob(os.path.join(self.root, "stored", "part-*"))):
+            if os.path.isdir(p):
+                out.extend(sorted(glob.glob(os.path.join(p, "*.parquet"))))
+            elif p.endswith(".parquet"):
+                out.append(p)
+        return out
 
     def _attrs(self, live_ids: np.ndarray | None) -> pa.Table:
         cols = self.schema.attr_names()
@@ -383,6 +392,7 @@ class CompatWriter:
         self.schema = index.schema
         self._adds: list[dict] = []
         self._updates: list[dict] = []
+        self._datasets: list[tuple] = []
         self._del_terms: list[tuple[str, str]] = []
         self._cancelled = False
 
@@ -403,6 +413,19 @@ class CompatWriter:
             raise ValueError("update_document needs a unique field value")
         self._updates.append(kw)
 
+    def add_dataset(self, ds, id_col: str | None = None) -> None:
+        """Bulk add: a Ray Dataset whose columns are schema field names —
+        the SCALE path (reference users ingest whole parquet corpora; a
+        per-row add_document loop would serialize the driver). Blocks never
+        leave the object store: ids are assigned per block from a
+        driver-side offset list, per-field projections and the stored part
+        are map_batches + write_parquet.
+
+        ``id_col``: use this column as the doc id (caller guarantees
+        uniqueness and no overlap with existing ids); None assigns
+        sequential ids."""
+        self._datasets.append((ds, id_col))
+
     def delete_by_term(self, fieldname: str, text) -> None:
         if fieldname not in self.schema or not self.schema[fieldname].indexed:
             raise ValueError(f"{fieldname!r} is not an indexed field")
@@ -410,7 +433,7 @@ class CompatWriter:
 
     def cancel(self) -> None:
         self._cancelled = True
-        self._adds, self._updates, self._del_terms = [], [], []
+        self._adds, self._updates, self._datasets, self._del_terms = [], [], [], []
 
     # -- commit -------------------------------------------------------------
 
@@ -424,6 +447,80 @@ class CompatWriter:
         term = self.schema[field].to_index_value(text)
         ids, _ = Searcher(idx).postings(Q.Term(term))
         return np.asarray(ids, np.uint64)
+
+    def _with_ids(self, ds, id_col: str | None, next_id: int):
+        """Normalize a bulk dataset to carry a uint64 ``doc_id`` column;
+        blocks stay in the object store (one remote count + one remote
+        id-append task per block — the driver holds one offset per block)."""
+        import ray
+        import ray.data
+
+        if id_col is not None:
+            mx = ds.max(id_col)
+
+            def rn(b: pa.Table) -> pa.Table:
+                cols = {"doc_id": b[id_col].cast(pa.uint64())}
+                for c in b.column_names:
+                    if c not in (id_col, "doc_id"):
+                        cols[c] = b[c]
+                return pa.table(cols)
+
+            ds2 = ds.map_batches(rn, batch_format="pyarrow", zero_copy_batch=True)
+            return ds2, max(next_id, int(mx) + 1)
+
+        refs = ds.materialize().to_arrow_refs()
+        nrows_task = ray.remote(lambda t: t.num_rows)
+        nrows = ray.get([nrows_task.remote(r) for r in refs])
+
+        def _append_ids(t: pa.Table, off: int) -> pa.Table:
+            return t.append_column(
+                "doc_id",
+                pa.array(np.arange(off, off + t.num_rows, dtype=np.uint64)),
+            )
+
+        add_task = ray.remote(_append_ids)
+        offs = next_id + np.concatenate(([0], np.cumsum(nrows)[:-1])).astype(np.int64)
+        new_refs = [add_task.remote(r, int(o)) for r, o in zip(refs, offs)]
+        return ray.data.from_arrow_refs(new_refs), next_id + int(sum(nrows))
+
+    @staticmethod
+    def _project_field(fname: str, spec: FieldSpec):
+        """map_batches fn: (doc_id, <field> as index-value string)."""
+        import pyarrow.compute as pc
+
+        def project(b: pa.Table) -> pa.Table:
+            if fname in b.column_names:
+                col = b[fname]
+                if spec.kind == "boolean":
+                    out = pc.if_else(col.cast(pa.bool_()), "t", "f")
+                else:
+                    out = col.cast(pa.string())
+                out = pc.fill_null(out, "")
+            else:
+                out = pa.nulls(len(b), pa.string()).fill_null("")
+            return pa.table({"doc_id": b["doc_id"], fname: out})
+
+        return project
+
+    @staticmethod
+    def _project_attrs(names: list[str], types: list[pa.DataType]):
+        def project(b: pa.Table) -> pa.Table:
+            cols = {"doc_id": b["doc_id"].cast(pa.uint64())}
+            for n, typ in zip(names, types):
+                cols[n] = (
+                    b[n].cast(typ)
+                    if n in b.column_names
+                    else pa.nulls(len(b), typ)
+                )
+            return pa.table(cols)
+
+        return project
+
+    def _next_part_path(self) -> str:
+        base = os.path.join(self.index.root, "stored")
+        os.makedirs(base, exist_ok=True)
+        existing = glob.glob(os.path.join(base, "part-*"))
+        return os.path.join(base, f"part-{len(existing):06d}")
 
     def commit(self) -> None:
         if self._cancelled:
@@ -448,14 +545,21 @@ class CompatWriter:
 
         new_docs = self._updates + self._adds
         ids = np.arange(next_id, next_id + len(new_docs), dtype=np.uint64)
+        next_id += len(new_docs)
+
+        norm_dss = []
+        for ds, id_col in self._datasets:
+            nds, next_id = self._with_ids(ds, id_col, next_id)
+            norm_dss.append(nds)
 
         indexed = ix.schema.indexed_names()
         for fname in indexed:
             gi = ix._field_gi(fname)
             if len(dels) and gi.current_generation() is not None:
                 gi.delete_documents(dels, lineage="compat:delete")
+            spec = ix.schema[fname]
+            field_ds = None
             if new_docs:
-                spec = ix.schema[fname]
                 tbl = pa.table(
                     {
                         "doc_id": pa.array(ids, pa.uint64()),
@@ -473,26 +577,38 @@ class CompatWriter:
                 n_blocks = max(
                     1, min(len(new_docs), int(ray.cluster_resources().get("CPU", 4)))
                 )
-                gi.add_documents(
-                    ray.data.from_arrow(tbl).repartition(n_blocks),
-                    lineage=f"compat:gen{next_id}",
+                field_ds = ray.data.from_arrow(tbl).repartition(n_blocks)
+            for nds in norm_dss:
+                proj = nds.map_batches(
+                    self._project_field(fname, spec),
+                    batch_format="pyarrow",
+                    zero_copy_batch=True,
                 )
+                field_ds = proj if field_ds is None else field_ds.union(proj)
+            if field_ds is not None:
+                gi.add_documents(field_ds, lineage=f"compat:gen{next_id}")
 
+        attr_names = ix.schema.attr_names()
         if new_docs:
             cols: dict[str, pa.Array] = {"doc_id": pa.array(ids, pa.uint64())}
-            for n in ix.schema.attr_names():
+            for n in attr_names:
                 typ = ix.schema[n].arrow_type()
                 cols[n] = pa.array([d.get(n) for d in new_docs], typ)
-            os.makedirs(os.path.join(ix.root, "stored"), exist_ok=True)
-            part = os.path.join(
-                ix.root, "stored", f"part-{len(ix._stored_parts()):06d}.parquet"
-            )
+            part = self._next_part_path() + ".parquet"
             pq.write_table(pa.table(cols), part + ".tmp")
             os.replace(part + ".tmp", part)
+        if attr_names:
+            types = [ix.schema[n].arrow_type() for n in attr_names]
+            for nds in norm_dss:
+                nds.map_batches(
+                    self._project_attrs(attr_names, types),
+                    batch_format="pyarrow",
+                    zero_copy_batch=True,
+                ).write_parquet(self._next_part_path())
 
-        meta["next_id"] = next_id + len(new_docs)
+        meta["next_id"] = next_id
         ix._write_meta(meta)
-        self._adds, self._updates, self._del_terms = [], [], []
+        self._adds, self._updates, self._datasets, self._del_terms = [], [], [], []
 
     # context-manager sugar: `with ix.writer() as w: ...` commits on success
     def __enter__(self):
