@@ -116,6 +116,14 @@ def test_exact_quantiles_duplicate_heavy(ray_session):
     assert out["value"].to_pylist() == [1, 7, 9]
 
 
+def test_exact_quantiles_float_column(ray_session):
+    vals = np.array([0.5, 1.5, 2.5, 3.5, 100.0])
+    tbl = pa.table({"x": pa.array(vals)})
+    out = exact_quantiles(_ds(ray_session, tbl, 3), "x", (0.0, 0.5, 1.0))
+    assert out["value"].type == pa.float64()
+    assert out["value"].to_pylist() == [0.5, 2.5, 100.0]
+
+
 def test_top_terms_per_group_counts_and_tiebreak(ray_session):
     tbl = _table(seed=8)
     out = _collect(top_terms_per_group(_ds(ray_session, tbl), "source", 3))

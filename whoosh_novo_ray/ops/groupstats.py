@@ -125,10 +125,21 @@ def exact_quantiles(
     ``(q, value)``.
     """
 
+    import pyarrow.types as patypes
+
+    is_int = patypes.is_integer(ds.schema().base_schema.field(col).type)
+
     def value_counts(batch: pa.Table) -> pa.Table:
-        v, c = np.unique(batch[col].to_numpy(zero_copy_only=False), return_counts=True)
+        # float64 histogram keys: exact for integers < 2^53 and for float
+        # inputs bit-identical grouping across batches
+        v, c = np.unique(
+            batch[col].to_numpy(zero_copy_only=False), return_counts=True
+        )
         return pa.table(
-            {"v": pa.array(v.astype(np.int64)), "c": pa.array(c.astype(np.int64))}
+            {
+                "v": pa.array(v.astype(np.float64)),
+                "c": pa.array(c.astype(np.int64)),
+            }
         )
 
     hist = (
@@ -137,7 +148,7 @@ def exact_quantiles(
         .sum("c")
         .take_all()
     )
-    vals = np.asarray(sorted(r["v"] for r in hist), np.int64)
+    vals = np.asarray(sorted(r["v"] for r in hist), np.float64)
     cnts = np.asarray(
         [r["sum(c)"] for r in sorted(hist, key=lambda r: r["v"])], np.int64
     )
@@ -146,12 +157,19 @@ def exact_quantiles(
     out_v = []
     for q in qs:
         if n == 0:
-            out_v.append(0)
+            out_v.append(0.0)
             continue
         rank = int(np.floor(q * (n - 1)))
-        out_v.append(int(vals[np.searchsorted(cum, rank + 1, side="left")]))
+        out_v.append(float(vals[np.searchsorted(cum, rank + 1, side="left")]))
     return pa.table(
-        {"q": pa.array(list(qs), pa.float64()), "value": pa.array(out_v, pa.int64())}
+        {
+            "q": pa.array(list(qs), pa.float64()),
+            "value": pa.array(
+                [int(v) for v in out_v], pa.int64()
+            )
+            if is_int
+            else pa.array(out_v, pa.float64()),
+        }
     )
 
 
