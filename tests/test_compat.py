@@ -306,6 +306,25 @@ def test_add_dataset_explicit_ids_and_mixed_commit(ray_session, tmp_path):
     assert s.document_number(tag="later") == 103
 
 
+def test_suggest_and_correct_query(ray_session, tmp_path):
+    from whoosh_novo_ray.search.query import Term
+
+    ix = C.create_in(str(tmp_path / "sg"), _schema())
+    with ix.writer() as w:
+        for i in range(6):
+            w.add_document(title="window search engine", tag=f"t{i}")
+        w.add_document(title="wander around", tag="t9")
+    s = ix.searcher()
+    sugs = s.suggest("title", "windoe")
+    assert sugs and sugs[0] == "window"
+    q2, changed = s.correct_query("title:windoe")
+    assert changed
+    terms = [l.text for l in q2.leaves() if isinstance(l, Term)]
+    assert "window" in terms
+    q3, changed3 = s.correct_query(Term("window", field="title"))
+    assert not changed3
+
+
 def test_open_dir_roundtrip(ray_session, tmp_path):
     p = str(tmp_path / "c3")
     ix = C.create_in(p, _schema())

@@ -822,6 +822,76 @@ class CompatSearcher:
             return f
         return None
 
+    def suggest(
+        self,
+        fieldname: str,
+        text: str,
+        limit: int = 5,
+        maxdist: int = 2,
+        prefix: int = 0,
+    ) -> list[str]:
+        """Spelling suggestions from that field's lexicon (reference
+        searcher.suggest / ReaderCorrector, spelling.py)."""
+        if fieldname not in self._opened:
+            return []
+        from whoosh_novo_ray.search.fuzzy import suggest as _suggest
+
+        return _suggest(
+            self._opened[fieldname], text, limit=limit, maxdist=maxdist,
+            prefix=prefix,
+        )
+
+    def correct_query(self, q, maxdist: int = 2, prefix: int = 0):
+        """Did-you-mean: each fielded term corrects against ITS OWN field's
+        lexicon (reference Searcher.correct_query consults the per-field
+        corrector, searching.py:861-975). Returns (corrected, changed?)."""
+        from whoosh_novo_ray.search import query as Q
+        from whoosh_novo_ray.search.fuzzy import suggest as _suggest
+        from whoosh_novo_ray.search.qparser import _map_fielded
+
+        if isinstance(q, str):
+            q = self.parse(q)
+        if self._router is None:
+            return q, False
+        default = self._router.default_field
+        changed = False
+
+        def best(field, word):
+            sub = self._router._searchers.get(field or default)
+            if sub is None:
+                return None
+            df, _, _ = sub.term_stats(word)
+            if df:
+                return None
+            sugs = _suggest(
+                sub.index, word, limit=1, maxdist=maxdist, prefix=prefix
+            )
+            return sugs[0] if sugs else None
+
+        def fix(node):
+            nonlocal changed
+            if isinstance(node, Q.Term):
+                rep = best(node.field, node.text)
+                if rep is not None:
+                    changed = True
+                    return Q.Term(rep, boost=node.boost, field=node.field)
+                return node
+            # Phrase: correct each word in place
+            words = []
+            any_fixed = False
+            for w in node.words:
+                rep = best(node.field, w)
+                words.append(rep if rep is not None else w)
+                any_fixed |= rep is not None
+            if any_fixed:
+                changed = True
+                return Q.Phrase(
+                    words, slop=node.slop, field=node.field, boost=node.boost
+                )
+            return node
+
+        return _map_fielded(q, fix), changed
+
     def doc_count(self) -> int:
         return self.index.doc_count()
 
