@@ -711,17 +711,8 @@ class CompatSearcher:
             if self._opened
             else None
         )
-        live = (
-            self._opened[default].all_doc_ids()
-            if self._opened
-            else np.empty(0, np.uint64)
-        )
-        self.attrs = index._attrs(live)
-        self._attr_ids = (
-            self.attrs["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-            if len(self.attrs)
-            else np.empty(0, np.uint64)
-        )
+        self._default = default
+        self._attrs_cache: pa.Table | None = None
 
     def parse(self, qstring: str):
         """Parse schema-aware: unfielded terms search every indexed TEXT
@@ -739,17 +730,56 @@ class CompatSearcher:
             },
         ).parse(qstring)
 
+    @property
+    def attrs(self) -> pa.Table:
+        """The FULL live stored-fields table (lazy: only ColumnQuery-style
+        equality lookups over native columns need a scan; stored-field
+        hydration for hits uses per-id pushdown reads instead — the driver
+        never loads the corpus's stored columns to serve top-k)."""
+        if self._attrs_cache is None:
+            live = (
+                self._opened[self._default].all_doc_ids()
+                if self._opened
+                else np.empty(0, np.uint64)
+            )
+            self._attrs_cache = self.index._attrs(live)
+        return self._attrs_cache
+
     def _stored_for(self, doc_ids: np.ndarray) -> list[dict]:
-        if not len(self._attr_ids):
+        """Stored-field dicts for the given ids via parquet predicate
+        pushdown over the part files (row-group pruning; never a full
+        stored-table load). Ids are unique across parts by construction
+        (monotonic assignment; updates write new ids)."""
+        doc_ids = np.asarray(doc_ids, np.uint64)
+        if not len(doc_ids):
+            return []
+        parts = self.index._stored_parts()
+        if not parts:
             return [{} for _ in doc_ids]
-        order = np.argsort(self._attr_ids, kind="stable")
-        pos = np.searchsorted(self._attr_ids[order], doc_ids)
+        if self._attrs_cache is not None:
+            tbl = self._attrs_cache  # already loaded for a ColumnQuery
+        else:
+            import pyarrow.compute as pc
+
+            want = pc.field("doc_id").isin([int(d) for d in doc_ids])
+            read = [pq.read_table(p, filters=want) for p in parts]
+            tbl = pa.concat_tables(read).combine_chunks()
+        ids = (
+            tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            if len(tbl)
+            else np.empty(0, np.uint64)
+        )
+        order = np.argsort(ids, kind="stable")
+        pos = np.searchsorted(ids[order], doc_ids)
         out = []
-        rows = self.attrs
         for i, d in zip(pos, doc_ids):
-            if i < len(order) and self._attr_ids[order[i]] == d:
+            if i < len(order) and ids[order[i]] == d:
                 out.append(
-                    {k: v for k, v in rows.slice(order[i], 1).to_pylist()[0].items() if k != "doc_id"}
+                    {
+                        k: v
+                        for k, v in tbl.slice(order[i], 1).to_pylist()[0].items()
+                        if k != "doc_id"
+                    }
                 )
             else:
                 out.append({})
