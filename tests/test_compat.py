@@ -325,6 +325,38 @@ def test_suggest_and_correct_query(ray_session, tmp_path):
     assert not changed3
 
 
+def test_pooled_search_matches_local(ray_session, tmp_path):
+    """pooled=True routes single-field queries through the distributed
+    ScorePool (doc-shard actors) with results identical to the local path."""
+    from whoosh_novo_ray.search.query import And, Or, Phrase, Prefix, Term
+
+    titles, bodies = _texts(60, 13), _texts(60, 14)
+    ix = _build_compat(tmp_path, titles, bodies)
+    local = ix.searcher()
+    pooled = ix.searcher(pooled=True, num_actors=2)
+
+    cases = [
+        Term("search", field="body"),
+        Or(Term("table", field="body"), Term("window", field="body")),
+        And(Term("fast", field="title"), Term("row", field="title")),
+        Phrase(["search", "engine"], field="body"),
+        Prefix("sc"),  # unfielded leaf -> default field, still poolable
+        # mixed fields -> falls back to the local router, same results
+        Or(Term("merge", field="title"), Term("merge", field="body")),
+    ]
+    for q in cases:
+        a = [(h.docnum, round(h.score, 9)) for h in pooled.search(q, limit=10)]
+        b = [(h.docnum, round(h.score, 9)) for h in local.search(q, limit=10)]
+        assert a == b, q
+    # stored fields hydrate on the pooled path too
+    hit = pooled.search(Term("search", field="body"), limit=1)
+    if hit:
+        assert hit[0]["title"] == titles[hit[0].docnum]
+    # pools are cached on the index: a second searcher reuses the fleet
+    pooled2 = ix.searcher(pooled=True, num_actors=2)
+    assert pooled2._pool_for("body") is ix._pools[("body", 1)]
+
+
 def test_open_dir_roundtrip(ray_session, tmp_path):
     p = str(tmp_path / "c3")
     ix = C.create_in(p, _schema())

@@ -693,11 +693,27 @@ class Results(list):
 
 
 class CompatSearcher:
-    def __init__(self, index: CompatIndex, **field_params):
+    """Facade searcher. With ``pooled=True``, any query whose leaves all
+    address ONE field routes through the distributed ScorePool serving that
+    field's generational index (whole-query evaluation inside doc-shard
+    actors, driver top-k merge — the cluster serving path); queries mixing
+    fields or touching attrs columns fall back to the local router. Pools
+    are cached on the CompatIndex per (field, generation) so repeated
+    searcher() calls reuse the actor fleets."""
+
+    def __init__(
+        self,
+        index: CompatIndex,
+        pooled: bool = False,
+        num_actors: int = 4,
+        **field_params,
+    ):
         from whoosh_novo_ray.index.multifield import MultiFieldSearcher
 
         self.index = index
         self.schema = index.schema
+        self._pooled = pooled
+        self._num_actors = num_actors
         names = self.schema.indexed_names()
         opened = {n: index._open_field(n) for n in names}
         self._opened = {n: v for n, v in opened.items() if v is not None}
@@ -785,11 +801,71 @@ class CompatSearcher:
                 out.append({})
         return out
 
+    def _pool_for(self, field: str):
+        gi = self.index._field_gi(field)
+        key = (field, gi.current_generation())
+        cache = self.index.__dict__.setdefault("_pools", {})
+        if key not in cache:
+            from whoosh_novo_ray.state.score_pool import ScorePool
+
+            cache[key] = ScorePool.for_generational(
+                gi, num_actors=self._num_actors
+            )
+        return cache[key]
+
+    def _pool_route(self, q):
+        """The single field every leaf of ``q`` addresses, or None when the
+        query mixes fields / needs attrs / can't be shipped to shard actors."""
+        from whoosh_novo_ray.search import query as Q
+
+        fields: set[str] = set()
+        for node in q.leaves():  # yields compounds AND leaves
+            # NumericRange/DateRange are factories returning ColumnQuery
+            if isinstance(node, Q.ColumnQuery):
+                return None  # attrs-table scan: local
+            if isinstance(node, (Q.NestedParent, Q.NestedChildren)):
+                return None
+            if isinstance(node, (Q.Term, Q.Phrase)):
+                fields.add(node.field or self._default)
+            elif any(hasattr(node, a) for a in ("children", "a", "child", "q")):
+                continue  # compound/wrapper: its children are also yielded
+            else:
+                # every other leaf kind evaluates in the default field
+                fields.add(self._default)
+        if len(fields) == 1:
+            return next(iter(fields))
+        return None
+
+    @staticmethod
+    def _strip_fields(q):
+        from whoosh_novo_ray.search import query as Q
+        from whoosh_novo_ray.search.qparser import _map_fielded
+
+        def strip(node):
+            if isinstance(node, Q.Term):
+                return Q.Term(node.text, boost=node.boost)
+            return Q.Phrase(list(node.words), slop=node.slop, boost=node.boost)
+
+        return _map_fielded(q, strip)
+
     def search(self, q, limit: int | None = 10) -> Results:
         if isinstance(q, str):
             q = self.parse(q)
         if self._router is None:
             return Results()
+        if self._pooled:
+            field = self._pool_route(q)
+            if field is not None and field in self._opened:
+                t = self._pool_for(field).search(
+                    self._strip_fields(q), limit=limit
+                )
+                ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+                scores = t["score"].to_numpy(zero_copy_only=False)
+                ctx = (q, self)
+                return Results(
+                    Hit(int(d), float(s), f, hl_ctx=ctx)
+                    for d, s, f in zip(ids, scores, self._stored_for(ids))
+                )
         t = self._router.search(q, limit=limit)
         ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
         scores = t["score"].to_numpy(zero_copy_only=False)
