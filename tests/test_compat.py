@@ -357,6 +357,58 @@ def test_pooled_search_matches_local(ray_session, tmp_path):
     assert pooled2._pool_for("body") is ix._pools[("body", 1)]
 
 
+def test_stemmed_text_parity_vs_reference(ray_session, tmp_path):
+    """TEXT(stem=True) == reference TEXT(analyzer=StemmingAnalyzer())."""
+    import whoosh.index as windex
+    from whoosh.analysis import StemmingAnalyzer
+    from whoosh.fields import TEXT as RTEXT
+    from whoosh.fields import Schema as RSchema
+    from whoosh.query import Term as RTerm
+
+    from whoosh_novo_ray.search.query import Term
+
+    texts = [
+        "running runs runner ran",
+        "the runner was running fast",
+        "stems stemming stemmed words",
+        "completely unrelated content here",
+        "runners keep running and running",
+    ] * 6
+    cix = C.create_in(
+        str(tmp_path / "stem"), C.Schema(body=C.TEXT(stem=True), tag=C.ID())
+    )
+    with cix.writer() as w:
+        for i, t in enumerate(texts):
+            w.add_document(body=t, tag=f"t{i}")
+
+    d = tmp_path / "refstem"
+    d.mkdir()
+    rix = windex.create_in(
+        str(d), RSchema(body=RTEXT(analyzer=StemmingAnalyzer()))
+    )
+    w = rix.writer()
+    for t in texts:
+        w.add_document(body=t)
+    w.commit()
+
+    s = cix.searcher()
+    for word in ("running", "stemming", "runner"):
+        ours = [
+            (h.docnum, round(h.score, 9))
+            for h in s.search(s.parse(f"body:{word}"), limit=10)
+        ]
+        with rix.searcher() as rs:
+            # parse-side stemming: the reference parser stems fielded words
+            from whoosh.qparser import QueryParser as RQP
+
+            rq = RQP("body", rix.schema).parse(word)
+            ref = [
+                (int(h.docnum), round(float(h.score), 9))
+                for h in rs.search(rq, limit=10)
+            ]
+        assert ours == ref, word
+
+
 def test_open_dir_roundtrip(ray_session, tmp_path):
     p = str(tmp_path / "c3")
     ix = C.create_in(p, _schema())
