@@ -409,6 +409,67 @@ def test_stemmed_text_parity_vs_reference(ray_session, tmp_path):
         assert ours == ref, word
 
 
+def test_lifecycle_fuzz_vs_model(ray_session, tmp_path):
+    """Random add/update/delete commit sequence vs a dict model: live doc
+    count and per-term match sets stay exact through the generational
+    machinery."""
+    from whoosh_novo_ray.analysis import StandardAnalyzer
+    from whoosh_novo_ray.search.query import Term
+
+    rng = np.random.RandomState(42)
+    ana = StandardAnalyzer()
+    ix = C.create_in(
+        str(tmp_path / "fz"),
+        C.Schema(body=C.TEXT(), key=C.ID(stored=True, unique=True)),
+    )
+    # live docs as (doc_id, key, body); commit semantics mirrored exactly:
+    # update/delete lookups see only COMMITTED docs (reference quirk — a
+    # same-writer add of the key survives), deletes apply before adds
+    live: list[tuple[int, str, str]] = []
+    next_id = 0
+    key_seq = 0
+
+    for step in range(6):
+        w = ix.writer()
+        committed_keys = {k for _i, k, _b in live}
+        del_keys: set[str] = set()
+        new_rows: list[tuple[int, str, str]] = []
+        for _ in range(rng.randint(2, 6)):
+            op = rng.choice(["add", "update", "delete"])
+            existing = sorted(committed_keys)
+            if op == "add" or not existing:
+                key = f"k{key_seq}"
+                key_seq += 1
+                body = " ".join(WORDS[i] for i in rng.randint(0, len(WORDS), 8))
+                w.add_document(body=body, key=key)
+                new_rows.append((next_id, key, body))
+                next_id += 1
+            elif op == "update":
+                key = existing[rng.randint(0, len(existing))]
+                body = " ".join(WORDS[i] for i in rng.randint(0, len(WORDS), 8))
+                w.update_document(body=body, key=key)
+                del_keys.add(key)
+                new_rows.append((next_id, key, body))
+                next_id += 1
+            else:
+                key = existing[rng.randint(0, len(existing))]
+                w.delete_by_term("key", key)
+                del_keys.add(key)
+        w.commit()
+        live = [r for r in live if r[1] not in del_keys] + new_rows
+
+        assert ix.doc_count() == len(live), step
+        s = ix.searcher()
+        for word in ("search", "table", "hash"):
+            got = sorted(
+                h.docnum for h in s.search(Term(word, field="body"), limit=None)
+            )
+            want = sorted(did for did, _k, body in live if word in ana(body))
+            assert got == want, (step, word)
+        if live:
+            assert s.document(key=live[0][1]) is not None
+
+
 def test_open_dir_roundtrip(ray_session, tmp_path):
     p = str(tmp_path / "c3")
     ix = C.create_in(p, _schema())

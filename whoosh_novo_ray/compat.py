@@ -390,7 +390,10 @@ class CompatWriter:
     def __init__(self, index: CompatIndex):
         self.index = index
         self.schema = index.schema
-        self._adds: list[dict] = []
+        # one buffer in CALL ORDER (doc ids are assigned in add/update
+        # call order, like the reference's docnums); updates are also
+        # tracked separately for the unique-key delete lookups
+        self._pending: list[dict] = []
         self._updates: list[dict] = []
         self._datasets: list[tuple] = []
         self._del_terms: list[tuple[str, str]] = []
@@ -403,7 +406,7 @@ class CompatWriter:
         return kw
 
     def add_document(self, **kw) -> None:
-        self._adds.append(self._check(kw))
+        self._pending.append(self._check(kw))
 
     def update_document(self, **kw) -> None:
         """Delete any docs matching this doc's unique-field values, then add
@@ -411,6 +414,7 @@ class CompatWriter:
         self._check(kw)
         if not any(u in kw for u in self.schema.unique_names()):
             raise ValueError("update_document needs a unique field value")
+        self._pending.append(kw)
         self._updates.append(kw)
 
     def add_dataset(self, ds, id_col: str | None = None) -> None:
@@ -433,7 +437,8 @@ class CompatWriter:
 
     def cancel(self) -> None:
         self._cancelled = True
-        self._adds, self._updates, self._datasets, self._del_terms = [], [], [], []
+        self._pending, self._updates = [], []
+        self._datasets, self._del_terms = [], []
 
     # -- commit -------------------------------------------------------------
 
@@ -543,7 +548,7 @@ class CompatWriter:
             else np.empty(0, np.uint64)
         )
 
-        new_docs = self._updates + self._adds
+        new_docs = self._pending
         ids = np.arange(next_id, next_id + len(new_docs), dtype=np.uint64)
         next_id += len(new_docs)
 
@@ -608,7 +613,8 @@ class CompatWriter:
 
         meta["next_id"] = next_id
         ix._write_meta(meta)
-        self._adds, self._updates, self._datasets, self._del_terms = [], [], [], []
+        self._pending, self._updates = [], []
+        self._datasets, self._del_terms = [], []
 
     # context-manager sugar: `with ix.writer() as w: ...` commits on success
     def __enter__(self):
