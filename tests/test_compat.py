@@ -470,6 +470,25 @@ def test_lifecycle_fuzz_vs_model(ray_session, tmp_path):
             assert s.document(key=live[0][1]) is not None
 
 
+def test_search_page(ray_session, tmp_path):
+    from whoosh_novo_ray.search.query import Term
+
+    titles, bodies = _texts(40, 15), _texts(40, 16)
+    ix = _build_compat(tmp_path, titles, bodies)
+    s = ix.searcher()
+    q = Term("value", field="body")
+    full = s.search(q, limit=None)
+    pg1 = s.search_page(q, 1, pagelen=4)
+    pg2 = s.search_page(q, 2, pagelen=4)
+    assert [h.docnum for h in pg1["hits"]] == [h.docnum for h in full[:4]]
+    assert [h.docnum for h in pg2["hits"]] == [h.docnum for h in full[4:8]]
+    assert pg1["total"] == len(full)
+    # page past the end -> last page (reference behavior)
+    last = s.search_page(q, 999, pagelen=4)
+    assert last["is_last_page"] and last["pagenum"] == pg1["pagecount"]
+    assert pg1["hits"][0]["title"] == titles[pg1["hits"][0].docnum]
+
+
 def test_open_dir_roundtrip(ray_session, tmp_path):
     p = str(tmp_path / "c3")
     ix = C.create_in(p, _schema())

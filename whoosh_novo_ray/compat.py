@@ -934,6 +934,29 @@ class CompatSearcher:
             return f
         return None
 
+    def search_page(self, q, pagenum: int, pagelen: int = 10) -> dict:
+        """Paged results (reference Searcher.search_page / ResultsPage):
+        a dict with the page's ``hits`` (stored-field Hit list), total,
+        pagenum, pagecount and is_last_page; a page past the end returns
+        the last page (reference behavior)."""
+        if pagenum < 1:
+            raise ValueError("pagenum must be >= 1")
+        if isinstance(q, str):
+            q = self.parse(q)
+        full = self.search(q, limit=None)
+        total = len(full)
+        pagecount = max(1, -(-total // pagelen))
+        pagenum = min(pagenum, pagecount)
+        offset = (pagenum - 1) * pagelen
+        return {
+            "hits": Results(full[offset : offset + pagelen]),
+            "total": total,
+            "pagenum": pagenum,
+            "pagecount": pagecount,
+            "pagelen": pagelen,
+            "is_last_page": pagenum == pagecount,
+        }
+
     def suggest(
         self,
         fieldname: str,
