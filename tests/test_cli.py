@@ -41,6 +41,12 @@ def test_cli_build_search_stats_roundtrip(ray_session, tmp_path, capsys):
     t = Searcher(Index(idx)).search(QueryParser().parse("table OR window"), limit=5)
     assert [h["doc_id"] for h in res["hits"]] == t["doc_id"].to_pylist()
 
+    # distributed serving path returns the same ranking
+    pooled = _run(capsys, ["search", "--index", idx, "--query",
+                           "table OR window", "--limit", "5",
+                           "--pooled", "--actors", "2"])
+    assert pooled["hits"] == res["hits"]
+
 
 def test_cli_build_resume_skips(ray_session, tmp_path, capsys):
     idx = str(tmp_path / "idx2")

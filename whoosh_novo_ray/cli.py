@@ -88,12 +88,22 @@ def _cmd_search(args) -> dict:
     from whoosh_novo_ray.search.qparser import QueryParser
 
     q = QueryParser().parse(args.query)
-    s = Searcher(Index(args.index))
-    t = s.search(q, limit=args.limit)
+    if args.pooled:
+        # distributed serving: doc-shard actors evaluate the whole query,
+        # the driver merges per-shard top-k (builds/reuses the resumable
+        # serving layout next to the index)
+        from whoosh_novo_ray.state.score_pool import ScorePool
+
+        t = ScorePool(args.index, num_actors=args.actors).search(
+            q, limit=args.limit
+        )
+    else:
+        t = Searcher(Index(args.index)).search(q, limit=args.limit)
     return {
         "cmd": "search",
         "query": args.query,
         "parsed": repr(q),
+        "pooled": bool(args.pooled),
         "hits": [
             {"doc_id": int(d), "score": round(float(sc), 6)}
             for d, sc in zip(t["doc_id"].to_pylist(), t["score"].to_pylist())
@@ -137,6 +147,9 @@ def _parser() -> argparse.ArgumentParser:
     s.add_argument("--index", required=True)
     s.add_argument("--query", required=True)
     s.add_argument("--limit", type=int, default=10)
+    s.add_argument("--pooled", action="store_true",
+                   help="serve through the distributed doc-shard ScorePool")
+    s.add_argument("--actors", type=int, default=4)
     s.set_defaults(fn=_cmd_search)
 
     st = sub.add_parser("stats", help="print an index manifest summary")
