@@ -489,6 +489,36 @@ def test_search_page(ray_session, tmp_path):
     assert pg1["hits"][0]["title"] == titles[pg1["hits"][0].docnum]
 
 
+def test_write_lock_blocks_second_committer(ray_session, tmp_path):
+    import os
+
+    ix = C.create_in(str(tmp_path / "lk"), _schema())
+    lock = os.path.join(ix.root, ".write_lock")
+    os.close(os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+    w = ix.writer()
+    w.add_document(title="blocked", tag="x")
+    import whoosh_novo_ray.compat as compat_mod
+
+    # shrink the wait so the test stays fast
+    import time as _time
+
+    real_monotonic = _time.monotonic
+    t0 = real_monotonic()
+    try:
+        _time.monotonic = lambda: real_monotonic() + (
+            0 if real_monotonic() - t0 < 0.3 else 3600
+        )
+        import pytest as _pytest
+
+        with _pytest.raises(TimeoutError):
+            w.commit()
+    finally:
+        _time.monotonic = real_monotonic
+        os.unlink(lock)
+    w.commit()  # lock released: commit proceeds
+    assert ix.doc_count() == 1
+
+
 def test_open_dir_roundtrip(ray_session, tmp_path):
     p = str(tmp_path / "c3")
     ix = C.create_in(p, _schema())

@@ -534,6 +534,37 @@ class CompatWriter:
         import ray.data
 
         ix = self.index
+        # the reference serializes writers with an index lock
+        # (writing.py IndexWriter); here the doc-id counter and generation
+        # bumps are the racy window, guarded by an O_EXCL lockfile
+        lock = os.path.join(ix.root, ".write_lock")
+        import time as _time
+
+        deadline = _time.monotonic() + 60.0
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+                break
+            except FileExistsError:
+                if _time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"another writer holds {lock} (remove it if stale)"
+                    )
+                _time.sleep(0.05)
+        try:
+            self._commit_locked()
+        finally:
+            try:
+                os.unlink(lock)
+            except FileNotFoundError:
+                pass
+
+    def _commit_locked(self) -> None:
+        import ray
+        import ray.data
+
+        ix = self.index
         meta = ix._meta()
         next_id = int(meta["next_id"])
 
