@@ -519,6 +519,35 @@ def test_write_lock_blocks_second_committer(ray_session, tmp_path):
     assert ix.doc_count() == 1
 
 
+def test_datetime_parse_and_numeric_range(ray_session, tmp_path):
+    from datetime import datetime, timezone
+
+    from whoosh_novo_ray.search.query import And, Term
+
+    ix = C.create_in(
+        str(tmp_path / "dt"),
+        C.Schema(body=C.TEXT(), ts=C.DATETIME(), n=C.NUMERIC("int")),
+    )
+    base = datetime(2024, 6, 1, tzinfo=timezone.utc)
+    with ix.writer() as w:
+        for i in range(12):
+            w.add_document(
+                body=f"event number {i} search",
+                ts=datetime(2024, 1 + i % 12, 5, tzinfo=timezone.utc),
+                n=i,
+            )
+    s = ix.searcher()
+    q = s.parse("body:search AND ts:'jan 2024 to mar 2024'", basedate=base)
+    got = sorted(h.docnum for h in s.search(q, limit=None))
+    # months jan..mar 2024 -> i in {0, 1, 2} ('to' range is exclusive of
+    # the moment apr starts; mar 5 included)
+    assert got == [0, 1, 2]
+
+    nr = s.numeric_range("n", 3, 6)
+    got_n = sorted(h.docnum for h in s.search(And(Term("search"), nr), limit=None))
+    assert got_n == [3, 4, 5, 6]
+
+
 def test_open_dir_roundtrip(ray_session, tmp_path):
     p = str(tmp_path / "c3")
     ix = C.create_in(p, _schema())

@@ -767,12 +767,23 @@ class CompatSearcher:
         self._default = default
         self._attrs_cache: pa.Table | None = None
 
-    def parse(self, qstring: str):
+    def parse(self, qstring: str, basedate=None):
         """Parse schema-aware: unfielded terms search every indexed TEXT
         field; explicit ``field:term`` routes AND analyzes with that field's
-        own analyzer (ID/KEYWORD terms keep their case)."""
+        own analyzer (ID/KEYWORD terms keep their case); DATETIME fields
+        accept ``field:'<natural language>'`` (reference DateParserPlugin —
+        ``basedate`` anchors relative dates, default now)."""
         from whoosh_novo_ray.search.qparser import MultifieldParser
 
+        dt_fields = {}
+        dt_names = [
+            n for n in self.schema.names() if self.schema[n].kind == "datetime"
+        ]
+        if dt_names:
+            from datetime import datetime, timezone
+
+            base = basedate or datetime.now(timezone.utc)
+            dt_fields = {n: (self.attrs, n, base) for n in dt_names}
         text_fields = [
             n for n in self.schema.indexed_names() if self.schema[n].kind == "text"
         ] or self.schema.indexed_names()
@@ -781,7 +792,18 @@ class CompatSearcher:
             field_analyzers={
                 n: self.schema[n].analyzer() for n in self.schema.indexed_names()
             },
+            datetime_fields=dt_fields,
         ).parse(qstring)
+
+    def numeric_range(self, fieldname: str, start=None, end=None,
+                      startexcl: bool = False, endexcl: bool = False):
+        """A NumericRange query over a native NUMERIC/DATETIME column
+        (reference query.NumericRange; evaluated as an attrs filter)."""
+        from whoosh_novo_ray.search.query import NumericRange
+
+        return NumericRange(
+            self.attrs, fieldname, start, end, startexcl, endexcl
+        )
 
     @property
     def attrs(self) -> pa.Table:
