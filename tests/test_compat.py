@@ -548,6 +548,30 @@ def test_datetime_parse_and_numeric_range(ray_session, tmp_path):
     assert got_n == [3, 4, 5, 6]
 
 
+def test_more_like_and_key_terms(ray_session, tmp_path):
+    titles, bodies = _texts(40, 17), _texts(40, 18)
+    ix = _build_compat(tmp_path, titles, bodies)
+    s = ix.searcher()
+
+    kt = s.key_terms_from_text("title", titles[3], numterms=3)
+    assert kt and all(isinstance(t, str) and sc > 0 for t, sc in kt)
+
+    # docnum form pulls the stored title; engine more_like agrees
+    got = s.more_like("title", docnum=3, numterms=3, limit=5)
+    from whoosh_novo_ray.search.classify import more_like as engine_ml
+
+    ref = engine_ml(
+        s._router._searchers["title"], titles[3], numterms=3, limit=5
+    )
+    assert [h.docnum for h in got] == [int(d) for d in ref["doc_id"].to_pylist()]
+    assert got[0]["title"] == titles[got[0].docnum]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        s.more_like("body", docnum=3)  # body is not stored
+
+
 def test_open_dir_roundtrip(ray_session, tmp_path):
     p = str(tmp_path / "c3")
     ix = C.create_in(p, _schema())

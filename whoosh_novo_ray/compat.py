@@ -987,6 +987,51 @@ class CompatSearcher:
             return f
         return None
 
+    def key_terms_from_text(
+        self, fieldname: str, texts, numterms: int = 5, model: str = "bo1"
+    ):
+        """Most distinctive terms of the given texts vs that field's
+        collection (reference Searcher.key_terms_from_text)."""
+        from whoosh_novo_ray.search.classify import key_terms_from_text as _kt
+
+        sub = self._router._searchers.get(fieldname) if self._router else None
+        if sub is None:
+            return []
+        if isinstance(texts, str):
+            texts = [texts]
+        return _kt(sub, list(texts), numterms=numterms, model=model)
+
+    def more_like(
+        self,
+        fieldname: str,
+        text: str | None = None,
+        docnum: int | None = None,
+        numterms: int = 5,
+        limit: int = 10,
+    ) -> Results:
+        """More-like-this over one field (reference Searcher.more_like /
+        Hit.more_like_this): key terms expand into an OR query. ``text``
+        comes from the stored field when ``docnum`` is given instead."""
+        if text is None:
+            if docnum is None:
+                raise ValueError("pass text= or docnum=")
+            stored = self._stored_for(np.array([docnum], np.uint64))[0]
+            text = stored.get(fieldname)
+            if text is None:
+                raise ValueError(f"field {fieldname!r} is not stored: pass text=")
+        from whoosh_novo_ray.search.classify import more_like as _ml
+
+        sub = self._router._searchers.get(fieldname) if self._router else None
+        if sub is None:
+            return Results()
+        t = _ml(sub, text, numterms=numterms, limit=limit)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        scores = t["score"].to_numpy(zero_copy_only=False)
+        return Results(
+            Hit(int(d), float(s), f)
+            for d, s, f in zip(ids, scores, self._stored_for(ids))
+        )
+
     def search_page(self, q, pagenum: int, pagelen: int = 10) -> dict:
         """Paged results (reference Searcher.search_page / ResultsPage):
         a dict with the page's ``hits`` (stored-field Hit list), total,
