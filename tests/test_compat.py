@@ -571,6 +571,33 @@ def test_more_like_and_key_terms(ray_session, tmp_path):
     with _pytest.raises(ValueError):
         s.more_like("body", docnum=3)  # body is not stored
 
+    # Hit.more_like_this mirrors searcher.more_like on the stored field
+    from whoosh_novo_ray.search.query import Term
+
+    hit = s.search(Term("search", field="title"), limit=1)[0]
+    via_hit = hit.more_like_this("title", numterms=3, limit=5)
+    via_searcher = s.more_like("title", docnum=hit.docnum, numterms=3, limit=5)
+    assert [h.docnum for h in via_hit] == [h.docnum for h in via_searcher]
+
+
+def test_cleanup_gc(ray_session, tmp_path):
+    import glob as _glob
+    import os
+
+    ix = C.create_in(str(tmp_path / "gc"), _schema())
+    for b in range(4):
+        with ix.writer() as w:
+            w.add_document(title=f"gen {b} words here", tag=f"g{b}")
+    froot = os.path.join(ix.root, "field=title")
+    before = len(_glob.glob(os.path.join(froot, "gen-*")))
+    ix.cleanup(keep=1)
+    after = len(_glob.glob(os.path.join(froot, "gen-*")))
+    assert after < before
+    # still searchable after GC
+    from whoosh_novo_ray.search.query import Term
+
+    assert len(ix.searcher().search(Term("words", field="title"), limit=None)) == 4
+
 
 def test_open_dir_roundtrip(ray_session, tmp_path):
     p = str(tmp_path / "c3")

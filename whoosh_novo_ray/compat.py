@@ -373,6 +373,14 @@ class CompatIndex:
             merge_indexes(members, out, cfg=gi.cfg, lineage="compat:optimize")
             gi._commit(gen)
 
+    def cleanup(self, keep: int = 2) -> None:
+        """Garbage-collect old generations of every field's index
+        (GenerationalIndex.cleanup)."""
+        for name in self.schema.indexed_names():
+            gi = self._field_gi(name)
+            if gi.current_generation() is not None:
+                gi.cleanup(keep=keep)
+
     def refresh(self) -> "CompatIndex":
         return CompatIndex(self.root)
 
@@ -716,6 +724,22 @@ class Hit:
             fragmenter=fragmenter,
             formatter=formatter,
             top=top,
+        )
+
+    def more_like_this(
+        self, fieldname: str, text: str | None = None, numterms: int = 5,
+        limit: int = 10,
+    ):
+        """Docs similar to this hit (reference Hit.more_like_this)."""
+        if self._hl_ctx is None:
+            raise ValueError("Hit has no searcher context")
+        _q, searcher = self._hl_ctx
+        return searcher.more_like(
+            fieldname,
+            text=text if text is not None else self._fields.get(fieldname),
+            docnum=self.docnum,
+            numterms=numterms,
+            limit=limit,
         )
 
     def __repr__(self):

@@ -324,17 +324,25 @@ class GenerationalIndex:
         g = self.current_generation()
         if g is None:
             return
+        # live set FIRST, from the SURVIVING generations only: a merge_small
+        # generation's members.json may reference an old-style gen dir (the
+        # initial create) as a member — deleting by age alone would destroy
+        # a referenced segment set
+        survivors = [
+            name
+            for name in os.listdir(self.root)
+            if name.startswith("gen-") and int(name.split("-")[1]) > g - keep
+        ]
+        live: set[str] = set()
+        for name in survivors:
+            for m in self._members(os.path.join(self.root, name)):
+                live.add(os.path.abspath(m))
         for name in os.listdir(self.root):
             if name.startswith("gen-"):
                 n = int(name.split("-")[1])
-                if n <= g - keep:
-                    shutil.rmtree(os.path.join(self.root, name), ignore_errors=True)
-        # segset GC: keep only members referenced by surviving generations
-        live: set[str] = set()
-        for name in os.listdir(self.root):
-            if name.startswith("gen-"):
-                for m in self._members(os.path.join(self.root, name)):
-                    live.add(os.path.abspath(m))
+                p = os.path.abspath(os.path.join(self.root, name))
+                if n <= g - keep and p not in live:
+                    shutil.rmtree(p, ignore_errors=True)
         ss_root = os.path.join(self.root, "segsets")
         if os.path.isdir(ss_root):
             for name in os.listdir(ss_root):
