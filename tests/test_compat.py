@@ -580,6 +580,30 @@ def test_more_like_and_key_terms(ray_session, tmp_path):
     assert [h.docnum for h in via_hit] == [h.docnum for h in via_searcher]
 
 
+def test_sortedby(ray_session, tmp_path):
+    from whoosh_novo_ray.search.query import Term
+
+    titles, bodies = _texts(30, 19), _texts(30, 20)
+    ix = _build_compat(tmp_path, titles, bodies)
+    s = ix.searcher()
+    q = Term("value", field="body")
+    matched = sorted(h.docnum for h in s.search(q, limit=None))
+
+    asc = s.search(q, limit=None, sortedby="n")
+    assert sorted(h.docnum for h in asc) == matched
+    keys = [h.docnum % 7 for h in asc]
+    assert keys == sorted(keys)
+    # ties break by doc_id ascending within equal n
+    for k in set(keys):
+        grp = [h.docnum for h in asc if h.docnum % 7 == k]
+        assert grp == sorted(grp)
+
+    desc = s.search(q, limit=None, sortedby="n", reverse=True)
+    assert [h.docnum % 7 for h in desc] == sorted(keys, reverse=True)
+    # stored fields hydrate on the sorted path
+    assert asc[0]["title"] == titles[asc[0].docnum]
+
+
 def test_cleanup_gc(ray_session, tmp_path):
     import glob as _glob
     import os

@@ -931,11 +931,43 @@ class CompatSearcher:
 
         return _map_fielded(q, strip)
 
-    def search(self, q, limit: int | None = 10) -> Results:
+    def _facet_for(self, sortedby):
+        from whoosh_novo_ray.search.sorting import Facet, FieldFacet, MultiFacet
+
+        def one(s):
+            if isinstance(s, Facet):
+                return s
+            # stored-part parquet paths: only MATCHED docs' rows stream to
+            # the driver (FieldFacet.matched_attrs), never the whole column
+            parts = self.index._stored_parts()
+            return FieldFacet(parts if parts else self.attrs, s)
+
+        if isinstance(sortedby, (list, tuple)):
+            return MultiFacet([one(s) for s in sortedby])
+        return one(sortedby)
+
+    def search(
+        self, q, limit: int | None = 10, sortedby=None, reverse: bool = False
+    ) -> Results:
         if isinstance(q, str):
             q = self.parse(q)
         if self._router is None:
             return Results()
+        if sortedby is not None:
+            # reference search(sortedby=) -> SortingCollector semantics
+            from whoosh_novo_ray.search.sorting import sorted_search
+
+            t = sorted_search(
+                self._router, q, self._facet_for(sortedby),
+                reverse=reverse, limit=limit,
+            )
+            ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            scores = t["score"].to_numpy(zero_copy_only=False)
+            ctx = (q, self)
+            return Results(
+                Hit(int(d), float(s), f, hl_ctx=ctx)
+                for d, s, f in zip(ids, scores, self._stored_for(ids))
+            )
         if self._pooled:
             field = self._pool_route(q)
             if field is not None and field in self._opened:
