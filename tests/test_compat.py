@@ -604,6 +604,25 @@ def test_sortedby(ray_session, tmp_path):
     assert asc[0]["title"] == titles[asc[0].docnum]
 
 
+def test_groups_and_facet_counts(ray_session, tmp_path):
+    from whoosh_novo_ray.search.query import Term
+
+    titles, bodies = _texts(30, 21), _texts(30, 22)
+    ix = _build_compat(tmp_path, titles, bodies)
+    s = ix.searcher()
+    q = Term("value", field="body")
+    matched = [h.docnum for h in s.search(q, limit=None)]
+
+    grp = s.groups(q, "n")
+    assert sorted(d for ds in grp.values() for d in ds) == sorted(matched)
+    for k, ds in grp.items():
+        assert all(d % 7 == int(k) for d in ds)
+    cnt = s.facet_counts(q, "n")
+    assert cnt == {k: len(ds) for k, ds in grp.items()}
+    best = s.groups(q, "n", best_only=True)
+    assert {k: ds[0] for k, ds in grp.items()} == best
+
+
 def test_cleanup_gc(ray_session, tmp_path):
     import glob as _glob
     import os

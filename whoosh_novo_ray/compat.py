@@ -1043,6 +1043,40 @@ class CompatSearcher:
             return f
         return None
 
+    def groups(self, q, groupedby, best_only: bool = False) -> dict:
+        """Facet groups (reference search(groupedby=) + Results.groups()):
+        {key: [docnum, ...]} ordered (score desc, doc_id asc) per group —
+        or {key: docnum} with ``best_only`` (the Best facet map)."""
+        if isinstance(q, str):
+            q = self.parse(q)
+        if self._router is None:
+            return {}
+        from whoosh_novo_ray.search.sorting import facet_groups
+
+        t = facet_groups(
+            self._router, q, self._facet_for(groupedby), best_only=best_only
+        )
+        if best_only:
+            return {
+                k: int(d)
+                for k, d in zip(t["key"].to_pylist(), t["doc_id"].to_pylist())
+            }
+        return {
+            k: [int(d) for d in ds]
+            for k, ds in zip(t["key"].to_pylist(), t["doc_ids"].to_pylist())
+        }
+
+    def facet_counts(self, q, groupedby) -> dict:
+        """{key: matched doc count} (reference FacetCollector counts)."""
+        if isinstance(q, str):
+            q = self.parse(q)
+        if self._router is None:
+            return {}
+        from whoosh_novo_ray.search.sorting import facet_counts
+
+        t = facet_counts(self._router, q, self._facet_for(groupedby))
+        return dict(zip(t["key"].to_pylist(), t["count"].to_pylist()))
+
     def key_terms_from_text(
         self, fieldname: str, texts, numterms: int = 5, model: str = "bo1"
     ):
