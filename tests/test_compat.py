@@ -623,6 +623,40 @@ def test_groups_and_facet_counts(ray_session, tmp_path):
     assert {k: ds[0] for k, ds in grp.items()} == best
 
 
+def test_collapse_kwarg(ray_session, tmp_path):
+    from whoosh_novo_ray.search.query import Term
+
+    titles, bodies = _texts(30, 23), _texts(30, 24)
+    ix = _build_compat(tmp_path, titles, bodies)
+    s = ix.searcher()
+    q = Term("value", field="body")
+    full = s.search(q, limit=None)
+
+    one_per = s.search(q, limit=None, collapse="n")
+    # falsy keys (n == 0) are NEVER eliminated (reference CollapseCollector
+    # quirk); every other key keeps exactly its best doc
+    keys = [h.docnum % 7 for h in one_per if h.docnum % 7 != 0]
+    assert len(keys) == len(set(keys))
+    zeros_full = [h.docnum for h in full if h.docnum % 7 == 0]
+    assert sorted(h.docnum for h in one_per if h.docnum % 7 == 0) == sorted(
+        zeros_full
+    )
+    best_per_key: dict = {}
+    for h in full:
+        if h.docnum % 7 != 0:
+            best_per_key.setdefault(h.docnum % 7, h.docnum)
+    assert sorted(
+        h.docnum for h in one_per if h.docnum % 7 != 0
+    ) == sorted(best_per_key.values())
+
+    two_per = s.search(q, limit=None, collapse="n", collapse_limit=2)
+    from collections import Counter
+
+    nonzero = Counter(h.docnum % 7 for h in two_per if h.docnum % 7 != 0)
+    assert max(nonzero.values()) <= 2
+    assert len(two_per) >= len(one_per)
+
+
 def test_cleanup_gc(ray_session, tmp_path):
     import glob as _glob
     import os

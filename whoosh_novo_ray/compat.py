@@ -947,12 +947,43 @@ class CompatSearcher:
         return one(sortedby)
 
     def search(
-        self, q, limit: int | None = 10, sortedby=None, reverse: bool = False
+        self,
+        q,
+        limit: int | None = 10,
+        sortedby=None,
+        reverse: bool = False,
+        collapse=None,
+        collapse_limit: int = 1,
+        collapse_order=None,
     ) -> Results:
         if isinstance(q, str):
             q = self.parse(q)
         if self._router is None:
             return Results()
+        if collapse is not None:
+            # reference search(collapse=, collapse_limit=, collapse_order=)
+            # -> CollapseCollector semantics (falsy keys never eliminated)
+            from whoosh_novo_ray.search.sorting import collapse_search
+
+            t = collapse_search(
+                self._router,
+                q,
+                self._facet_for(collapse),
+                per_key=collapse_limit,
+                limit=limit,
+                order_facet=(
+                    self._facet_for(collapse_order)
+                    if collapse_order is not None
+                    else None
+                ),
+            )
+            ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            scores = t["score"].to_numpy(zero_copy_only=False)
+            ctx = (q, self)
+            return Results(
+                Hit(int(d), float(s), f, hl_ctx=ctx)
+                for d, s, f in zip(ids, scores, self._stored_for(ids))
+            )
         if sortedby is not None:
             # reference search(sortedby=) -> SortingCollector semantics
             from whoosh_novo_ray.search.sorting import sorted_search
