@@ -478,7 +478,12 @@ class CompatWriter:
                         cols[c] = b[c]
                 return pa.table(cols)
 
-            ds2 = ds.map_batches(rn, batch_format="pyarrow", zero_copy_batch=True)
+            # materialize once: the normalized dataset is consumed once per
+            # indexed field plus once for the stored part — a lazy map here
+            # would re-read the upstream source each time
+            ds2 = ds.map_batches(
+                rn, batch_format="pyarrow", zero_copy_batch=True
+            ).materialize()
             return ds2, max(next_id, int(mx) + 1)
 
         refs = ds.materialize().to_arrow_refs()
