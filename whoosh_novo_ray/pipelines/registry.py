@@ -1583,10 +1583,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         t = pa.concat_tables(_collect(sessionize(ev, gap_s=1800)))
         return t.sort_by([("event_id", "ascending")])
 
-    def compat_bm25_top10(sf_dir):
-        """The reference-user workflow end-to-end: Schema / create_in /
-        writer.add_document / searcher.search over the documents table
-        (compat.py facade), BM25 Term top-10."""
+    def _compat_ix(sf_dir):
+        """Shared facade index over documents: text TEXT + n_chars NUMERIC
+        (stored) — built once per process via the real writer workflow."""
         import shutil
 
         import whoosh_novo_ray.compat as C
@@ -1597,22 +1596,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "/tmp/wnr_compat", sf_dir.strip("/").replace("/", "_")
             )
             shutil.rmtree(root, ignore_errors=True)
-            cix = C.create_in(root, C.Schema(text=C.TEXT()))
+            cix = C.create_in(
+                root, C.Schema(text=C.TEXT(), n_chars=C.NUMERIC("int"))
+            )
             rows = pq.read_table(
                 os.path.join(sf_dir, "documents.parquet"),
-                columns=["doc_id", "text"],
+                columns=["doc_id", "text", "n_chars"],
             ).sort_by("doc_id")
             with cix.writer() as w:
-                for txt in rows["text"].to_pylist():
-                    w.add_document(text=txt)
+                for txt, nc in zip(
+                    rows["text"].to_pylist(), rows["n_chars"].to_pylist()
+                ):
+                    w.add_document(text=txt, n_chars=int(nc))
             _INDEX_CACHE[key] = cix
-        s = _INDEX_CACHE[key].searcher()
+        return _INDEX_CACHE[key]
+
+    def compat_bm25_top10(sf_dir):
+        """The reference-user workflow end-to-end: Schema / create_in /
+        writer.add_document / searcher.search over the documents table
+        (compat.py facade), BM25 Term top-10."""
+        s = _compat_ix(sf_dir).searcher()
         hits = s.search(Term(_T_MID, field="text"), limit=10)
         return pa.table(
             {
                 "doc_id": pa.array([h.docnum for h in hits], pa.int64()),
                 "score": pa.array(
                     [round(h.score, 6) for h in hits], pa.float64()
+                ),
+            }
+        )
+
+    def compat_sorted_nchars(sf_dir):
+        """search(sortedby=) through the facade: Term matches sorted by the
+        stored n_chars column (SortingCollector semantics), limit 20 — the
+        limit makes the sort itself hash-visible."""
+        s = _compat_ix(sf_dir).searcher()
+        hits = s.search(
+            Term(_T_MID, field="text"), limit=20, sortedby="n_chars"
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array([h.docnum for h in hits], pa.int64()),
+                "n_chars": pa.array(
+                    [int(h["n_chars"]) for h in hits], pa.int64()
                 ),
             }
         )
@@ -1723,6 +1749,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nchars_quantiles": nchars_quantiles,
         "top_terms_per_source": top_terms_per_source,
         "compat_bm25_top10": compat_bm25_top10,
+        "compat_sorted_nchars": compat_sorted_nchars,
         "boilerplate_frac": boilerplate,
         "fingerprint": fingerprint,
         "chunk_windows": chunked,
@@ -1912,6 +1939,14 @@ FROM qdl ORDER BY doc_id""",
         # the compat facade builds its own index over the same corpus with
         # the same analyzer/scoring — identical oracle as bm25_top10_mid
         "compat_bm25_top10": _topk_sql(f"term = '{_T_MID}'", 10),
+        # facade search(sortedby="n_chars", limit=20): matches of the term
+        # ordered (n_chars asc, doc_id asc), truncated — the limit makes
+        # the sort hash-visible
+        "compat_sorted_nchars": f"""WITH {_BASE_CTES}
+SELECT t.doc_id::BIGINT AS doc_id, d.n_chars::BIGINT AS n_chars
+FROM (SELECT DISTINCT doc_id FROM tfs WHERE term = '{_T_MID}') t
+JOIN documents d ON d.doc_id = t.doc_id
+ORDER BY n_chars, t.doc_id LIMIT 20""",
         "bm25_absent": _topk_sql(f"term = '{_T_ABSENT}'", 10),
         "bm25_or_top10": _topk_sql(f"term IN ({_terms_sql([_T_MID, _T_MID2])})", 10),
         "filtered_or_top10": _topk_sql(
