@@ -2505,7 +2505,7 @@ assign AS (
   SELECT e.vec_id, s.cell,
          row_number() OVER (
            PARTITION BY e.vec_id
-           ORDER BY list_cosine_similarity(e.embedding, s.cv) DESC, s.cell ASC
+           ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], s.cv::DOUBLE[]) DESC, s.cell ASC
          ) AS rn
   FROM embeddings e CROSS JOIN seeds s
 ),
@@ -2514,7 +2514,7 @@ SELECT a.vec_id::BIGINT AS vec_id, a.cell::BIGINT AS cell,
        NOT EXISTS (
          SELECT 1 FROM cells c2 JOIN embeddings e2 ON e2.vec_id = c2.vec_id
          WHERE c2.cell = a.cell AND c2.vec_id < a.vec_id
-           AND list_cosine_similarity(e2.embedding, ea.embedding) >= 0.45
+           AND list_cosine_similarity(e2.embedding::DOUBLE[], ea.embedding::DOUBLE[]) >= 0.45
        ) AS keep
 FROM cells a JOIN embeddings ea ON ea.vec_id = a.vec_id
 ORDER BY vec_id""",
@@ -2944,7 +2944,7 @@ buckets AS (
 qb AS (SELECT bucket FROM buckets WHERE vec_id = 0),
 qe AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
 SELECT e.vec_id::BIGINT AS vec_id,
-       round(list_cosine_similarity(e.embedding, qe.qv), 6) AS cosine
+       round(list_cosine_similarity(e.embedding::DOUBLE[], qe.qv::DOUBLE[]), 6) AS cosine
 FROM embeddings e
 JOIN buckets bu ON bu.vec_id = e.vec_id
 CROSS JOIN qb CROSS JOIN qe
@@ -2975,7 +2975,7 @@ buckets AS (
 qb AS (SELECT bucket FROM buckets WHERE vec_id = 0),
 qe AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
 SELECT e.vec_id::BIGINT AS vec_id,
-       round(list_cosine_similarity(e.embedding, qe.qv), 6) AS cosine
+       round(list_cosine_similarity(e.embedding::DOUBLE[], qe.qv::DOUBLE[]), 6) AS cosine
 FROM embeddings e
 JOIN buckets bu ON bu.vec_id = e.vec_id
 CROSS JOIN qb CROSS JOIN qe
@@ -3005,13 +3005,13 @@ buckets AS (
   FROM dots GROUP BY vec_id
 )
 SELECT a.vec_id::BIGINT AS vec_a, b.vec_id::BIGINT AS vec_b,
-       round(list_cosine_similarity(a.embedding, b.embedding), 6) AS cosine
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
 FROM embeddings a
 JOIN buckets ba ON ba.vec_id = a.vec_id
 JOIN buckets bb ON TRUE
 JOIN embeddings b ON b.vec_id = bb.vec_id
 WHERE ba.bucket = bb.bucket AND a.vec_id < b.vec_id
-  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.3
+  AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3
 ORDER BY vec_a, vec_b""",
         # BPE-ish pre-tokenizer budget: the same ASCII pattern runs under
         # Python re (engine) and DuckDB RE2 (oracle)
@@ -3036,7 +3036,7 @@ assign AS (
   SELECT e.vec_id, s.cell,
          row_number() OVER (
            PARTITION BY e.vec_id
-           ORDER BY list_cosine_similarity(e.embedding, s.cv) DESC, s.cell ASC
+           ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], s.cv::DOUBLE[]) DESC, s.cell ASC
          ) AS rn
   FROM embeddings e CROSS JOIN seeds s
 ),
@@ -3044,10 +3044,10 @@ cells AS (SELECT vec_id, cell FROM assign WHERE rn = 1),
 qe AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
 qprobe AS (
   SELECT s.cell FROM seeds s CROSS JOIN qe
-  ORDER BY list_cosine_similarity(qe.qv, s.cv) DESC, s.cell ASC LIMIT 3
+  ORDER BY list_cosine_similarity(qe.qv::DOUBLE[], s.cv::DOUBLE[]) DESC, s.cell ASC LIMIT 3
 )
 SELECT e.vec_id::BIGINT AS vec_id,
-       round(list_cosine_similarity(e.embedding, qe.qv), 6) AS cosine
+       round(list_cosine_similarity(e.embedding::DOUBLE[], qe.qv::DOUBLE[]), 6) AS cosine
 FROM embeddings e
 JOIN cells c ON c.vec_id = e.vec_id
 CROSS JOIN qe
@@ -3065,15 +3065,15 @@ FROM documents ORDER BY doc_id""",
   SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
 )
 SELECT e.vec_id::BIGINT AS vec_id,
-       round(list_cosine_similarity(e.embedding, q.qe), 6) AS cosine
+       round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]), 6) AS cosine
 FROM embeddings e CROSS JOIN q
 ORDER BY cosine DESC, vec_id LIMIT 10""",
         "near_dup_cosine": """
 SELECT a.vec_id::BIGINT AS vec_a, b.vec_id::BIGINT AS vec_b,
-       round(list_cosine_similarity(a.embedding, b.embedding), 6) AS cosine
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
 FROM embeddings a
 JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.9
 ORDER BY vec_a, vec_b""",
         "numeric_range": """
 SELECT doc_id::BIGINT AS doc_id, n_chars::BIGINT AS n_chars
