@@ -340,6 +340,235 @@ def unigram_lm_table(docs: "ray.data.Dataset") -> "ray.data.Dataset":
 
 
 # ---------------------------------------------------------------------------
+# bigram LM scoring via a co-partitioned model join (model too big to
+# broadcast — the third model-distribution shape next to unigram_lm_table's
+# broadcast vocab and dsir_table's fixed hash buckets)
+# ---------------------------------------------------------------------------
+
+
+def bigram_lm_table(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Corpus-trained BIGRAM LM scoring: per-doc mean of
+    ``ln(c(w1 w2) / c(w1 as bigram prefix))`` over the doc's bigram
+    occurrences (maximum-likelihood conditional — trained on the same
+    corpus, so every bigram is seen).
+
+    Scale shape — the model is vocabulary^2-ish, too big to ``ray.put``:
+      1. model build: per-batch (w1, bigram, count) pre-reduce sharded by
+         ``md5(w1)`` so a prefix's total lands with its bigrams; one
+         vectorized pass per shard emits (bigram, logp) rows re-sharded by
+         ``md5(bigram)``;
+      2. scoring: per-batch (doc, bigram, count) pre-reduce joins the model
+         INSIDE each bigram shard (tagged union + np.unique/searchsorted —
+         the same co-partitioned hash-join as dedup's distributed verify);
+         partial (doc, sum_logp, n) rows re-shard by doc;
+      3. one vectorized per-doc reduce finishes the mean. Docs with < 2
+         tokens ride baseline rows (n=0, mean 0.0).
+
+    Every shuffle moves count-bounded pre-reduced rows; no stage holds the
+    model or the corpus in one process. Returns
+    ``(doc_id, n_bigrams, mean_logprob)`` rounded to 6dp.
+    """
+    # analyzer tokens cannot contain spaces, so ' ' is a safe separator
+    # (and SQL-friendly: DuckDB varchars reject NUL bytes)
+    SEP = " "
+
+    def _batch_bigrams(batch: pa.Table):
+        texts = batch["text"].to_pylist()
+        di, codes, uniq, _, _ = _RAW.analyze_batch_coded(texts)
+        if len(codes) < 2:
+            return None
+        same = di[:-1] == di[1:]
+        if not same.any():
+            return None
+        w1c = codes[:-1][same]
+        w2c = codes[1:][same]
+        bdoc = di[:-1][same]
+        V = np.int64(len(uniq))
+        packed = (bdoc * V + w1c) * V + w2c
+        uk, cnt = np.unique(packed, return_counts=True)
+        d_of = (uk // (V * V)).astype(np.int64)
+        w1_of = ((uk // V) % V).astype(np.int64)
+        w2_of = (uk % V).astype(np.int64)
+        keys = np.asarray(
+            [uniq[a] + SEP + uniq[b] for a, b in zip(w1_of, w2_of)], object
+        )
+        return d_of, w1_of, keys, cnt.astype(np.int64), uniq
+
+    def model_counts(batch: pa.Table) -> pa.Table:
+        bb = _batch_bigrams(batch)
+        if bb is None:
+            return pa.table(
+                {
+                    "shard": pa.array([], pa.int32()),
+                    "w1": pa.array([], pa.string()),
+                    "key": pa.array([], pa.string()),
+                    "c": pa.array([], pa.int64()),
+                }
+            )
+        _d, w1_of, keys, cnt, uniq = bb
+        # collapse the per-doc dimension: per-batch (bigram -> count)
+        uk, inv = np.unique(keys, return_inverse=True)
+        csum = np.zeros(len(uk), np.int64)
+        np.add.at(csum, inv, cnt)
+        w1 = np.asarray([k.split(SEP, 1)[0] for k in uk], object)
+        shard = (md5_u64_arr(list(w1)) % np.uint64(N_SHARDS)).astype(np.int32)
+        return pa.table(
+            {
+                "shard": pa.array(shard),
+                "w1": pa.array(w1.tolist(), pa.string()),
+                "key": pa.array(uk.tolist(), pa.string()),
+                "c": pa.array(csum),
+            }
+        )
+
+    def model_shard(tbl: pa.Table) -> pa.Table:
+        w1 = np.asarray(tbl["w1"].to_pylist(), object)
+        keys = np.asarray(tbl["key"].to_pylist(), object)
+        c = tbl["c"].to_numpy(zero_copy_only=False)
+        uk, kinv = np.unique(keys, return_inverse=True)
+        c12 = np.zeros(len(uk), np.int64)
+        np.add.at(c12, kinv, c)
+        # prefix totals: every bigram of a w1 is in THIS shard by keying
+        u1, i1 = np.unique(w1, return_inverse=True)
+        c1 = np.zeros(len(u1), np.int64)
+        np.add.at(c1, i1, c)
+        # map each unique bigram to its prefix total
+        first_row = np.zeros(len(uk), np.int64)
+        first_row[kinv[::-1]] = np.arange(len(kinv))[::-1]
+        lp = np.log(c12.astype(np.float64) / c1[i1[first_row]].astype(np.float64))
+        jshard = (md5_u64_arr(uk.tolist()) % np.uint64(N_SHARDS)).astype(np.int32)
+        n = len(uk)
+        return pa.table(
+            {
+                "src": pa.array(np.zeros(n, np.int8)),
+                "jshard": pa.array(jshard),
+                "key": pa.array(uk.tolist(), pa.string()),
+                "doc_id": pa.array(np.zeros(n, np.int64)),
+                "c": pa.array(np.zeros(n, np.int64)),
+                "logp": pa.array(lp),
+            }
+        )
+
+    def doc_rows(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].cast(pa.int64()).to_numpy()
+        bb = _batch_bigrams(batch)
+        # baseline rows keep every doc present in the output (n=0)
+        base = pa.table(
+            {
+                "src": pa.array(np.full(len(ids), 2, np.int8)),
+                "jshard": pa.array((ids % N_SHARDS).astype(np.int32)),
+                "key": pa.array([""] * len(ids), pa.string()),
+                "doc_id": pa.array(ids),
+                "c": pa.array(np.zeros(len(ids), np.int64)),
+                "logp": pa.array(np.zeros(len(ids))),
+            }
+        )
+        if bb is None:
+            return base
+        d_of, _w1, keys, cnt, _u = bb
+        jshard = (md5_u64_arr(keys.tolist()) % np.uint64(N_SHARDS)).astype(
+            np.int32
+        )
+        rows = pa.table(
+            {
+                "src": pa.array(np.ones(len(keys), np.int8)),
+                "jshard": pa.array(jshard),
+                "key": pa.array(keys.tolist(), pa.string()),
+                "doc_id": pa.array(ids[d_of]),
+                "c": pa.array(cnt),
+                "logp": pa.array(np.zeros(len(keys))),
+            }
+        )
+        return pa.concat_tables([base, rows])
+
+    def join_shard(tbl: pa.Table) -> pa.Table:
+        src = tbl["src"].to_numpy(zero_copy_only=False)
+        keys = np.asarray(tbl["key"].to_pylist(), object)
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        c = tbl["c"].to_numpy(zero_copy_only=False)
+        lp = tbl["logp"].to_numpy(zero_copy_only=False)
+        out_id: list[np.ndarray] = []
+        out_slp: list[np.ndarray] = []
+        out_n: list[np.ndarray] = []
+        base = src == 2
+        if base.any():
+            out_id.append(ids[base].astype(np.int64))
+            out_slp.append(np.zeros(int(base.sum())))
+            out_n.append(np.zeros(int(base.sum()), np.int64))
+        is_m = src == 0
+        is_d = src == 1
+        if is_d.any():
+            mk = np.sort(keys[is_m].astype("U"))
+            mlp_order = np.argsort(keys[is_m].astype("U"), kind="stable")
+            mlp = lp[is_m][mlp_order]
+            dk = keys[is_d].astype("U")
+            pos = np.searchsorted(mk, dk)
+            # model trained on the same corpus: every doc bigram is present
+            found = mlp[pos]
+            dids = ids[is_d]
+            dcnt = c[is_d]
+            uo, oi = np.unique(dids, return_inverse=True)
+            slp = np.zeros(len(uo))
+            np.add.at(slp, oi, found * dcnt)
+            nn = np.zeros(len(uo), np.int64)
+            np.add.at(nn, oi, dcnt)
+            out_id.append(uo.astype(np.int64))
+            out_slp.append(slp)
+            out_n.append(nn)
+        if not out_id:
+            return pa.table(
+                {
+                    "dshard": pa.array([], pa.int32()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "slp": pa.array([], pa.float64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        aid = np.concatenate(out_id)
+        return pa.table(
+            {
+                "dshard": pa.array((aid % N_SHARDS).astype(np.int32)),
+                "doc_id": pa.array(aid),
+                "slp": pa.array(np.concatenate(out_slp)),
+                "n": pa.array(np.concatenate(out_n)),
+            }
+        )
+
+    def finish_docs(tbl: pa.Table) -> pa.Table:
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        slp = tbl["slp"].to_numpy(zero_copy_only=False)
+        n = tbl["n"].to_numpy(zero_copy_only=False)
+        uo, oi = np.unique(ids, return_inverse=True)
+        tslp = np.zeros(len(uo))
+        np.add.at(tslp, oi, slp)
+        tn = np.zeros(len(uo), np.int64)
+        np.add.at(tn, oi, n)
+        mean = np.where(tn > 0, tslp / np.maximum(tn, 1), 0.0)
+        return pa.table(
+            {
+                "doc_id": pa.array(uo.astype(np.int64)),
+                "n_bigrams": pa.array(tn),
+                "mean_logprob": pa.array(np.round(mean, 6)),
+            }
+        )
+
+    model = (
+        docs.map_batches(model_counts, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("shard")
+        .map_groups(model_shard, batch_format="pyarrow")
+    )
+    tagged = docs.map_batches(
+        doc_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).union(model)
+    return (
+        tagged.groupby("jshard")
+        .map_groups(join_shard, batch_format="pyarrow")
+        .groupby("dshard")
+        .map_groups(finish_docs, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
 # cross-doc boilerplate n-grams
 # ---------------------------------------------------------------------------
 

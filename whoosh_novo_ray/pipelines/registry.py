@@ -1643,6 +1643,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def bigram_lm(sf_dir):
+        """Bigram-LM scoring via a co-partitioned model join (the model is
+        too big to broadcast at corpus scale — curation.bigram_lm_table)."""
+        from whoosh_novo_ray.ops.curation import bigram_lm_table
+
+        return pa.concat_tables(
+            _collect(bigram_lm_table(_docs_ds(sf_dir)))
+        ).sort_by("doc_id")
+
     def source_cap(sf_dir):
         """Per-domain frequency cap: at most 10 docs per source (lowest ids)."""
         from whoosh_novo_ray.ops.groupstats import cap_per_group
@@ -1745,6 +1754,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "perplexity_buckets": perplexity_buckets,
         "mixture_sample": mixture_sample,
         "semdedup_keep": semdedup,
+        "bigram_lm_scores": bigram_lm,
         "source_cap": source_cap,
         "nchars_quantiles": nchars_quantiles,
         "top_terms_per_source": top_terms_per_source,
@@ -2460,6 +2470,27 @@ SELECT d.doc_id::BIGINT AS doc_id, d.source
 FROM documents d JOIN rates r ON r.g = d.source
 WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::UBIGINT < r.thr
 ORDER BY doc_id""",
+        # bigram LM: p(w2|w1) = c(w1 w2) / c(w1 as bigram prefix), trained
+        # on the same corpus (ML, no smoothing needed); per-doc mean over
+        # bigram OCCURRENCES
+        "bigram_lm_scores": f"""WITH tokarr AS (
+  SELECT doc_id, {raw_tok} AS arr FROM documents
+),
+tok AS (SELECT doc_id, unnest(arr) AS w, unnest(range(len(arr))) AS i FROM tokarr),
+big AS (
+  SELECT a.doc_id, a.w AS w1, a.w || ' ' || b.w AS bi
+  FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+),
+c12 AS (SELECT bi, any_value(w1) AS w1, count(*)::DOUBLE AS c FROM big GROUP BY bi),
+c1 AS (SELECT w1, count(*)::DOUBLE AS c FROM big GROUP BY w1),
+lp AS (SELECT c12.bi, ln(c12.c / c1.c) AS logp FROM c12 JOIN c1 USING (w1)),
+sc AS (
+  SELECT big.doc_id, count(*)::BIGINT AS n, avg(lp.logp) AS m
+  FROM big JOIN lp USING (bi) GROUP BY big.doc_id
+)
+SELECT d.doc_id::BIGINT AS doc_id, coalesce(sc.n, 0)::BIGINT AS n_bigrams,
+       round(coalesce(sc.m, 0), 6) AS mean_logprob
+FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY doc_id""",
         # per-domain frequency cap: keep the 10 lowest doc_ids per source
         "source_cap": """
 SELECT doc_id::BIGINT AS doc_id, source FROM (
