@@ -302,6 +302,9 @@ def run_ops(sf_dir: str) -> dict:
     timed("op_repetition", lambda: repetition_table(_docs()).count())
     timed("op_decontam", lambda: decontaminate_table(_docs()).count())
     timed("op_unigram_lm", lambda: unigram_lm_table(_docs()).count())
+    from whoosh_novo_ray.ops.curation import bigram_lm_table
+
+    timed("op_bigram_lm", lambda: bigram_lm_table(_docs()).count())
     timed("op_boilerplate", lambda: boilerplate_table(_docs()).count())
 
     from whoosh_novo_ray.ops.curation import dsir_table

@@ -387,11 +387,17 @@ def bigram_lm_table(docs: "ray.data.Dataset") -> "ray.data.Dataset":
         packed = (bdoc * V + w1c) * V + w2c
         uk, cnt = np.unique(packed, return_counts=True)
         d_of = (uk // (V * V)).astype(np.int64)
-        w1_of = ((uk // V) % V).astype(np.int64)
-        w2_of = (uk % V).astype(np.int64)
-        keys = np.asarray(
-            [uniq[a] + SEP + uniq[b] for a, b in zip(w1_of, w2_of)], object
+        # build each distinct bigram STRING once per batch, then gather —
+        # (doc, bigram) rows far outnumber distinct bigrams
+        pair_of = (uk % (V * V)).astype(np.int64)
+        up, pidx = np.unique(pair_of, return_inverse=True)
+        w1u = (up // V).astype(np.int64)
+        w2u = (up % V).astype(np.int64)
+        pair_strs = np.asarray(
+            [uniq[a] + SEP + uniq[b] for a, b in zip(w1u, w2u)], object
         )
+        keys = pair_strs[pidx]
+        w1_of = w1u[pidx]
         return d_of, w1_of, keys, cnt.astype(np.int64), uniq
 
     def model_counts(batch: pa.Table) -> pa.Table:
