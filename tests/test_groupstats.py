@@ -148,6 +148,47 @@ def test_top_terms_per_group_counts_and_tiebreak(ray_session):
     assert got == expect
 
 
+def test_distinctive_terms_match_brute_force(ray_session):
+    import math
+
+    from whoosh_novo_ray.ops.groupstats import distinctive_terms_per_group
+
+    tbl = _table(seed=13)
+    out = _collect(distinctive_terms_per_group(_ds(ray_session, tbl), "source", 3))
+    ana = simple_analyzer()
+    cg: dict = collections.defaultdict(collections.Counter)
+    ca: collections.Counter = collections.Counter()
+    for g, t in zip(tbl["source"].to_pylist(), tbl["text"].to_pylist()):
+        toks = ana(t)
+        cg[g].update(toks)
+        ca.update(toks)
+    T = sum(ca.values())
+    expect = []
+    for g in sorted(cg):
+        scored = sorted(
+            (
+                (term, c, c * math.log(T / ca[term]))
+                for term, c in cg[g].items()
+            ),
+            key=lambda r: (-r[2], r[0]),
+        )[:3]
+        expect.extend((g, term, c, round(s, 6)) for term, c, s in scored)
+    got = sorted(
+        zip(
+            out["group"].to_pylist(),
+            out["term"].to_pylist(),
+            out["cnt"].to_pylist(),
+            out["score"].to_pylist(),
+        ),
+        key=lambda r: (r[0], -r[3], r[1]),
+    )
+    assert [(g, t, c) for g, t, c, _ in got] == [
+        (g, t, c) for g, t, c, _ in expect
+    ]
+    for (_g1, _t1, _c1, s1), (_g2, _t2, _c2, s2) in zip(got, expect):
+        assert abs(s1 - s2) < 1e-9
+
+
 def test_top_terms_block_layout_invariant(ray_session):
     tbl = _table(seed=21)
     a = _collect(top_terms_per_group(_ds(ray_session, tbl, 2), "source", 4))

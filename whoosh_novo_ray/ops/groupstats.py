@@ -286,3 +286,93 @@ def top_terms_per_group(
         .groupby("_shard")
         .map_groups(topk_shard, batch_format="pyarrow")
     )
+
+
+def distinctive_terms_per_group(
+    docs: "ray.data.Dataset", group_col: str = "source", k: int = 5
+) -> "ray.data.Dataset":
+    """Top-``k`` DISTINCTIVE terms per group: score = count_in_group *
+    ln(total_tokens / count_overall) — the terms a domain over-uses
+    relative to the corpus (per-domain signature / template detector).
+    Tie-break (score desc, term asc). Returns ``(group, term, cnt, score)``.
+
+    Shape: the (group, term) partial counts shard by ``md5(term)`` so a
+    term's GLOBAL count is computed co-located with its per-group counts
+    (no broadcast of the vocabulary); the only driver-side scalar is the
+    corpus token total. A second ``md5(group)`` shard runs the vectorized
+    per-group top-k.
+    """
+
+    def term_shard(batch: pa.Table) -> pa.Table:
+        # re-shard stage-1 rows by TERM so global counts co-locate
+        t = batch["term"].to_pylist()
+        return batch.set_column(
+            batch.schema.get_field_index("_shard"),
+            "_shard",
+            pa.array((md5_u64_arr(t) % np.uint64(N_SHARDS)).astype(np.int32)),
+        )
+
+    def sum_with_global(tbl: pa.Table) -> pa.Table:
+        g = np.asarray(tbl["g"].to_pylist(), object)
+        t = np.asarray(tbl["term"].to_pylist(), object)
+        c = tbl["c"].to_numpy(zero_copy_only=False)
+        packed = np.char.add(np.char.add(g.astype("U"), "\x00"), t.astype("U"))
+        uk, rep, inv = np.unique(packed, return_index=True, return_inverse=True)
+        cg = np.zeros(len(uk), np.int64)
+        np.add.at(cg, inv, c)
+        ut, tinv = np.unique(t[rep].astype("U"), return_inverse=True)
+        # global per-term counts: sum of the (g, term) sums in this shard —
+        # complete by construction (every row of a term is in this shard)
+        call = np.zeros(len(ut), np.int64)
+        np.add.at(call, tinv, cg)
+        gshard = (
+            md5_u64_arr([str(x) for x in g[rep]]) % np.uint64(N_SHARDS)
+        ).astype(np.int32)
+        return pa.table(
+            {
+                "g": pa.array(g[rep].tolist(), pa.string()),
+                "term": pa.array(t[rep].tolist(), pa.string()),
+                "c": pa.array(cg),
+                "c_all": pa.array(call[tinv]),
+                "_shard": pa.array(gshard),
+            }
+        )
+
+    def total_tokens(counts_ds) -> float:
+        s = counts_ds.sum("c")
+        return float(s if s is not None else 0.0)
+
+    stage1 = docs.map_batches(
+        _GroupTermCounts(group_col), batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(term_shard, batch_format="pyarrow", zero_copy_batch=True)
+    summed = stage1.groupby("_shard").map_groups(
+        sum_with_global, batch_format="pyarrow"
+    ).materialize()
+    T = total_tokens(summed)
+
+    def topk_distinct(tbl: pa.Table) -> pa.Table:
+        g = np.asarray(tbl["g"].to_pylist(), object)
+        t = np.asarray(tbl["term"].to_pylist(), object).astype("U")
+        c = tbl["c"].to_numpy(zero_copy_only=False)
+        call = tbl["c_all"].to_numpy(zero_copy_only=False)
+        score = c.astype(np.float64) * np.log(T / call.astype(np.float64))
+        srt = np.lexsort((t, -score, g))
+        g_s = g[srt]
+        run_start = np.flatnonzero(
+            np.concatenate(([True], g_s[1:] != g_s[:-1]))
+        )
+        run_len = np.diff(np.append(run_start, len(g_s)))
+        rank = np.arange(len(g_s)) - np.repeat(run_start, run_len)
+        keep = srt[rank < k]
+        return pa.table(
+            {
+                "group": pa.array(g[keep].tolist(), pa.string()),
+                "term": pa.array(t[keep].tolist(), pa.string()),
+                "cnt": pa.array(c[keep].astype(np.int64)),
+                "score": pa.array(np.round(score[keep], 6), pa.float64()),
+            }
+        )
+
+    return summed.groupby("_shard").map_groups(
+        topk_distinct, batch_format="pyarrow"
+    )

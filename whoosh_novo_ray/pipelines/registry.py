@@ -1643,6 +1643,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def distinctive_terms(sf_dir):
+        """Top-5 distinctive terms per source: cnt * ln(T / global count)."""
+        from whoosh_novo_ray.ops.groupstats import distinctive_terms_per_group
+
+        t = pa.concat_tables(
+            _collect(
+                distinctive_terms_per_group(
+                    _docs_ds(sf_dir, ("doc_id", "text", "source")), "source", 5
+                )
+            )
+        )
+        return t.sort_by(
+            [("group", "ascending"), ("score", "descending"), ("term", "ascending")]
+        )
+
     def bigram_lm(sf_dir):
         """Bigram-LM scoring via a co-partitioned model join (the model is
         too big to broadcast at corpus scale — curation.bigram_lm_table)."""
@@ -1755,6 +1770,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_sample": mixture_sample,
         "semdedup_keep": semdedup,
         "bigram_lm_scores": bigram_lm,
+        "distinctive_terms_per_source": distinctive_terms,
         "source_cap": source_cap,
         "nchars_quantiles": nchars_quantiles,
         "top_terms_per_source": top_terms_per_source,
@@ -2491,6 +2507,25 @@ sc AS (
 SELECT d.doc_id::BIGINT AS doc_id, coalesce(sc.n, 0)::BIGINT AS n_bigrams,
        round(coalesce(sc.m, 0), 6) AS mean_logprob
 FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY doc_id""",
+        # distinctive terms: cnt_in_group * ln(total_tokens / cnt_overall),
+        # top-5 per source, (score desc, term asc)
+        "distinctive_terms_per_source": f"""WITH tokarr AS (
+  SELECT source, {raw_tok} AS arr FROM documents
+),
+tok AS (SELECT source, unnest(arr) AS term FROM tokarr),
+cg AS (SELECT source, term, count(*)::BIGINT AS cnt FROM tok GROUP BY 1, 2),
+ca AS (SELECT term, count(*)::DOUBLE AS c_all FROM tok GROUP BY term),
+tt AS (SELECT count(*)::DOUBLE AS t FROM tok),
+sc AS (
+  SELECT cg.source, cg.term, cg.cnt, cg.cnt * ln(tt.t / ca.c_all) AS score
+  FROM cg JOIN ca USING (term) CROSS JOIN tt
+),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY source ORDER BY score DESC, term) AS rn
+  FROM sc
+)
+SELECT source AS "group", term, cnt, round(score, 6) AS score
+FROM rk WHERE rn <= 5 ORDER BY "group", score DESC, term""",
         # per-domain frequency cap: keep the 10 lowest doc_ids per source
         "source_cap": """
 SELECT doc_id::BIGINT AS doc_id, source FROM (
