@@ -171,7 +171,8 @@ def test_writer_cancel_and_missing_fields(ray_session, tmp_path):
     w = ix.writer()
     w.add_document(title="never lands", tag="c")
     w.cancel()
-    w.commit()
+    with pytest.raises(RuntimeError, match="cancelled"):
+        w.commit()
     assert ix.refresh().doc_count() == 2
 
     with pytest.raises(ValueError):
@@ -684,3 +685,46 @@ def test_open_dir_roundtrip(ray_session, tmp_path):
     ix2 = C.open_dir(p)
     assert ix2.doc_count() == 1
     assert not C.exists_in(str(tmp_path / "missing"))
+
+
+def test_empty_dataset_add_with_id_col(ray_session, tmp_path):
+    # regression: ds.max(id_col) is None on an empty dataset and int(None)
+    # used to raise mid-commit
+    import pyarrow as pa
+    import ray.data
+
+    ix = C.create_in(str(tmp_path / "empty_ds"), _schema())
+    empty = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "title": pa.array([], pa.string()),
+            }
+        )
+    )
+    w = ix.writer()
+    w.add_document(title="real doc", tag="t0", n=1, flag=True)
+    w.add_dataset(empty, id_col="doc_id")
+    w.commit()
+    with ix.searcher() as s:
+        assert s.doc_count() == 1
+
+
+def test_commit_after_cancel_raises(tmp_path):
+    # a cancelled writer must not silently no-op later commits
+    ix = C.create_in(str(tmp_path / "cancel_ix"), _schema())
+    w = ix.writer()
+    w.add_document(title="dropped", tag="t0", n=0, flag=False)
+    w.cancel()
+    with pytest.raises(RuntimeError, match="cancelled"):
+        w.commit()
+
+
+def test_explicit_cancel_inside_with_block(tmp_path):
+    # `with` sugar must not commit (or raise) after an in-block cancel()
+    ix = C.create_in(str(tmp_path / "cancel_with"), _schema())
+    with ix.writer() as w:
+        w.add_document(title="dropped", tag="t0", n=0, flag=False)
+        w.cancel()
+    with ix.searcher() as s:
+        assert s.doc_count() == 0

@@ -197,3 +197,83 @@ def test_top_terms_block_layout_invariant(ray_session):
         zip(t["group"].to_pylist(), t["term"].to_pylist(), t["cnt"].to_pylist())
     )
     assert key(a) == key(b)
+
+
+def test_pack_gt_no_separator_collision():
+    # regression: np.char.add with a '\x00' separator strips the trailing
+    # NUL (numpy 'U' padding), so ('ab','c') and ('a','bc') used to pack to
+    # the same key and silently merge counts
+    from whoosh_novo_ray.ops.groupstats import _pack_gt
+
+    g = np.asarray(["ab", "a"], object)
+    t = np.asarray(["c", "bc"], object)
+    keys = _pack_gt(g, t)
+    assert keys[0] != keys[1]
+
+
+def test_top_terms_colliding_pack_keys(ray_session):
+    # ('a','aaa') and ('aaa','a') concatenate identically AND land in the
+    # same md5-xor shard (22) — the exact shape the old string packing
+    # merged. Counts must stay separate per (group, term).
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["aaa aaa", "a a a"], pa.string()),
+            "source": pa.array(["a", "aaa"], pa.string()),
+        }
+    )
+    out = _collect(top_terms_per_group(_ds(ray_session, tbl, 2), "source", 5))
+    got = sorted(
+        zip(
+            out["group"].to_pylist(),
+            out["term"].to_pylist(),
+            out["cnt"].to_pylist(),
+        )
+    )
+    assert got == [("a", "aaa", 2), ("aaa", "a", 3)]
+
+
+def test_distinctive_terms_colliding_pack_keys(ray_session):
+    # ('a','abn') and ('aab','n') concatenate identically and share the
+    # md5(term) shard (26) used by the distinctive-terms global-count path
+    import math
+
+    from whoosh_novo_ray.ops.groupstats import distinctive_terms_per_group
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(["abn abn", "n n n", "zz"], pa.string()),
+            "source": pa.array(["a", "aab", "zz"], pa.string()),
+        }
+    )
+    out = _collect(
+        distinctive_terms_per_group(_ds(ray_session, tbl, 2), "source", 5)
+    )
+    got = {
+        (g, t): (c, s)
+        for g, t, c, s in zip(
+            out["group"].to_pylist(),
+            out["term"].to_pylist(),
+            out["cnt"].to_pylist(),
+            out["score"].to_pylist(),
+        )
+    }
+    T = 6  # abn x2, n x3, zz x1
+    assert got[("a", "abn")][0] == 2
+    assert got[("aab", "n")][0] == 3
+    assert abs(got[("a", "abn")][1] - round(2 * math.log(T / 2), 6)) < 1e-9
+    assert abs(got[("aab", "n")][1] - round(3 * math.log(T / 3), 6)) < 1e-9
+
+
+def test_exact_quantiles_ignores_nulls_and_nans(ray_session):
+    tbl = pa.table(
+        {
+            "x": pa.array(
+                [1.0, None, float("nan"), 2.0, 3.0, None, 4.0, 5.0],
+                pa.float64(),
+            )
+        }
+    )
+    out = exact_quantiles(_ds(ray_session, tbl, 3), "x", (0.0, 0.5, 1.0))
+    assert out["value"].to_pylist() == [1.0, 3.0, 5.0]

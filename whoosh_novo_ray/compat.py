@@ -470,6 +470,8 @@ class CompatWriter:
 
         if id_col is not None:
             mx = ds.max(id_col)
+            if mx is None:  # empty dataset: nothing to renumber or reserve
+                return ds, next_id
 
             def rn(b: pa.Table) -> pa.Table:
                 cols = {"doc_id": b[id_col].cast(pa.uint64())}
@@ -542,7 +544,13 @@ class CompatWriter:
 
     def commit(self) -> None:
         if self._cancelled:
-            return
+            # reference writers raise on use-after-close (writing.py
+            # IndexWriter._check_state); silently no-opping here would make
+            # a reused cancelled writer drop writes invisibly
+            raise RuntimeError(
+                "commit() on a cancelled writer: open a new writer() "
+                "(buffered docs were discarded by cancel())"
+            )
         import ray
         import ray.data
 
@@ -665,9 +673,9 @@ class CompatWriter:
         return self
 
     def __exit__(self, exc_type, exc, tb):
-        if exc_type is None:
+        if exc_type is None and not self._cancelled:
             self.commit()
-        else:
+        elif exc_type is not None:
             self.cancel()
         return False
 

@@ -509,8 +509,20 @@ def bigram_lm_table(docs: "ray.data.Dataset") -> "ray.data.Dataset":
             mlp = lp[is_m][mlp_order]
             dk = keys[is_d].astype("U")
             pos = np.searchsorted(mk, dk)
-            # model trained on the same corpus: every doc bigram is present
-            found = mlp[pos]
+            # model trained on the same corpus: every doc bigram SHOULD be
+            # present — but that invariant rides on two independent
+            # map_batches passes over a lazy upstream seeing identical rows.
+            # Verify rather than trust: a clipped-or-mismatched lookup would
+            # otherwise read a neighboring bigram's logp silently.
+            pos_c = np.minimum(pos, len(mk) - 1)
+            bad = (pos >= len(mk)) | (mk[pos_c] != dk)
+            if bad.any():
+                raise RuntimeError(
+                    f"bigram_lm join: {int(bad.sum())} doc bigrams missing "
+                    "from the model shard (non-deterministic upstream? "
+                    "first: " + str(dk[bad][:3].tolist()) + ")"
+                )
+            found = mlp[pos_c]
             dids = ids[is_d]
             dcnt = c[is_d]
             uo, oi = np.unique(dids, return_inverse=True)

@@ -51,6 +51,20 @@ def _group_shards(values) -> np.ndarray:
     )
 
 
+def _pack_gt(g: np.ndarray, t: np.ndarray) -> np.ndarray:
+    """Collision-free integer packing of (group, term) pairs.
+
+    String concatenation with a separator is unsafe here: numpy's
+    fixed-width 'U' dtype treats trailing NULs as padding, so packing with
+    '\\x00' merges ('ab','c') and ('a','bc') into the same key and silently
+    sums their counts. Integer codes (group index * vocab + term index)
+    cannot collide.
+    """
+    _, gi = np.unique(g, return_inverse=True)
+    tu, ti = np.unique(t, return_inverse=True)
+    return gi.astype(np.int64) * len(tu) + ti
+
+
 # ---------------------------------------------------------------------------
 # per-group frequency caps
 # ---------------------------------------------------------------------------
@@ -131,10 +145,12 @@ def exact_quantiles(
 
     def value_counts(batch: pa.Table) -> pa.Table:
         # float64 histogram keys: exact for integers < 2^53 and for float
-        # inputs bit-identical grouping across batches
-        v, c = np.unique(
-            batch[col].to_numpy(zero_copy_only=False), return_counts=True
-        )
+        # inputs bit-identical grouping across batches. NULL/NaN rows are
+        # dropped (SQL-aggregate semantics; NaN keys would never coalesce
+        # in np.unique or the Ray groupby, silently corrupting ranks).
+        arr = batch[col].drop_null().to_numpy(zero_copy_only=False)
+        arr = arr[~np.isnan(arr.astype(np.float64))]
+        v, c = np.unique(arr, return_counts=True)
         return pa.table(
             {
                 "v": pa.array(v.astype(np.float64)),
@@ -236,9 +252,7 @@ def top_terms_per_group(
         g = np.asarray(tbl["g"].to_pylist(), object)
         t = np.asarray(tbl["term"].to_pylist(), object)
         c = tbl["c"].to_numpy(zero_copy_only=False)
-        packed = np.char.add(
-            np.char.add(g.astype("U"), "\x00"), t.astype("U")
-        )
+        packed = _pack_gt(g, t)
         uk, rep, inv = np.unique(packed, return_index=True, return_inverse=True)
         sums = np.zeros(len(uk), np.int64)
         np.add.at(sums, inv, c)
@@ -316,7 +330,7 @@ def distinctive_terms_per_group(
         g = np.asarray(tbl["g"].to_pylist(), object)
         t = np.asarray(tbl["term"].to_pylist(), object)
         c = tbl["c"].to_numpy(zero_copy_only=False)
-        packed = np.char.add(np.char.add(g.astype("U"), "\x00"), t.astype("U"))
+        packed = _pack_gt(g, t)
         uk, rep, inv = np.unique(packed, return_index=True, return_inverse=True)
         cg = np.zeros(len(uk), np.int64)
         np.add.at(cg, inv, c)
