@@ -141,3 +141,80 @@ def test_distributed_label_propagation_matches_union_find(ray_session, dup_env):
         ray.data.from_arrow(pairs.select(["doc_a", "doc_b"])).repartition(2)
     ).to_pydict()
     assert got == want
+
+
+def test_pair_ops_return_datasets(dup_env):
+    # scale contract: the _ds variants return lazy Datasets whose collected
+    # rows equal the table wrappers — the driver-free consumption path
+    import ray
+    import ray.data
+    from whoosh_novo_ray.ops.dedup import (
+        minhash_lsh_candidates,
+        minhash_lsh_candidates_ds,
+    )
+
+    tbl, ds = dup_env
+    out_ds = minhash_lsh_candidates_ds(ds, threshold=0.5)
+    assert isinstance(out_ds, ray.data.Dataset)
+    got = (
+        pa.concat_tables(
+            [t for t in ray.get(out_ds.materialize().to_arrow_refs()) if len(t)]
+        )
+        .sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
+    )
+    want = minhash_lsh_candidates(ds, threshold=0.5)
+    assert got.equals(want)
+
+
+def test_collapse_equal_preserves_loser_set(dup_env):
+    # chain pairs replace cliques inside equal-signature groups; the
+    # near-dup LOSER set (distinct doc_b above threshold) must be identical
+    from whoosh_novo_ray.ops.dedup import minhash_lsh_candidates
+
+    tbl, ds = dup_env
+    for thr in (0.5, 0.9):
+        full = minhash_lsh_candidates(ds, threshold=thr)
+        coll = minhash_lsh_candidates(ds, threshold=thr, collapse_equal=True)
+        lose_full = set(full["doc_b"].to_pylist())
+        lose_coll = set(coll["doc_b"].to_pylist())
+        assert lose_full == lose_coll
+
+
+def test_collapse_equal_linear_on_identical_docs(ray_session):
+    # m identical docs: clique banding emits O(m^2) pairs; the collapsed
+    # path must emit exactly m-1 chain pairs (rep = lowest doc id)
+    import ray.data
+    from whoosh_novo_ray.ops.dedup import minhash_lsh_candidates
+
+    m = 2000
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(m), pa.int64()),
+            "text": pa.array(
+                ["the same boilerplate page body every time here"] * m,
+                pa.string(),
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(8)
+    out = minhash_lsh_candidates(ds, threshold=0.9, collapse_equal=True)
+    assert len(out) == m - 1
+    assert out["doc_a"].to_pylist() == [0] * (m - 1)
+    assert sorted(out["doc_b"].to_pylist()) == list(range(1, m))
+    assert set(out["est_jaccard"].to_pylist()) == {1.0}
+
+
+def test_curated_corpus_ds_matches_table_form(dup_env):
+    import ray
+    from whoosh_novo_ray.pipelines.curation import (
+        curated_corpus,
+        curated_corpus_ds,
+    )
+
+    tbl, ds = dup_env
+    want = curated_corpus(ds, min_tokens=5, stop_ratio=0.0, dup_threshold=0.8)
+    out = curated_corpus_ds(ds, min_tokens=5, stop_ratio=0.0, dup_threshold=0.8)
+    got = pa.concat_tables(
+        [t for t in ray.get(out.materialize().to_arrow_refs()) if len(t)]
+    ).sort_by("doc_id")
+    assert got.equals(want)

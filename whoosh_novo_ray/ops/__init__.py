@@ -7,7 +7,11 @@ from whoosh_novo_ray.ops.textstats import (
 from whoosh_novo_ray.ops.dedup import (
     exact_dedup_keep,
     minhash_lsh_candidates,
+    minhash_lsh_candidates_ds,
     ngram_jaccard_pairs,
+    ngram_jaccard_pairs_ds,
+    simhash_near_dup_pairs,
+    simhash_near_dup_pairs_ds,
     simhash_table,
 )
 from whoosh_novo_ray.ops.knn import (
@@ -40,7 +44,11 @@ __all__ = [
     "fingerprint_table",
     "exact_dedup_keep",
     "ngram_jaccard_pairs",
+    "ngram_jaccard_pairs_ds",
     "minhash_lsh_candidates",
+    "minhash_lsh_candidates_ds",
+    "simhash_near_dup_pairs",
+    "simhash_near_dup_pairs_ds",
     "simhash_table",
     "brute_force_knn",
     "lsh_knn",

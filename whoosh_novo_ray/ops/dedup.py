@@ -37,6 +37,24 @@ _RAW = simple_analyzer()
 N_SHARDS = 64
 
 
+def _collect_pairs(
+    ds: "ray.data.Dataset", empty: pa.Table, sort_keys
+) -> pa.Table:
+    """Driver-side convenience: collect a (small, already-thresholded) pair
+    Dataset into one sorted Arrow table — for tests, oracles and callers
+    whose surviving pair set fits the driver. Web-scale callers should
+    consume the ``*_ds`` variant directly (write_parquet / further joins)
+    and never funnel the pair stream through the driver.
+
+    materialize() first: bare to_arrow_refs() on a lazy Dataset re-executes
+    the whole pipeline for a schema probe — ruinous after an all-to-all.
+    """
+    tables = [t for t in ray.get(ds.materialize().to_arrow_refs()) if len(t)]
+    if not tables:
+        return empty
+    return pa.concat_tables(tables).sort_by(sort_keys)
+
+
 def _run_bounds(change_mask: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """(starts, lens) of equal-key runs given a boundary mask."""
     starts = np.flatnonzero(change_mask)
@@ -174,18 +192,20 @@ class _Shingles:
         )
 
 
-def ngram_jaccard_pairs(
+def ngram_jaccard_pairs_ds(
     docs: "ray.data.Dataset",
     n: int = 3,
     threshold: float = 0.2,
     max_group: int = 1000,
-) -> pa.Table:
+) -> "ray.data.Dataset":
     """All-pairs word-``n``-gram Jaccard similarity >= threshold.
 
-    Returns Arrow table (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard
-    rounded to 6 decimals. Fully distributed: per-doc sizes ride the shingle
-    rows, pair counts come from one groupby, and the driver only ever holds
-    the (small) surviving pair set.
+    Returns a DATASET of (doc_a, doc_b, jaccard) rows with doc_a < doc_b,
+    jaccard rounded to 6 decimals — unsorted, never collected to the
+    driver (write_parquet it or feed it to a downstream join; on a
+    dup-heavy crawl the pair set is a constant fraction of the corpus).
+    Fully distributed: per-doc sizes ride the shingle rows, pair counts
+    come from one groupby.
 
     ``max_group`` drops shingles shared by more than that many docs (a
     shingle shared by s docs emits s*(s-1)/2 pairs — boilerplate shingles are
@@ -303,26 +323,33 @@ def ngram_jaccard_pairs(
             }
         )
 
-    out_ds = (
+    return (
         sh.map_batches(add_shard, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("shard")
         .map_groups(emit_pairs_shard, batch_format="pyarrow")
         .groupby("pshard")
         .map_groups(reduce_finalize, batch_format="pyarrow")
     )
-    # materialize() first: bare to_arrow_refs() re-executes the pipeline a
-    # second time for a limit-1 schema probe — ruinous after an all-to-all
-    tables = [t for t in ray.get(out_ds.materialize().to_arrow_refs()) if len(t)]
-    if not tables:
-        return pa.table(
+
+
+def ngram_jaccard_pairs(
+    docs: "ray.data.Dataset",
+    n: int = 3,
+    threshold: float = 0.2,
+    max_group: int = 1000,
+) -> pa.Table:
+    """Driver-side table form of :func:`ngram_jaccard_pairs_ds`, sorted by
+    (doc_a, doc_b) — for tests/oracles and small surviving pair sets."""
+    return _collect_pairs(
+        ngram_jaccard_pairs_ds(docs, n=n, threshold=threshold, max_group=max_group),
+        pa.table(
             {
                 "doc_a": pa.array([], pa.int64()),
                 "doc_b": pa.array([], pa.int64()),
                 "jaccard": pa.array([], pa.float64()),
             }
-        )
-    return pa.concat_tables(tables).sort_by(
-        [("doc_a", "ascending"), ("doc_b", "ascending")]
+        ),
+        [("doc_a", "ascending"), ("doc_b", "ascending")],
     )
 
 
@@ -466,26 +493,162 @@ class _BandRows:
         )
 
 
-def minhash_lsh_candidates(
+def _collapse_equal_signatures(
+    sigs_ds: "ray.data.Dataset",
+) -> tuple["ray.data.Dataset", "ray.data.Dataset"]:
+    """Pre-collapse docs with EQUAL full MinHash signatures.
+
+    A bucket of m byte-identical (or boilerplate-identical) docs would emit
+    O(m^2) candidate pairs from every band — but equal signatures are
+    transitively duplicates, so a CHAIN (rep = min doc_id, one pair per
+    other member, est_jaccard = 1.0) carries the same information in O(m)
+    rows, and only the representative needs to enter banding (any doc
+    sharing a band with a member shares it with the rep, and its agreement
+    fraction vs the rep is identical). The near-dup LOSER set — distinct
+    doc_b above threshold — is exactly preserved; the PAIR SET is not
+    (member-member and member-other pairs are represented via the rep).
+
+    Returns (reps_ds with the sigs schema, chain_pairs_ds(doc_a, doc_b,
+    est_jaccard)). One sharded groupby over signature rows; within a shard
+    equality runs are found with one vectorized pass over the sorted
+    signature matrix — no per-group Python, no driver state.
+    """
+    _MIX = np.uint64(0x9E3779B97F4A7C15)
+
+    def add_sig_shard(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if not n:
+            return batch.append_column("sshard", pa.array([], pa.int32()))
+        mat = _sig_mat(batch["sig"], n)
+        # wrap-around uint64 mix of the whole signature row: equal rows
+        # collide by construction; runs are still verified element-wise
+        w = (np.arange(mat.shape[1], dtype=np.uint64) * _MIX) | np.uint64(1)
+        key = (mat * w[None, :]).sum(axis=1, dtype=np.uint64)
+        return batch.append_column(
+            "sshard", pa.array((key % np.uint64(N_SHARDS)).astype(np.int32))
+        )
+
+    def collapse_shard(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "role": pa.array([], pa.int8()),
+                "doc_id": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "sig": pa.array([], pa.list_(pa.uint64())),
+            }
+        )
+        if not len(group):
+            return empty
+        n = len(group)
+        mat = _sig_mat(group["sig"], n)
+        ids = group["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids,) + tuple(mat[:, j] for j in range(mat.shape[1] - 1, -1, -1)))
+        mat, ids = mat[order], ids[order]
+        change = np.empty(n, bool)
+        change[0] = True
+        change[1:] = (mat[1:] != mat[:-1]).any(axis=1)
+        starts, lens = _run_bounds(change)
+        rep_of_row = np.repeat(starts, lens)
+        is_rep = change
+        members = ~is_rep
+        rep_rows = np.flatnonzero(is_rep)
+        mem_rows = np.flatnonzero(members)
+        role = np.concatenate(
+            [np.zeros(len(rep_rows), np.int8), np.ones(len(mem_rows), np.int8)]
+        )
+        out_ids = np.concatenate([ids[rep_rows], ids[rep_of_row[mem_rows]]])
+        out_b = np.concatenate(
+            [np.full(len(rep_rows), -1, np.int64), ids[mem_rows]]
+        )
+        # reps keep their signature; chain rows carry an empty sig
+        sigs_out = pa.concat_arrays(
+            [
+                pa.ListArray.from_arrays(
+                    pa.array(
+                        (np.arange(len(rep_rows) + 1) * mat.shape[1]).astype(
+                            np.int32
+                        ),
+                        pa.int32(),
+                    ),
+                    pa.array(mat[rep_rows].reshape(-1), pa.uint64()),
+                ),
+                _empty_sig_list(len(mem_rows)),
+            ]
+        )
+        return pa.table(
+            {
+                "role": pa.array(role, pa.int8()),
+                "doc_id": pa.array(out_ids, pa.int64()),
+                "doc_b": pa.array(out_b, pa.int64()),
+                "sig": sigs_out,
+            }
+        )
+
+    tagged = (
+        sigs_ds.map_batches(
+            add_sig_shard, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("sshard")
+        .map_groups(collapse_shard, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def project_reps(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(batch["role"], pa.scalar(0, pa.int8()))
+        sub = batch.filter(keep)
+        return pa.table({"doc_id": sub["doc_id"], "sig": sub["sig"]})
+
+    def project_chains(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(batch["role"], pa.scalar(1, pa.int8()))
+        sub = batch.filter(keep)
+        return pa.table(
+            {
+                "doc_a": sub["doc_id"],
+                "doc_b": sub["doc_b"],
+                "est_jaccard": pa.array(
+                    np.ones(len(sub), np.float64), pa.float64()
+                ),
+            }
+        )
+
+    reps = tagged.map_batches(
+        project_reps, batch_format="pyarrow", zero_copy_batch=True
+    )
+    chains = tagged.map_batches(
+        project_chains, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return reps, chains
+
+
+def minhash_lsh_candidates_ds(
     docs: "ray.data.Dataset",
     n: int = 3,
     num_perm: int = 64,
     bands: int = 16,
     seed: int = 7,
     threshold: float | None = None,
-) -> pa.Table:
-    """Near-duplicate candidate pairs via MinHash banding.
+    collapse_equal: bool = False,
+) -> "ray.data.Dataset":
+    """Near-duplicate candidate pairs via MinHash banding, as a DATASET.
 
     Signature stage is a pure map_batches; banding explodes each doc into
     ``bands`` (band_key, doc_id) rows; sharded vectorized reducers emit and
     dedup candidate pairs (no per-band-key Python groups). The est_jaccard
     verify is a DISTRIBUTED two-pass hash-join of pairs against signatures
     (shard by hash(doc) — signatures meet their pairs inside map_groups, the
-    driver never holds the signature set or the pre-filter pair set).
-    Returns (doc_a, doc_b, est_jaccard) where est_jaccard is the
+    driver never holds the signature set or the pair set at any point).
+    Rows are (doc_a, doc_b, est_jaccard) where est_jaccard is the
     signature-agreement fraction; ``threshold`` drops pairs below it INSIDE
-    the join (pass one on dup-heavy corpora so only survivors reach the
-    driver).
+    the join. Consume with write_parquet or a downstream join — on a
+    dup-heavy crawl the surviving pair set is a constant fraction of the
+    corpus and must never be collected.
+
+    ``collapse_equal=True`` pre-collapses equal-signature groups into O(m)
+    chain pairs (see :func:`_collapse_equal_signatures`): the near-dup
+    LOSER set (distinct doc_b at any threshold) is identical, the pair set
+    itself is chain- instead of clique-shaped within equal-signature
+    groups. Use it for removal pipelines on dup-heavy corpora; leave off
+    when the exact clique pair set is the contract (SQL-oracle parity).
     """
     assert num_perm % bands == 0
     r = num_perm // bands
@@ -501,6 +664,11 @@ def minhash_lsh_candidates(
     # are ~0.5 KB/doc (~10% of typical web text), well worth the store space
     # vs recomputing the tokenize+hash pipeline.
     sigs_ds = sigs_ds.materialize()
+
+    chains = None
+    if collapse_equal:
+        sigs_ds, chains = _collapse_equal_signatures(sigs_ds)
+        sigs_ds = sigs_ds.materialize()
 
     banded = sigs_ds.map_batches(_BandRows(bands, r), batch_format="pyarrow")
 
@@ -575,19 +743,38 @@ def minhash_lsh_candidates(
         .map_groups(unique_pairs_shard, batch_format="pyarrow")
     )
     est_ds = _estimate_pairs_distributed(pairs_ds, sigs_ds, num_perm, threshold)
-    tables = [
-        t for t in ray.get(est_ds.materialize().to_arrow_refs()) if len(t)
-    ]
-    if not tables:
-        return pa.table(
+    return est_ds if chains is None else est_ds.union(chains)
+
+
+def minhash_lsh_candidates(
+    docs: "ray.data.Dataset",
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    seed: int = 7,
+    threshold: float | None = None,
+    collapse_equal: bool = False,
+) -> pa.Table:
+    """Driver-side table form of :func:`minhash_lsh_candidates_ds`, sorted
+    by (doc_a, doc_b) — for tests/oracles and small surviving pair sets."""
+    return _collect_pairs(
+        minhash_lsh_candidates_ds(
+            docs,
+            n=n,
+            num_perm=num_perm,
+            bands=bands,
+            seed=seed,
+            threshold=threshold,
+            collapse_equal=collapse_equal,
+        ),
+        pa.table(
             {
                 "doc_a": pa.array([], pa.int64()),
                 "doc_b": pa.array([], pa.int64()),
                 "est_jaccard": pa.array([], pa.float64()),
             }
-        )
-    return pa.concat_tables(tables).sort_by(
-        [("doc_a", "ascending"), ("doc_b", "ascending")]
+        ),
+        [("doc_a", "ascending"), ("doc_b", "ascending")],
     )
 
 
@@ -923,19 +1110,20 @@ def popcount64(x: np.ndarray) -> np.ndarray:
     return _POP8[b].sum(axis=1).astype(np.int64)
 
 
-def simhash_near_dup_pairs(
+def simhash_near_dup_pairs_ds(
     docs: "ray.data.Dataset",
     k: int = 3,
     bands: int = 4,
-) -> pa.Table:
-    """Near-duplicate pairs by SimHash Hamming distance <= ``k``.
+) -> "ray.data.Dataset":
+    """Near-duplicate pairs by SimHash Hamming distance <= ``k``, as a
+    DATASET of (doc_a, doc_b, hamming) rows (unsorted, never collected).
 
     Banded blocking: the 64-bit simhash splits into ``bands`` equal slices;
     by pigeonhole any pair within ``k <= bands - 1`` differing bits shares
     at least one identical band, so candidates = same-band-value pairs (a
     guaranteed superset) and the exact popcount verify runs inside the
     sharded reducers — no all-pairs comparison, no driver-side signature
-    set. Returns (doc_a, doc_b, hamming) sorted.
+    set.
     """
     assert 64 % bands == 0
     width = 64 // bands
@@ -1032,24 +1220,32 @@ def simhash_near_dup_pairs(
             }
         )
 
-    out = (
+    return (
         sigs.map_batches(band_rows, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("shard")
         .map_groups(emit_pairs, batch_format="pyarrow")
         .groupby("pshard")
         .map_groups(dedup_pairs, batch_format="pyarrow")
     )
-    tables = [t for t in ray.get(out.materialize().to_arrow_refs()) if len(t)]
-    if not tables:
-        return pa.table(
+
+
+def simhash_near_dup_pairs(
+    docs: "ray.data.Dataset",
+    k: int = 3,
+    bands: int = 4,
+) -> pa.Table:
+    """Driver-side table form of :func:`simhash_near_dup_pairs_ds`, sorted
+    by (doc_a, doc_b) — for tests/oracles and small surviving pair sets."""
+    return _collect_pairs(
+        simhash_near_dup_pairs_ds(docs, k=k, bands=bands),
+        pa.table(
             {
                 "doc_a": pa.array([], pa.int64()),
                 "doc_b": pa.array([], pa.int64()),
                 "hamming": pa.array([], pa.int64()),
             }
-        )
-    return pa.concat_tables(tables).sort_by(
-        [("doc_a", "ascending"), ("doc_b", "ascending")]
+        ),
+        [("doc_a", "ascending"), ("doc_b", "ascending")],
     )
 
 

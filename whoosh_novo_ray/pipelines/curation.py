@@ -12,8 +12,13 @@
 Every stage is one of the engine's existing distributed ops; the final
 combination is ONE sharded groupby over role-tagged id streams (a bitmask
 union join — no driver-side id sets, the same shard-join shape as the
-MinHash verify). Only the near-dup LOSER list is table-sized on the driver,
-and that list IS the removal set — the thing the pipeline exists to produce.
+MinHash verify). The near-dup pair stream flows into that join as a tagged
+Dataset too: on a dup-heavy crawl the loser list is a constant fraction of
+the corpus, so it is never collected, uniqued, or even counted on the
+driver — duplicates in the stream are harmless because the join ORs role
+bits. MinHash runs with ``collapse_equal=True`` (chain pairs instead of
+cliques inside equal-signature groups — same loser set, O(m) not O(m^2)
+rows when m docs share a signature).
 """
 
 from __future__ import annotations
@@ -57,20 +62,25 @@ def _tag(ds: "ray.data.Dataset", role: int, with_n: bool = False):
     return ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def curated_corpus(
+def curated_corpus_ds(
     docs: "ray.data.Dataset",
     min_tokens: int = 50,
     stop_ratio: float = 0.08,
     dup_threshold: float = 0.9,
-) -> pa.Table:
-    """Curated (doc_id, n_bpe_tokens), sorted by doc_id.
+) -> "ray.data.Dataset":
+    """Curated (doc_id, n_bpe_tokens) as a DATASET (unsorted) — the scale
+    path: write_parquet the result, nothing corpus-sized ever touches the
+    driver (not the pair set, not the loser ids, not the output).
 
     A doc survives iff it is the exact-dedup keeper of its content hash,
     passes the quality/language gate (raw tokens >= min_tokens AND
     stopword_ratio >= stop_ratio — the langid-en rule), and is not the
     higher id of any near-duplicate pair (est_jaccard >= dup_threshold).
     """
-    from whoosh_novo_ray.ops.dedup import exact_dedup_keep, minhash_lsh_candidates
+    from whoosh_novo_ray.ops.dedup import (
+        exact_dedup_keep,
+        minhash_lsh_candidates_ds,
+    )
     from whoosh_novo_ray.ops.textstats import bpe_token_table, quality_table
 
     survivors = _tag(
@@ -82,20 +92,27 @@ def curated_corpus(
         ),
         _QUALITY,
     )
-    # threshold applied INSIDE the distributed verify join: only true
-    # near-dup pairs reach the driver (the removal set itself)
-    pairs = minhash_lsh_candidates(docs, threshold=dup_threshold)
-    losers = pa.table(
-        {
-            "doc_id": pa.array(
-                np.unique(pairs["doc_b"].to_numpy(zero_copy_only=False)),
-                pa.int64(),
-            )
-        }
+    # threshold applied INSIDE the distributed verify join, loser ids
+    # streamed straight into the bitmask shard-join: duplicates of a doc_b
+    # are harmless (the join ORs role bits), so no unique pass is needed
+    # and the pair stream never materializes anywhere central.
+    # collapse_equal keeps mass-duplicated docs O(m) instead of O(m^2).
+    pairs_ds = minhash_lsh_candidates_ds(
+        docs, threshold=dup_threshold, collapse_equal=True
     )
-    streams = [survivors, quality, _tag(bpe_token_table(docs), 8, with_n=True)]
-    if len(losers):
-        streams.append(_tag(ray.data.from_arrow(losers), _LOSER))
+
+    def project_losers(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch["doc_b"]})
+
+    losers = pairs_ds.map_batches(
+        project_losers, batch_format="pyarrow", zero_copy_batch=True
+    )
+    streams = [
+        survivors,
+        quality,
+        _tag(bpe_token_table(docs), 8, with_n=True),
+        _tag(losers, _LOSER),
+    ]
     tagged = streams[0].union(*streams[1:])
 
     def combine(group: pa.Table) -> pa.Table:
@@ -131,7 +148,24 @@ def curated_corpus(
             }
         )
 
-    out = tagged.groupby("shard").map_groups(combine, batch_format="pyarrow")
+    return tagged.groupby("shard").map_groups(combine, batch_format="pyarrow")
+
+
+def curated_corpus(
+    docs: "ray.data.Dataset",
+    min_tokens: int = 50,
+    stop_ratio: float = 0.08,
+    dup_threshold: float = 0.9,
+) -> pa.Table:
+    """Driver-side table form of :func:`curated_corpus_ds`, sorted by
+    doc_id — for tests/oracles and corpora whose curated set fits the
+    driver."""
+    out = curated_corpus_ds(
+        docs,
+        min_tokens=min_tokens,
+        stop_ratio=stop_ratio,
+        dup_threshold=dup_threshold,
+    )
     tables = [t for t in ray.get(out.materialize().to_arrow_refs()) if len(t)]
     if not tables:
         return pa.table(

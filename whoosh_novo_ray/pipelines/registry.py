@@ -572,6 +572,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return minhash_lsh_candidates(_docs_ds(sf_dir))
 
+    def minhash_losers_collapsed(sf_dir):
+        """Near-dup loser ids via the chain-collapsed path (equal-signature
+        groups emit O(m) chain pairs, not O(m^2) cliques). The oracle
+        derives the same loser set from the full clique pair SQL — loser
+        sets are provably identical between the two shapes."""
+        from whoosh_novo_ray.ops import minhash_lsh_candidates
+
+        pairs = minhash_lsh_candidates(
+            _docs_ds(sf_dir), threshold=0.8, collapse_equal=True
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    np.unique(pairs["doc_b"].to_numpy(zero_copy_only=False)),
+                    pa.int64(),
+                )
+            }
+        )
+
     def simhash(sf_dir):
         from whoosh_novo_ray.ops import simhash_table
 
@@ -1786,6 +1805,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": dedup_exact,
         "jaccard_pairs": jaccard_pairs,
         "minhash_candidates": minhash_cands,
+        "minhash_losers_collapsed": minhash_losers_collapsed,
         "simhash": simhash,
         "knn_cosine_top10": knn,
         "knn_lsh_top10": knn_lsh,
@@ -2809,6 +2829,59 @@ FROM cand c
 JOIN sigs sa ON sa.doc_id = c.doc_a
 JOIN sigs sb ON sb.doc_id = c.doc_b
 ORDER BY doc_a, doc_b""",
+        # Near-dup LOSER set (distinct higher id of any pair with
+        # est_jaccard >= 0.8). The Ray side runs the collapse_equal chain
+        # path (ops/dedup._collapse_equal_signatures) — the pair SET
+        # differs from the clique, but the loser set is provably identical,
+        # which is exactly what this oracle pins: the SQL derives losers
+        # from the full clique pair set.
+        "minhash_losers_collapsed": f"""WITH tokarr AS (
+  SELECT doc_id, {raw_tok} AS arr FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(arr, i + 1, i + 3), ' ') AS shingle
+  FROM (SELECT doc_id, arr, unnest(range(len(arr) - 2)) AS i FROM tokarr
+        WHERE len(arr) >= 3)
+),
+perms AS (
+  SELECT i,
+         (md5_number_lower('mh-a-7-' || i)::HUGEINT % 2305843009213693950 + 1) AS a,
+         (md5_number_lower('mh-b-7-' || i)::HUGEINT % 2305843009213693951) AS b
+  FROM (SELECT unnest(range(64)) AS i)
+),
+shh AS (
+  SELECT doc_id, md5_number_lower(shingle)::HUGEINT % 2305843009213693951 AS x
+  FROM sh
+),
+mins AS (
+  SELECT s.doc_id, p.i, min((p.a * s.x + p.b) % 2305843009213693951) AS h
+  FROM shh s CROSS JOIN perms p GROUP BY 1, 2
+),
+sigs AS (SELECT doc_id, list(h ORDER BY i) AS sig FROM mins GROUP BY doc_id),
+bandkeys AS (
+  SELECT doc_id,
+         substr(md5(bi.bi || ':' ||
+                    array_to_string(list_slice(sig, bi.bi * 4 + 1, bi.bi * 4 + 4), ',')),
+                1, 16) AS band_key
+  FROM sigs CROSS JOIN (SELECT unnest(range(16)) AS bi) bi
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bandkeys a JOIN bandkeys b
+    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT c.doc_b,
+         list_sum(list_transform(range(64),
+             i -> CASE WHEN sa.sig[i + 1] = sb.sig[i + 1] THEN 1 ELSE 0 END)) / 64.0
+           AS e
+  FROM cand c
+  JOIN sigs sa ON sa.doc_id = c.doc_a
+  JOIN sigs sb ON sb.doc_id = c.doc_b
+)
+SELECT DISTINCT doc_b::BIGINT AS doc_id FROM est WHERE e >= 0.8
+ORDER BY doc_id""",
         # SimHash: term hash = md5_number_lower(term), tf-weighted bit votes,
         # int64 two's-complement view of the uint64 hash.
         "simhash": f"""WITH tokarr AS (
