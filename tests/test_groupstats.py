@@ -277,3 +277,55 @@ def test_exact_quantiles_ignores_nulls_and_nans(ray_session):
     )
     out = exact_quantiles(_ds(ray_session, tbl, 3), "x", (0.0, 0.5, 1.0))
     assert out["value"].to_pylist() == [1.0, 3.0, 5.0]
+
+
+def test_quantiles_continuous_matches_rank_rule(ray_session):
+    from whoosh_novo_ray.ops.groupstats import quantiles_continuous
+
+    rng = np.random.RandomState(7)
+    vals = rng.randn(5000) * 100.0 + rng.rand(5000)  # effectively all-distinct
+    tbl = pa.table({"x": pa.array(vals, pa.float64())})
+    qs = (0.0, 0.01, 0.25, 0.5, 0.77, 0.99, 1.0)
+    # tiny exact_cap + buckets force several narrowing rounds
+    out = quantiles_continuous(
+        _ds(ray_session, tbl, 6), "x", qs, buckets=16, exact_cap=40
+    )
+    svals = np.sort(vals)
+    got = dict(zip(out["q"].to_pylist(), out["value"].to_pylist()))
+    for q in qs:
+        assert got[q] == svals[int(np.floor(q * (len(svals) - 1)))]
+
+
+def test_quantiles_continuous_skew_and_nulls(ray_session):
+    from whoosh_novo_ray.ops.groupstats import quantiles_continuous
+
+    # half the mass on one exact float (degenerate-interval path) + nulls
+    vals = np.concatenate([np.full(3000, 42.5), np.linspace(0, 100, 3000)])
+    col = pa.array(vals.tolist() + [None, float("nan")], pa.float64())
+    tbl = pa.table({"x": col})
+    out = quantiles_continuous(
+        _ds(ray_session, tbl, 5), "x", (0.4, 0.5, 0.6), buckets=8, exact_cap=10
+    )
+    svals = np.sort(vals)
+    got = dict(zip(out["q"].to_pylist(), out["value"].to_pylist()))
+    for q in (0.4, 0.5, 0.6):
+        assert got[q] == svals[int(np.floor(q * (len(svals) - 1)))]
+
+
+def test_exact_quantiles_refuses_high_cardinality(ray_session):
+    vals = np.arange(500, dtype=np.float64) + 0.5
+    tbl = pa.table({"x": pa.array(vals)})
+    with pytest.raises(ValueError, match="quantiles_continuous"):
+        exact_quantiles(_ds(ray_session, tbl, 3), "x", (0.5,), max_distinct=100)
+
+
+def test_quantiles_continuous_agrees_with_exact_on_ints(ray_session):
+    from whoosh_novo_ray.ops.groupstats import quantiles_continuous
+
+    tbl = _table(seed=5)
+    qs = (0.0, 0.1, 0.5, 0.9, 1.0)
+    a = exact_quantiles(_ds(ray_session, tbl), "n_chars", qs)
+    b = quantiles_continuous(
+        _ds(ray_session, tbl), "n_chars", qs, buckets=8, exact_cap=4
+    )
+    assert [float(v) for v in a["value"].to_pylist()] == b["value"].to_pylist()

@@ -128,15 +128,22 @@ def cap_per_group(
 
 
 def exact_quantiles(
-    ds: "ray.data.Dataset", col: str, qs: tuple[float, ...]
+    ds: "ray.data.Dataset",
+    col: str,
+    qs: tuple[float, ...],
+    max_distinct: int = 1 << 22,
 ) -> pa.Table:
-    """Exact quantiles of a discrete numeric column.
+    """Exact quantiles of a DISCRETE numeric column.
 
     Selection rule (mirrored verbatim in SQL): the value at 0-based rank
     ``floor(q * (n - 1))`` of the ascending sort — both sides compute the
     rank in IEEE doubles. The driver holds one (value, count) row per
-    DISTINCT value, never per input row. Returns a small arrow table
-    ``(q, value)``.
+    DISTINCT value, never per input row — which is exactly why this path
+    must refuse continuous columns: on a float score column distinct ≈
+    corpus size and the driver histogram would BE the corpus. Columns with
+    more than ``max_distinct`` distinct values raise with a pointer to
+    :func:`quantiles_continuous` (distributed kth-element selection, exact
+    for any cardinality). Returns a small arrow table ``(q, value)``.
     """
 
     import pyarrow.types as patypes
@@ -158,12 +165,21 @@ def exact_quantiles(
             }
         )
 
-    hist = (
+    hist_ds = (
         ds.map_batches(value_counts, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("v")
         .sum("c")
-        .take_all()
+        .materialize()
     )
+    n_distinct = hist_ds.count()
+    if n_distinct > max_distinct:
+        raise ValueError(
+            f"exact_quantiles: column {col!r} has {n_distinct} distinct "
+            f"values (> max_distinct={max_distinct}); the driver-side "
+            "histogram would be corpus-sized. Use quantiles_continuous() "
+            "(distributed kth-element selection) for continuous columns."
+        )
+    hist = hist_ds.take_all()
     vals = np.asarray(sorted(r["v"] for r in hist), np.float64)
     cnts = np.asarray(
         [r["sum(c)"] for r in sorted(hist, key=lambda r: r["v"])], np.int64
@@ -185,6 +201,214 @@ def exact_quantiles(
             )
             if is_int
             else pa.array(out_v, pa.float64()),
+        }
+    )
+
+
+def _bucket_of(v: np.ndarray, edges: np.ndarray) -> np.ndarray:
+    """Bucket index per value under half-open [e_i, e_{i+1}) buckets with the
+    LAST bucket closed (values == edges[-1] land in bucket B-1). One rule,
+    used by both the counting rounds and the final exact collection, so
+    boundary values can never fall between the two."""
+    return np.clip(np.searchsorted(edges, v, side="right") - 1, 0, len(edges) - 2)
+
+
+def quantiles_continuous(
+    ds: "ray.data.Dataset",
+    col: str,
+    qs: tuple[float, ...],
+    buckets: int = 4096,
+    exact_cap: int = 1 << 20,
+    max_rounds: int = 64,
+) -> pa.Table:
+    """Exact quantiles of a CONTINUOUS numeric column by distributed
+    kth-element selection (iterative range-partition counting).
+
+    Same selection rule as :func:`exact_quantiles` — the value at 0-based
+    rank ``floor(q * (n - 1))`` of the ascending sort, NULL/NaN dropped —
+    but the driver never holds per-distinct-value state: each round scans
+    the column once, counting values into ``buckets`` equal-width ranges
+    per still-open quantile interval (a ``(intervals x buckets)``-row
+    reduce), then narrows each rank's interval to its bucket. A rank
+    finalizes when its interval holds <= ``exact_cap`` values (those are
+    collected and selected exactly — <= 8 MB of doubles at the default) or
+    degenerates to a single float. Rounds needed ~ log_buckets(range /
+    resolution); value-skew cannot stall it because a zero-width interval
+    finalizes immediately. Exact for any cardinality, SQL-mirrorable as
+    ORDER BY + OFFSET rank.
+    """
+    qs = tuple(qs)
+
+    # one scan: n, min, max (NULL/NaN dropped) via per-batch pre-reduce
+    def stats(batch: pa.Table) -> pa.Table:
+        arr = batch[col].drop_null().to_numpy(zero_copy_only=False).astype(np.float64)
+        arr = arr[~np.isnan(arr)]
+        if not len(arr):
+            return pa.table(
+                {
+                    "n": pa.array([], pa.int64()),
+                    "lo": pa.array([], pa.float64()),
+                    "hi": pa.array([], pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "n": pa.array([len(arr)], pa.int64()),
+                "lo": pa.array([float(arr.min())], pa.float64()),
+                "hi": pa.array([float(arr.max())], pa.float64()),
+            }
+        )
+
+    srows = ds.map_batches(
+        stats, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    n = int(sum(r["n"] for r in srows))
+    if n == 0:
+        return pa.table(
+            {
+                "q": pa.array(list(qs), pa.float64()),
+                "value": pa.array([0.0] * len(qs), pa.float64()),
+            }
+        )
+    gmin = min(r["lo"] for r in srows)
+    gmax = max(r["hi"] for r in srows)
+
+    # per-quantile state: rank within its current (lo, hi] interval
+    state = []  # (qi, rank_local, lo, hi) — interval is inclusive of both ends
+    out = [None] * len(qs)
+    for qi, q in enumerate(qs):
+        state.append((qi, int(np.floor(q * (n - 1))), gmin, gmax))
+
+    def count_round(intervals: list[tuple[float, float]]):
+        edges_all = [
+            np.linspace(lo, hi, buckets + 1) for lo, hi in intervals
+        ]
+
+        def count_batch(batch: pa.Table) -> pa.Table:
+            arr = (
+                batch[col]
+                .drop_null()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+            )
+            arr = arr[~np.isnan(arr)]
+            ks, cs = [], []
+            for iv, (edges, (lo, hi)) in enumerate(zip(edges_all, intervals)):
+                sel = arr[(arr >= lo) & (arr <= hi)]
+                if not len(sel):
+                    continue
+                cnt = np.bincount(_bucket_of(sel, edges), minlength=buckets)
+                nz = np.flatnonzero(cnt)
+                ks.append(np.int64(iv) * buckets + nz)
+                cs.append(cnt[nz])
+            if not ks:
+                return pa.table(
+                    {"k": pa.array([], pa.int64()), "c": pa.array([], pa.int64())}
+                )
+            return pa.table(
+                {
+                    "k": pa.array(np.concatenate(ks), pa.int64()),
+                    "c": pa.array(np.concatenate(cs), pa.int64()),
+                }
+            )
+
+        rows = (
+            ds.map_batches(count_batch, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("k")
+            .sum("c")
+            .take_all()
+        )
+        hists = [np.zeros(buckets, np.int64) for _ in intervals]
+        for r in rows:
+            hists[int(r["k"]) // buckets][int(r["k"]) % buckets] = r["sum(c)"]
+        return edges_all, hists
+
+    def collect_exact(lo: float, hi: float) -> np.ndarray:
+        def grab(batch: pa.Table) -> pa.Table:
+            arr = (
+                batch[col]
+                .drop_null()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+            )
+            arr = arr[~np.isnan(arr)]
+            return pa.table(
+                {"v": pa.array(arr[(arr >= lo) & (arr <= hi)], pa.float64())}
+            )
+
+        vals = np.concatenate(
+            [
+                t["v"].to_numpy(zero_copy_only=False)
+                for t in ray.get(
+                    ds.map_batches(
+                        grab, batch_format="pyarrow", zero_copy_batch=True
+                    )
+                    .materialize()
+                    .to_arrow_refs()
+                )
+            ]
+            or [np.empty(0, np.float64)]
+        )
+        vals.sort()
+        return vals
+
+    for _ in range(max_rounds):
+        open_state = [s for s in state if out[s[0]] is None]
+        if not open_state:
+            break
+        # degenerate intervals finalize without a scan
+        still = []
+        for qi, rank, lo, hi in open_state:
+            if hi <= np.nextafter(lo, np.inf):
+                out[qi] = lo
+            else:
+                still.append((qi, rank, lo, hi))
+        if not still:
+            break
+        # dedupe identical intervals so shared ranks share one histogram
+        uniq_iv: list[tuple[float, float]] = []
+        iv_of: dict[tuple[float, float], int] = {}
+        for _qi, _r, lo, hi in still:
+            if (lo, hi) not in iv_of:
+                iv_of[(lo, hi)] = len(uniq_iv)
+                uniq_iv.append((lo, hi))
+        edges_all, hists = count_round(uniq_iv)
+        new_state = [s for s in state if out[s[0]] is not None]
+        for qi, rank, lo, hi in still:
+            iv = iv_of[(lo, hi)]
+            cnt = hists[iv]
+            cum = np.cumsum(cnt)
+            b = int(np.searchsorted(cum, rank + 1, side="left"))
+            below = int(cum[b - 1]) if b else 0
+            rank_local = rank - below
+            edges = edges_all[iv]
+            blo = float(edges[b])
+            bhi = float(edges[b + 1]) if b + 1 < len(edges) else hi
+            if b == buckets - 1:
+                bhi = hi  # last bucket is closed at the interval top
+            in_bucket = int(cnt[b])
+            if in_bucket <= exact_cap:
+                # collect [blo, bhi] inclusive: values == bhi may belong to
+                # the NEXT bucket under the half-open rule, but they sort
+                # after bucket b's values and rank_local < cnt[b], so the
+                # selected element is unaffected; values == blo belong to
+                # bucket b and are correctly included
+                vals = collect_exact(blo, bhi)
+                out[qi] = float(vals[rank_local])
+            else:
+                new_state.append((qi, rank_local, blo, bhi))
+        state = new_state
+
+    for qi in range(len(qs)):
+        if out[qi] is None:  # max_rounds exhausted: exact-collect remainder
+            _, rank, lo, hi = next(s for s in state if s[0] == qi)
+            vals = collect_exact(lo, hi)
+            out[qi] = float(vals[rank])
+
+    return pa.table(
+        {
+            "q": pa.array(list(qs), pa.float64()),
+            "value": pa.array([float(v) for v in out], pa.float64()),
         }
     )
 

@@ -1707,6 +1707,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
             (0.1, 0.25, 0.5, 0.75, 0.9, 0.99),
         )
 
+    def event_value_quantiles(sf_dir):
+        """Exact quantiles of the CONTINUOUS events.value column via
+        distributed kth-element selection (iterative range-partition
+        counting — driver state is O(buckets), never O(distinct); the
+        value-count-histogram path would hold one driver row per distinct
+        float, i.e. the corpus)."""
+        import ray.data
+        from whoosh_novo_ray.ops.groupstats import quantiles_continuous
+
+        import ray
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["value"],
+            override_num_blocks=int(ray.cluster_resources().get("CPU", 8)),
+        )
+        t = quantiles_continuous(ds, "value", (0.05, 0.25, 0.5, 0.75, 0.95))
+        return pa.table(
+            {
+                "q": t["q"],
+                "value": pa.array(
+                    np.round(t["value"].to_numpy(zero_copy_only=False), 6),
+                    pa.float64(),
+                ),
+            }
+        )
+
     def top_terms_per_source(sf_dir):
         """Top-5 most frequent terms per source (count desc, term asc)."""
         from whoosh_novo_ray.ops.groupstats import top_terms_per_group
@@ -1792,6 +1819,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinctive_terms_per_source": distinctive_terms,
         "source_cap": source_cap,
         "nchars_quantiles": nchars_quantiles,
+        "event_value_quantiles": event_value_quantiles,
         "top_terms_per_source": top_terms_per_source,
         "compat_bm25_top10": compat_bm25_top10,
         "compat_sorted_nchars": compat_sorted_nchars,
@@ -2564,6 +2592,21 @@ WITH ord AS (
 n AS (SELECT count(*)::BIGINT AS c FROM documents),
 qs(q) AS (VALUES (0.1), (0.25), (0.5), (0.75), (0.9), (0.99))
 SELECT q, v::BIGINT AS value
+FROM qs, n JOIN ord ON ord.r = floor(q * (c - 1))::BIGINT
+ORDER BY q""",
+        # continuous-column quantiles: identical rank rule over events.value
+        # (NULL/NaN dropped), selected distributedly on the Ray side
+        "event_value_quantiles": """
+WITH clean AS (
+  SELECT value AS v FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value)
+),
+ord AS (
+  SELECT v, row_number() OVER (ORDER BY v) - 1 AS r FROM clean
+),
+n AS (SELECT count(*)::BIGINT AS c FROM clean),
+qs(q) AS (VALUES (0.05), (0.25), (0.5), (0.75), (0.95))
+SELECT q, round(v, 6) AS value
 FROM qs, n JOIN ord ON ord.r = floor(q * (c - 1))::BIGINT
 ORDER BY q""",
         # top-5 terms per source, count desc / term asc tie-break
