@@ -728,3 +728,232 @@ def test_explicit_cancel_inside_with_block(tmp_path):
         w.cancel()
     with ix.searcher() as s:
         assert s.doc_count() == 0
+
+
+# -- round-5 schema completion: SchemaClass / glob / IDLIST / NGRAM / vector --
+
+
+def test_schemaclass_declarative_and_inheritance():
+    class Parent(C.SchemaClass):
+        path = C.ID(stored=True)
+        date = C.DATETIME
+
+    class Child(Parent):
+        content = C.TEXT(stem=True)
+
+    s = Child()
+    assert type(s) is C.Schema
+    assert s.names() == ["content", "date", "path"]
+    assert s["path"].stored and s["content"].stem
+    # kwargs extend the declared fields (reference SchemaClass.__new__)
+    s2 = Child(tags=C.KEYWORD())
+    assert "tags" in s2.fields
+    # ensure_schema accepts the class itself, like reference create_in
+    s3 = C.ensure_schema(Child)
+    assert type(s3) is C.Schema and "content" in s3.fields
+    # instances don't share field-spec objects with the class
+    assert s.fields["path"] is not s2.fields["path"]
+
+
+def test_schemaclass_parity_with_reference():
+    pytest.importorskip("whoosh")
+    from whoosh.fields import DATETIME, ID, TEXT, SchemaClass
+
+    class Ref(SchemaClass):
+        path = ID(stored=True)
+        date = DATETIME
+        content = TEXT
+
+    r = Ref()
+    class Mine(C.SchemaClass):
+        path = C.ID(stored=True)
+        date = C.DATETIME
+        content = C.TEXT
+
+    m = Mine()
+    assert sorted(r.names()) == m.names()
+    assert type(r).__name__ == "Schema" and type(m) is C.Schema
+
+
+def test_dynamic_glob_fields_end_to_end(ray_session, tmp_path):
+    schema = C.Schema(body=C.TEXT(stored=True))
+    schema.add("*_tag", C.ID(stored=True), glob=True)
+    ix = C.create_in(str(tmp_path / "dynix"), schema)
+    with ix.writer() as w:
+        w.add_document(body="first doc here", color_tag="Red")
+        w.add_document(body="second doc here", shape_tag="Round")
+    # unknown fields NOT matching the glob still raise
+    with pytest.raises(ValueError):
+        ix.writer().add_document(body="x", nope="y")
+    # the glob materialized concrete fields, persisted to schema.json
+    ix2 = C.open_dir(str(tmp_path / "dynix"))
+    assert "color_tag" in ix2.schema.fields and "shape_tag" in ix2.schema.fields
+    s = ix2.searcher()
+    assert [h.docnum for h in s.search("color_tag:Red")] == [0]
+    assert [h.docnum for h in s.search("shape_tag:Round")] == [1]
+    # stored values round-trip (glob spec was stored=True)
+    assert s.search("color_tag:Red")[0]["color_tag"] == "Red"
+
+
+def test_dynamic_glob_parity_with_reference(ray_session, tmp_path):
+    pytest.importorskip("whoosh")
+    from whoosh import index as windex
+    from whoosh import query as wq
+    from whoosh.fields import ID, TEXT, Schema
+
+    rs = Schema(body=TEXT(stored=True))
+    rs.add("*_tag", ID(stored=True), glob=True)
+    d = tmp_path / "refdyn"
+    d.mkdir()
+    rix = windex.create_in(str(d), rs)
+    w = rix.writer()
+    w.add_document(body="first doc here", color_tag="Red")
+    w.add_document(body="second doc here", shape_tag="Round")
+    w.commit()
+    with rix.searcher() as s:
+        ref_hits = [h.docnum for h in s.search(wq.Term("color_tag", "Red"))]
+
+    schema = C.Schema(body=C.TEXT(stored=True))
+    schema.add("*_tag", C.ID(stored=True), glob=True)
+    cix = C.create_in(str(tmp_path / "minedyn"), schema)
+    with cix.writer() as w:
+        w.add_document(body="first doc here", color_tag="Red")
+        w.add_document(body="second doc here", shape_tag="Round")
+    mine_hits = [h.docnum for h in cix.searcher().search("color_tag:Red")]
+    assert mine_hits == ref_hits == [0]
+
+
+def test_idlist_field_parity(ray_session, tmp_path):
+    pytest.importorskip("whoosh")
+    from whoosh import index as windex
+    from whoosh import query as wq
+    from whoosh.fields import IDLIST, TEXT, Schema
+
+    docs = [("alpha doc", "AA,bb; cc"), ("beta doc", "bb dd"), ("gamma", "EE")]
+    d = tmp_path / "refidl"
+    d.mkdir()
+    rix = windex.create_in(
+        str(d), Schema(body=TEXT(stored=True), ids=IDLIST(stored=True))
+    )
+    w = rix.writer()
+    for b, i in docs:
+        w.add_document(body=b, ids=i)
+    w.commit()
+    with rix.searcher() as s:
+        ref = {
+            tok: [h.docnum for h in s.search(wq.Term("ids", tok), limit=None)]
+            for tok in ("AA", "bb", "cc", "dd", "EE", "aa")
+        }
+
+    cix = C.create_in(
+        str(tmp_path / "mineidl"),
+        C.Schema(body=C.TEXT(stored=True), ids=C.IDLIST(stored=True)),
+    )
+    with cix.writer() as w:
+        for b, i in docs:
+            w.add_document(body=b, ids=i)
+    s = cix.searcher()
+    for tok, want in ref.items():
+        got = [h.docnum for h in s.search(f"ids:{tok}", limit=50)]
+        assert got == want, (tok, got, want)
+
+
+def test_ngram_facade_fields_parity(ray_session, tmp_path):
+    pytest.importorskip("whoosh")
+    from whoosh import index as windex
+    from whoosh import query as wq
+    from whoosh.fields import NGRAM, NGRAMWORDS, Schema
+
+    docs = ["hello world", "help wanted", "whorl pattern"]
+    d = tmp_path / "refng"
+    d.mkdir()
+    rix = windex.create_in(
+        str(d), Schema(g=NGRAM(minsize=2, maxsize=4), gw=NGRAMWORDS(2, 4))
+    )
+    w = rix.writer()
+    for t in docs:
+        w.add_document(g=t, gw=t)
+    w.commit()
+    with rix.searcher() as s:
+        ref_g = {
+            sub: sorted(h.docnum for h in s.search(wq.Term("g", sub), limit=None))
+            for sub in ("hel", "orl", "lo w")
+        }
+        ref_gw = {
+            sub: sorted(h.docnum for h in s.search(wq.Term("gw", sub), limit=None))
+            for sub in ("hel", "orl")
+        }
+
+    cix = C.create_in(
+        str(tmp_path / "mineng"),
+        C.Schema(g=C.NGRAM(minsize=2, maxsize=4), gw=C.NGRAMWORDS(2, 4)),
+    )
+    with cix.writer() as w:
+        for t in docs:
+            w.add_document(g=t, gw=t)
+    s = cix.searcher()
+    from whoosh_novo_ray.search.query import Term as _T
+
+    for sub, want in ref_g.items():
+        got = sorted(h.docnum for h in s.search(_T(sub, field="g"), limit=50))
+        assert got == want, ("g", sub, got, want)
+    for sub, want in ref_gw.items():
+        got = sorted(h.docnum for h in s.search(_T(sub, field="gw"), limit=50))
+        assert got == want, ("gw", sub, got, want)
+
+
+def test_vector_field_key_terms_parity(ray_session, tmp_path):
+    pytest.importorskip("whoosh")
+    from whoosh import index as windex
+    from whoosh.fields import TEXT, Schema
+
+    titles, bodies = _texts(30, 31), _texts(30, 32)
+    d = tmp_path / "refvec"
+    d.mkdir()
+    rix = windex.create_in(
+        str(d), Schema(body=TEXT(stored=True, vector=True))
+    )
+    w = rix.writer()
+    for b in bodies:
+        w.add_document(body=b)
+    w.commit()
+    with rix.searcher() as s:
+        ref_kt = [t for t, _ in s.key_terms([3, 7], "body", numterms=5)]
+
+    cix = C.create_in(
+        str(tmp_path / "minevec"),
+        C.Schema(body=C.TEXT(stored=True, vector=True)),
+    )
+    with cix.writer() as w:
+        for b in bodies:
+            w.add_document(body=b)
+    s = cix.searcher()
+    got_kt = [t for t, _ in s.key_terms([3, 7], "body", numterms=5)]
+    assert got_kt == ref_kt
+    # vector path == re-analysis path (scores must agree, engine promise)
+    via_text = s.key_terms_from_text("body", [bodies[3], bodies[7]], numterms=5)
+    via_vec = s.key_terms([3, 7], "body", numterms=5)
+    assert [t for t, _ in via_text] == [t for t, _ in via_vec]
+    for (t1, s1), (t2, s2) in zip(via_text, via_vec):
+        assert abs(s1 - s2) < 1e-9
+    # more_like over the vector (no text re-analysis) returns ranked hits
+    r = s.more_like("body", docnum=3, numterms=5, limit=5)
+    assert len(r) >= 1
+
+
+def test_vector_field_incremental_commits(ray_session, tmp_path):
+    # vectors APPEND per commit; key_terms sees docs from both commits
+    cix = C.create_in(
+        str(tmp_path / "vecincr"),
+        C.Schema(body=C.TEXT(stored=True, vector=True)),
+    )
+    with cix.writer() as w:
+        w.add_document(body="spark engine index merge")
+    with cix.refresh().writer() as w:
+        w.add_document(body="window table scan batch")
+    s = cix.refresh().searcher()
+    kt0 = s.key_terms([0], "body", numterms=3)
+    kt1 = s.key_terms([1], "body", numterms=3)
+    assert kt0 and kt1
+    assert {t for t, _ in kt0} <= {"spark", "engine", "index", "merge"}
+    assert {t for t, _ in kt1} <= {"window", "table", "scan", "batch"}

@@ -351,6 +351,13 @@ def id_analyzer() -> _NoLowerAnalyzer:
     return _NoLowerAnalyzer(pattern=r"(?s)\A.+\Z", stoplist=None, minsize=1)
 
 
+def idlist_analyzer(expression: str = r"[^\r\n\t ,;]+") -> _NoLowerAnalyzer:
+    """IDs separated by whitespace/commas/semicolons (reference
+    fields.IDLIST, fields.py:492-513): regex tokens, case preserved, no
+    stop filtering."""
+    return _NoLowerAnalyzer(pattern=expression, stoplist=None, minsize=1)
+
+
 def accent_fold(text: str) -> str:
     """Fold accented characters to ASCII equivalents (reference
     CharsetFilter + accent_map, filters.py:450-501)."""

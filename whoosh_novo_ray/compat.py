@@ -82,15 +82,25 @@ class FieldSpec:
 
 
 class TEXT(FieldSpec):
-    """Analyzed full-text field (reference fields.TEXT)."""
+    """Analyzed full-text field (reference fields.TEXT). ``vector=True``
+    stores per-doc (term, weight) vectors beside the field index
+    (reference TEXT(vector=...), served by index/vectors.py — key_terms /
+    more_like read the stored vectors instead of re-analyzing text)."""
 
     kind = "text"
     indexed = True
 
-    def __init__(self, stored: bool = False, stem: bool = False, minsize: int = 2):
+    def __init__(
+        self,
+        stored: bool = False,
+        stem: bool = False,
+        minsize: int = 2,
+        vector: bool = False,
+    ):
         super().__init__(stored)
         self.stem = stem
         self.minsize = minsize
+        self.vector = vector
 
     def analyzer(self):
         if self.stem:
@@ -98,7 +108,12 @@ class TEXT(FieldSpec):
         return StandardAnalyzer(minsize=self.minsize)
 
     def options(self):
-        return {"stored": self.stored, "stem": self.stem, "minsize": self.minsize}
+        return {
+            "stored": self.stored,
+            "stem": self.stem,
+            "minsize": self.minsize,
+            "vector": self.vector,
+        }
 
 
 class ID(FieldSpec):
@@ -139,6 +154,76 @@ class KEYWORD(FieldSpec):
             "stored": self.stored,
             "commas": self.commas,
             "lowercase": self.lowercase,
+        }
+
+
+class IDLIST(FieldSpec):
+    """Whitespace/comma/semicolon-separated exact IDs (reference
+    fields.IDLIST, fields.py:492-513): each token one case-preserved term."""
+
+    kind = "idlist"
+    indexed = True
+
+    def __init__(self, stored: bool = False, unique: bool = False):
+        super().__init__(stored)
+        self.unique = unique
+
+    def analyzer(self):
+        from whoosh_novo_ray.analysis import idlist_analyzer
+
+        return idlist_analyzer()
+
+    def options(self):
+        return {"stored": self.stored, "unique": self.unique}
+
+
+class NGRAM(FieldSpec):
+    """Character-n-gram field for substring search (reference fields.NGRAM,
+    fields.py:1222-1260): grams over the whole lowercased value."""
+
+    kind = "ngram"
+    indexed = True
+
+    def __init__(self, minsize: int = 2, maxsize: int = 4, stored: bool = False):
+        super().__init__(stored)
+        self.minsize = minsize
+        self.maxsize = maxsize
+
+    def analyzer(self):
+        from whoosh_novo_ray.analysis import NgramAnalyzer
+
+        return NgramAnalyzer(self.minsize, self.maxsize)
+
+    def options(self):
+        return {
+            "stored": self.stored,
+            "minsize": self.minsize,
+            "maxsize": self.maxsize,
+        }
+
+
+class NGRAMWORDS(FieldSpec):
+    """Word-wise n-grams (reference fields.NGRAMWORDS, fields.py:1285-1320):
+    tokenize + lowercase, then grams within each word."""
+
+    kind = "ngramwords"
+    indexed = True
+
+    def __init__(self, minsize: int = 2, maxsize: int = 4, stored: bool = False):
+        super().__init__(stored)
+        self.minsize = minsize
+        self.maxsize = maxsize
+
+    def analyzer(self):
+        from whoosh_novo_ray.analysis import NgramWordsAnalyzer
+
+        return NgramWordsAnalyzer(self.minsize, self.maxsize)
+
+    def options(self):
+        return {
+            "stored": self.stored,
+            "minsize": self.minsize,
+            "maxsize": self.maxsize,
         }
 
 
@@ -205,18 +290,71 @@ class STORED(FieldSpec):
 
 
 _KINDS = {
-    c.kind: c for c in (TEXT, ID, KEYWORD, BOOLEAN, NUMERIC, DATETIME, STORED)
+    c.kind: c
+    for c in (
+        TEXT,
+        ID,
+        IDLIST,
+        KEYWORD,
+        NGRAM,
+        NGRAMWORDS,
+        BOOLEAN,
+        NUMERIC,
+        DATETIME,
+        STORED,
+    )
 }
+
+
+def _clone_spec(spec: FieldSpec) -> FieldSpec:
+    """Fresh FieldSpec with the same configuration (json round-trip)."""
+    opts = spec.to_json()
+    return _KINDS[opts.pop("kind")](**opts)
 
 
 class Schema:
     def __init__(self, **fields: FieldSpec):
         for name, spec in fields.items():
+            if isinstance(spec, type) and issubclass(spec, FieldSpec):
+                fields = dict(fields)
+                fields[name] = spec = spec()  # bare type -> default instance
             if not isinstance(spec, FieldSpec):
                 raise TypeError(f"field {name!r}: expected a FieldSpec instance")
         if not any(s.indexed for s in fields.values()):
             raise ValueError("schema needs at least one indexed field")
         self.fields: dict[str, FieldSpec] = dict(fields)
+        # dynamic glob fields (reference Schema.add(..., glob=True),
+        # fields.py:1544-1550): pattern -> spec; document keys matching a
+        # pattern materialize a concrete field at commit time
+        self.dyn_fields: dict[str, FieldSpec] = {}
+
+    def add(self, name: str, spec, glob: bool = False) -> None:
+        """Add a field (reference Schema.add): ``glob=True`` registers a
+        dynamic fnmatch pattern (e.g. ``"*_d"``) whose matching document
+        keys index with a per-name copy of ``spec``."""
+        if isinstance(spec, type) and issubclass(spec, FieldSpec):
+            spec = spec()
+        if not isinstance(spec, FieldSpec):
+            raise TypeError(f"field {name!r}: expected a FieldSpec instance")
+        if name.startswith("_") or " " in name:
+            raise ValueError(f"bad field name {name!r}")
+        if glob:
+            if name in self.dyn_fields:
+                raise ValueError(f"{name!r} already in schema")
+            self.dyn_fields[name] = spec
+        else:
+            if name in self.fields:
+                raise ValueError(f"{name!r} already in schema")
+            self.fields[name] = spec
+
+    def dyn_match(self, name: str) -> FieldSpec | None:
+        """The first dynamic pattern matching ``name``, or None."""
+        import fnmatch
+
+        for pat, spec in self.dyn_fields.items():
+            if fnmatch.fnmatchcase(name, pat):
+                return spec
+        return None
 
     def names(self) -> list[str]:
         return sorted(self.fields)
@@ -232,21 +370,93 @@ class Schema:
         return sorted(n for n, s in self.fields.items() if s.stored)
 
     def __contains__(self, name: str) -> bool:
-        return name in self.fields
+        return name in self.fields or self.dyn_match(name) is not None
 
     def __getitem__(self, name: str) -> FieldSpec:
-        return self.fields[name]
+        if name in self.fields:
+            return self.fields[name]
+        spec = self.dyn_match(name)
+        if spec is None:
+            raise KeyError(f"No field named {name!r}")
+        return spec
 
     def to_json(self) -> dict:
-        return {n: s.to_json() for n, s in self.fields.items()}
+        d = {n: s.to_json() for n, s in self.fields.items()}
+        if self.dyn_fields:
+            # "__dyn__" cannot collide: field names may not start with "_"
+            d["__dyn__"] = {p: s.to_json() for p, s in self.dyn_fields.items()}
+        return d
 
     @classmethod
     def from_json(cls, d: dict) -> "Schema":
+        d = dict(d)
+        dyn = d.pop("__dyn__", {})
         fields = {}
         for n, spec in d.items():
             opts = dict(spec)
             fields[n] = _KINDS[opts.pop("kind")](**opts)
-        return cls(**fields)
+        out = cls(**fields)
+        for p, spec in dyn.items():
+            opts = dict(spec)
+            out.dyn_fields[p] = _KINDS[opts.pop("kind")](**opts)
+        return out
+
+
+class MetaSchema(type):
+    """Collects FieldSpec class attributes (instances or bare types) across
+    the MRO into ``_clsfields`` — the declarative-schema machinery
+    (reference fields.MetaSchema/SchemaClass, fields.py:1570-1640)."""
+
+    def __new__(mcs, name, bases, attrs):
+        cls = super().__new__(mcs, name, bases, attrs)
+        fields: dict[str, FieldSpec] = {}
+        for klass in reversed(cls.__mro__):
+            for k, v in vars(klass).items():
+                if k.startswith("_"):
+                    continue
+                if isinstance(v, FieldSpec):
+                    fields[k] = v
+                elif isinstance(v, type) and issubclass(v, FieldSpec):
+                    fields[k] = v()
+        cls._clsfields = fields
+        return cls
+
+    def schema(cls) -> "Schema":
+        return Schema(
+            **{
+                n: _clone_spec(s)
+                for n, s in getattr(cls, "_clsfields", {}).items()
+            }
+        )
+
+
+class SchemaClass(Schema, metaclass=MetaSchema):
+    """Declarative schema (reference fields.SchemaClass)::
+
+        class MySchema(SchemaClass):
+            path = ID(stored=True)
+            content = TEXT
+
+    Instantiating a subclass returns a plain ``Schema``; inheritance shares
+    fields between schemas.
+    """
+
+    def __new__(cls, *args, **kwargs):
+        obj = object.__new__(Schema)
+        kw = {n: _clone_spec(s) for n, s in getattr(cls, "_clsfields", {}).items()}
+        kw.update(kwargs)
+        obj.__init__(**kw)
+        return obj
+
+
+def ensure_schema(schema) -> "Schema":
+    """Accept a Schema instance or a Schema/SchemaClass subclass (reference
+    fields.ensure_schema)."""
+    if isinstance(schema, type) and issubclass(schema, Schema):
+        schema = MetaSchema.schema(schema)
+    if not isinstance(schema, Schema):
+        raise TypeError(f"{schema!r} is not a Schema")
+    return schema
 
 
 # ---------------------------------------------------------------------------
@@ -254,7 +464,8 @@ class Schema:
 # ---------------------------------------------------------------------------
 
 
-def create_in(dirname: str, schema: Schema, policy: str = "merge_small") -> "CompatIndex":
+def create_in(dirname: str, schema, policy: str = "merge_small") -> "CompatIndex":
+    schema = ensure_schema(schema)
     os.makedirs(dirname, exist_ok=True)
     with open(os.path.join(dirname, SCHEMA_FILE), "w") as f:
         json.dump({"schema": schema.to_json(), "policy": policy}, f, indent=1)
@@ -286,6 +497,18 @@ class CompatIndex:
     def _meta(self) -> dict:
         with open(os.path.join(self.root, META_FILE)) as f:
             return json.load(f)
+
+    def _write_schema(self) -> None:
+        """Persist the (possibly glob-extended) schema atomically."""
+        path = os.path.join(self.root, SCHEMA_FILE)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {"schema": self.schema.to_json(), "policy": self.policy},
+                f,
+                indent=1,
+            )
+        os.replace(tmp, path)
 
     def _write_meta(self, meta: dict) -> None:
         tmp = os.path.join(self.root, META_FILE + ".tmp")
@@ -536,6 +759,43 @@ class CompatWriter:
 
         return project
 
+    def _append_vectors(self, fname: str, spec: FieldSpec, field_ds) -> None:
+        """Append per-doc (term, weight) vectors for this commit's docs
+        under ``field=F/vectors/vshard=K/`` — the layout index/vectors.py
+        reads (partition-pruned by doc-id shard). APPEND, not rebuild:
+        write_parquet adds new uuid files per partition, so earlier
+        generations' vectors stay; doc ids are never reused (next_id is
+        monotonic), so vectors of deleted docs are dead rows, never wrong
+        rows."""
+        import ray
+
+        from whoosh_novo_ray.index.build import IndexConfig
+        from whoosh_novo_ray.index.vectors import VEC_MANIFEST, _DocVectors
+
+        froot = os.path.join(self.index.root, f"field={fname}")
+        os.makedirs(froot, exist_ok=True)
+        man_path = os.path.join(froot, VEC_MANIFEST)
+        n_shards = 16
+        if os.path.exists(man_path):
+            with open(man_path) as f:
+                n_shards = int(json.load(f)["n_shards"])
+        vcfg = IndexConfig(
+            text_col=fname, id_col="doc_id", analyzer=spec.analyzer()
+        )
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        field_ds.map_batches(
+            _DocVectors,
+            fn_constructor_args=(vcfg, n_shards),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=max(1, min(4, ncpu - 2)),
+        ).write_parquet(os.path.join(froot, "vectors"), partition_cols=["vshard"])
+        if not os.path.exists(man_path):
+            tmp = man_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"n_shards": n_shards, "lineage": "compat"}, f)
+            os.replace(tmp, man_path)
+
     def _next_part_path(self) -> str:
         base = os.path.join(self.index.root, "stored")
         os.makedirs(base, exist_ok=True)
@@ -609,6 +869,30 @@ class CompatWriter:
             nds, next_id = self._with_ids(ds, id_col, next_id)
             norm_dss.append(nds)
 
+        # materialize dynamic glob fields: any document key (or dataset
+        # column) that matches a glob pattern becomes a CONCRETE field with
+        # a per-name copy of the pattern's spec, persisted to schema.json
+        # so reopened indexes and searchers see it (reference dynamic
+        # fields resolve at segment level; here each field is its own
+        # generational index, so the field must exist before the build)
+        if ix.schema.dyn_fields:
+            cand: set[str] = set()
+            for doc in self._pending:
+                cand.update(doc)
+            for nds in norm_dss:
+                cand.update(
+                    c for c in nds.schema().base_schema.names if c != "doc_id"
+                )
+            new_fields = {
+                k: _clone_spec(ix.schema.dyn_match(k))
+                for k in sorted(cand)
+                if k not in ix.schema.fields
+                and ix.schema.dyn_match(k) is not None
+            }
+            if new_fields:
+                ix.schema.fields.update(new_fields)
+                ix._write_schema()
+
         indexed = ix.schema.indexed_names()
         for fname in indexed:
             gi = ix._field_gi(fname)
@@ -643,7 +927,14 @@ class CompatWriter:
                 )
                 field_ds = proj if field_ds is None else field_ds.union(proj)
             if field_ds is not None:
+                if getattr(spec, "vector", False):
+                    # vectors consume the same (doc_id, text) stream the
+                    # index build does — materialize once so the expensive
+                    # projection doesn't run twice
+                    field_ds = field_ds.materialize()
                 gi.add_documents(field_ds, lineage=f"compat:gen{next_id}")
+                if getattr(spec, "vector", False):
+                    self._append_vectors(fname, spec, field_ds)
 
         attr_names = ix.schema.attr_names()
         if new_docs:
@@ -792,11 +1083,24 @@ class CompatSearcher:
         opened = {n: index._open_field(n) for n in names}
         self._opened = {n: v for n, v in opened.items() if v is not None}
         default = names[0] if names[0] in self._opened else next(iter(self._opened), None)
+        def _weighting_for(fname: str):
+            # Existence-format fields (ID/IDLIST/BOOLEAN) score a constant
+            # 1.0 per matching term in the reference (formats.Existence →
+            # WeightScorer); everything else is BM25F with the field params
+            from whoosh_novo_ray.search.scoring import BM25F, Existence
+
+            if self.schema[fname].kind in ("id", "idlist", "boolean"):
+                return Existence()
+            B = field_params.get(f"{fname}_B", field_params.get("B", 0.75))
+            K1 = field_params.get("K1", 1.2)
+            return BM25F(B=B, K1=K1)
+
+        self._weighting_for = _weighting_for
         self._router = (
             MultiFieldSearcher(
                 SimpleNamespace(fields=self._opened),
                 default_field=default,
-                **field_params,
+                weighting_factory=_weighting_for,
             )
             if self._opened
             else None
@@ -1016,7 +1320,9 @@ class CompatSearcher:
             field = self._pool_route(q)
             if field is not None and field in self._opened:
                 t = self._pool_for(field).search(
-                    self._strip_fields(q), limit=limit
+                    self._strip_fields(q),
+                    limit=limit,
+                    weighting=self._weighting_for(field),
                 )
                 ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
                 scores = t["score"].to_numpy(zero_copy_only=False)
@@ -1121,6 +1427,36 @@ class CompatSearcher:
         t = facet_counts(self._router, q, self._facet_for(groupedby))
         return dict(zip(t["key"].to_pylist(), t["count"].to_pylist()))
 
+    def key_terms(
+        self, docnums, fieldname: str, numterms: int = 5, model: str = "bo1"
+    ):
+        """Most distinctive terms of the given docs (reference
+        Searcher.key_terms, searching.py:509-613). Fields declared with
+        ``vector=True`` serve from the STORED per-doc vectors (no text
+        re-analysis); other fields fall back to re-analyzing the stored
+        text (requires ``stored=True``)."""
+        sub = self._router._searchers.get(fieldname) if self._router else None
+        if sub is None:
+            return []
+        docnums = [int(d) for d in docnums]
+        spec = self.index.schema[fieldname]
+        if getattr(spec, "vector", False):
+            from whoosh_novo_ray.index.vectors import key_terms_from_vectors
+
+            froot = os.path.join(self.index.root, f"field={fieldname}")
+            return key_terms_from_vectors(
+                sub, froot, docnums, numterms=numterms, model=model
+            )
+        if not spec.stored:
+            raise ValueError(
+                f"field {fieldname!r} has neither vector=True nor stored=True"
+            )
+        stored = self._stored_for(np.asarray(docnums, np.uint64))
+        texts = [s.get(fieldname) or "" for s in stored]
+        from whoosh_novo_ray.search.classify import key_terms_from_text as _kt
+
+        return _kt(sub, texts, numterms=numterms, model=model)
+
     def key_terms_from_text(
         self, fieldname: str, texts, numterms: int = 5, model: str = "bo1"
     ):
@@ -1146,18 +1482,34 @@ class CompatSearcher:
         """More-like-this over one field (reference Searcher.more_like /
         Hit.more_like_this): key terms expand into an OR query. ``text``
         comes from the stored field when ``docnum`` is given instead."""
+        sub = self._router._searchers.get(fieldname) if self._router else None
+        if sub is None:
+            return Results()
         if text is None:
             if docnum is None:
                 raise ValueError("pass text= or docnum=")
+            spec = self.index.schema[fieldname]
+            if getattr(spec, "vector", False):
+                # vector-backed path (reference Hit.more_like_this over a
+                # vectored field): expand from the stored vector, no text
+                from whoosh_novo_ray.search import query as Q
+
+                kt = self.key_terms([docnum], fieldname, numterms=numterms)
+                if not kt:
+                    return Results()
+                t = sub.search(Q.Or(*[Q.Term(w) for w, _ in kt]), limit=limit)
+                ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+                scores = t["score"].to_numpy(zero_copy_only=False)
+                return Results(
+                    Hit(int(d), float(s), f)
+                    for d, s, f in zip(ids, scores, self._stored_for(ids))
+                )
             stored = self._stored_for(np.array([docnum], np.uint64))[0]
             text = stored.get(fieldname)
             if text is None:
                 raise ValueError(f"field {fieldname!r} is not stored: pass text=")
         from whoosh_novo_ray.search.classify import more_like as _ml
 
-        sub = self._router._searchers.get(fieldname) if self._router else None
-        if sub is None:
-            return Results()
         t = _ml(sub, text, numterms=numterms, limit=limit)
         ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
         scores = t["score"].to_numpy(zero_copy_only=False)

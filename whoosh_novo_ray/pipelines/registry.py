@@ -1662,6 +1662,48 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def compat_glob_field_docs(sf_dir):
+        """Dynamic glob fields through the facade (reference
+        Schema.add(..., glob=True)): '*_tag' ID fields materialize at
+        commit, then an exact term search over the glob-created lang_tag
+        field. Existence scoring (constant 1.0) means the doc-id list IS
+        the contract."""
+        import shutil
+
+        import whoosh_novo_ray.compat as C
+
+        key = ("compat_glob", sf_dir)
+        if key not in _INDEX_CACHE:
+            root = os.path.join(
+                "/tmp/wnr_compat_glob", sf_dir.strip("/").replace("/", "_")
+            )
+            shutil.rmtree(root, ignore_errors=True)
+            schema = C.Schema(text=C.TEXT())
+            schema.add("*_tag", C.ID(stored=True), glob=True)
+            cix = C.create_in(root, schema)
+            rows = pq.read_table(
+                os.path.join(sf_dir, "documents.parquet"),
+                columns=["doc_id", "text", "lang", "source"],
+            ).sort_by("doc_id")
+            with cix.writer() as w:
+                for txt, lang, src in zip(
+                    rows["text"].to_pylist(),
+                    rows["lang"].to_pylist(),
+                    rows["source"].to_pylist(),
+                ):
+                    w.add_document(text=txt, lang_tag=lang, source_tag=src)
+            _INDEX_CACHE[key] = cix
+        s = _INDEX_CACHE[key].searcher()
+        hits = sorted(s.search("lang_tag:en", limit=None), key=lambda h: h.docnum)
+        return pa.table(
+            {
+                "doc_id": pa.array([h.docnum for h in hits], pa.int64()),
+                "score": pa.array(
+                    [round(h.score, 6) for h in hits], pa.float64()
+                ),
+            }
+        )
+
     def distinctive_terms(sf_dir):
         """Top-5 distinctive terms per source: cnt * ln(T / global count)."""
         from whoosh_novo_ray.ops.groupstats import distinctive_terms_per_group
@@ -1822,6 +1864,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_quantiles": event_value_quantiles,
         "top_terms_per_source": top_terms_per_source,
         "compat_bm25_top10": compat_bm25_top10,
+        "compat_glob_field_docs": compat_glob_field_docs,
         "compat_sorted_nchars": compat_sorted_nchars,
         "boilerplate_frac": boilerplate,
         "fingerprint": fingerprint,
@@ -2013,6 +2056,10 @@ FROM qdl ORDER BY doc_id""",
         # the compat facade builds its own index over the same corpus with
         # the same analyzer/scoring — identical oracle as bm25_top10_mid
         "compat_bm25_top10": _topk_sql(f"term = '{_T_MID}'", 10),
+        # glob-materialized ID field, Existence scoring: constant 1.0
+        "compat_glob_field_docs": """
+SELECT doc_id::BIGINT AS doc_id, 1.0 AS score
+FROM documents WHERE lang = 'en' ORDER BY doc_id""",
         # facade search(sortedby="n_chars", limit=20): matches of the term
         # ordered (n_chars asc, doc_id asc), truncated — the limit makes
         # the sort hash-visible

@@ -95,6 +95,22 @@ class TFIDF(WeightingModel):
 
 
 @dataclass(frozen=True)
+class Existence(WeightingModel):
+    """score = 1.0 per matching term, no tf / length / idf — the matcher
+    behavior of the reference's Existence-format fields (ID / IDLIST /
+    BOOLEAN store no frequencies; their scorer is a WeightScorer returning
+    the stored weight, i.e. the field boost: formats.py Existence +
+    scoring.py WeightScorer). Query boosts multiply on top as usual."""
+
+    def scorer(self, doc_count: int, avgfl: float, df: int, term_weight: float):
+        class _S(TermScorer):
+            def score_arrays(self, tfs, len_bytes):
+                return np.ones(len(np.asarray(tfs)), np.float64)
+
+        return _S()
+
+
+@dataclass(frozen=True)
 class Frequency(WeightingModel):
     """score = raw weight (reference scoring.py:452-459)."""
 
