@@ -229,6 +229,60 @@ def pool_latencies(index_dir: str, repeats: int = 20) -> dict:
     return out
 
 
+def incremental_serve_bench(pages_parquet: str) -> dict:
+    """Update-then-serve: pool refresh after a 1-doc commit must re-encode
+    ONLY the delta member's serving set (state/score_pool.for_generational
+    builds per-member serving with resume), so `incr_refresh_pool_1doc`
+    should cost actor-spawn + one tiny encode — not the full
+    `incr_initial_pool` decode->shuffle->encode."""
+    import shutil
+
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    from whoosh_novo_ray.index import IndexConfig
+    from whoosh_novo_ray.index.incremental import GenerationalIndex
+    from whoosh_novo_ray.search import Term
+    from whoosh_novo_ray.state.score_pool import ScorePool
+
+    root = "/tmp/wnr_bench_incr_serve"
+    shutil.rmtree(root, ignore_errors=True)
+    gi = GenerationalIndex(
+        root, IndexConfig(num_buckets=max(16, NUM_CPUS)), policy="merge_small"
+    )
+    docs = ray.data.read_parquet(
+        pages_parquet, columns=["doc_id", "text"], override_num_blocks=NUM_CPUS
+    )
+    gi.add_documents(docs, lineage="base")
+
+    out = {}
+    t0 = time.perf_counter()
+    pool = ScorePool.for_generational(gi, num_actors=4, num_shards=8)
+    base = pool.search(Term("search"), limit=10).to_pydict()
+    out["incr_initial_pool"] = round(time.perf_counter() - t0, 3)
+    pool.shutdown()
+
+    delta = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([PAGES_N + 1]),
+                "text": pa.array(["search data incremental serving delta"]),
+            }
+        )
+    )
+    gi.add_documents(delta, lineage="delta1")
+    t0 = time.perf_counter()
+    pool2 = ScorePool.for_generational(gi, num_actors=4, num_shards=8)
+    got = pool2.search(Term("search"), limit=10).to_pydict()
+    out["incr_refresh_pool_1doc"] = round(time.perf_counter() - t0, 3)
+    pool2.shutdown()
+    # sanity: refresh served real results (delta doc scores differently,
+    # so just require a full page of hits)
+    out["incr_refresh_ok"] = int(len(got["doc_id"]) == len(base["doc_id"]) == 10)
+    return out
+
+
 def run_ops(sf_dir: str) -> dict:
     import ray.data
 
@@ -537,6 +591,9 @@ def main_bench() -> None:
 
     # 3b) actor-pool serving p50 (buckets pinned in actor memory) + WAND
     queries.update(pool_latencies(out_pages))
+
+    # 3c) update-then-serve: incremental per-member serving refresh
+    queries.update(incremental_serve_bench(ensure_pages_corpus()))
 
     # 4) ops over the sf tables
     queries.update(run_ops(SF_DIR))

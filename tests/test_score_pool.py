@@ -861,3 +861,131 @@ def test_collapse_deadline(spool, built_index, attrs_parquet):
     assert all(keys.count(k) <= 2 for k in set(keys))
     for d, s in zip(part["doc_id"].to_pylist(), part["score"].to_pylist()):
         assert fmap[d] == pytest.approx(s, rel=1e-12)
+
+
+def test_incremental_serving_reuses_member_shards(ray_session, tmp_path):
+    """A delta commit must re-encode ONLY the new member's serving set:
+    unchanged members' serving manifests (and files) stay byte-identical,
+    and the new pool's results equal the local MultiIndex searcher."""
+    import json
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from whoosh_novo_ray.index import IndexConfig
+    from whoosh_novo_ray.index.incremental import GenerationalIndex
+
+    words = ["alpha", "beta", "gamma", "search", "data", "index"]
+
+    def corpus(lo, hi):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(np.arange(lo, hi), pa.int64()),
+                    "text": pa.array(
+                        [
+                            " ".join(words[(i + j) % len(words)] for j in range(7))
+                            for i in range(lo, hi)
+                        ]
+                    ),
+                }
+            )
+        )
+
+    gi = GenerationalIndex(
+        str(tmp_path / "gi_incr"), IndexConfig(num_buckets=4), policy="no_merge"
+    )
+    gi.add_documents(corpus(0, 120), lineage="base")
+
+    pool1 = ScorePool.for_generational(gi, num_actors=2, num_shards=4)
+    pool1.search(Term("search"), limit=5)
+    pool1.shutdown()
+
+    members1 = gi._members(gi.current_path())
+    assert len(members1) == 1
+    base_serving = os.path.join(members1[0], "serving")
+    man_path = os.path.join(base_serving, "manifest.json")
+    with open(man_path) as f:
+        lineage_before = json.load(f)["serving_lineage"]
+    mtimes_before = {
+        f: os.path.getmtime(os.path.join(base_serving, f))
+        for f in os.listdir(base_serving)
+        if f.endswith(".parquet")
+    }
+
+    # 1-doc delta commit
+    gi.add_documents(corpus(120, 121), lineage="delta1")
+    members2 = gi._members(gi.current_path())
+    assert len(members2) == 2 and members1[0] in members2
+
+    pool2 = ScorePool.for_generational(gi, num_actors=2, num_shards=4)
+    try:
+        # the base member's serving set was NOT rebuilt
+        with open(man_path) as f:
+            assert json.load(f)["serving_lineage"] == lineage_before
+        mtimes_after = {
+            f: os.path.getmtime(os.path.join(base_serving, f))
+            for f in os.listdir(base_serving)
+            if f.endswith(".parquet")
+        }
+        assert mtimes_after == mtimes_before
+        # the delta member got its own serving set
+        delta_m = next(m for m in members2 if m != members1[0])
+        assert os.path.exists(os.path.join(delta_m, "serving", "manifest.json"))
+        # pooled results identical to the local searcher, new doc included
+        idx = gi.open()
+        for q in (
+            Term("search"),
+            Or(Term("search"), Term("data")),
+            And(Term("alpha"), Term("beta")),
+            Every(),
+        ):
+            local = Searcher(idx).search(q, limit=15).to_pydict()
+            remote = pool2.search(q, limit=15).to_pydict()
+            assert remote == local, q
+        assert 120 in pool2.search(Every(), limit=None)["doc_id"].to_pylist()
+        # the deadline path merges per-TABLE (two members share shards):
+        # full budget must equal the plain path exactly
+        t = pool2.search(Or(Term("search"), Term("data")), limit=10,
+                         timelimit=30.0)
+        assert t.to_pydict() == pool2.search(
+            Or(Term("search"), Term("data")), limit=10
+        ).to_pydict()
+    finally:
+        pool2.shutdown()
+
+
+def test_incremental_serving_delete_rewrites_only_affected(ray_session, tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from whoosh_novo_ray.index import IndexConfig
+    from whoosh_novo_ray.index.incremental import GenerationalIndex
+
+    gi = GenerationalIndex(
+        str(tmp_path / "gi_del"), IndexConfig(num_buckets=2), policy="no_merge"
+    )
+    for b in range(2):
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(np.arange(b * 50, (b + 1) * 50), pa.int64()),
+                "text": pa.array(["search data alpha"] * 50),
+            }
+        )
+        gi.add_documents(ray.data.from_arrow(tbl), lineage=f"b{b}")
+    members = gi._members(gi.current_path())
+    # delete a doc living in member 1 only
+    gi.delete_documents(np.array([75], np.uint64), lineage="del75")
+    members2 = gi._members(gi.current_path())
+    untouched = [m for m in members2 if m in members]
+    assert untouched, "the unaffected member must be reused as-is"
+    pool = ScorePool.for_generational(gi, num_actors=2, num_shards=4)
+    try:
+        ids = pool.search(Every(), limit=None)["doc_id"].to_pylist()
+        assert 75 not in ids and len(ids) == 99
+        local = Searcher(gi.open()).search(Term("search"), limit=10).to_pydict()
+        assert pool.search(Term("search"), limit=10).to_pydict() == local
+    finally:
+        pool.shutdown()

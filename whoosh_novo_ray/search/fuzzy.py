@@ -53,11 +53,22 @@ def terms_within(
     """All indexed terms within ``maxdist`` edits of ``text`` (sharing the
     first ``prefix`` characters), as (term, distance) pairs.
 
-    Candidate pruning is vectorized over the term dictionary: prefix match
-    and a +-maxdist length band; the DP runs only on survivors.
+    Bounded traversal (the reference's Levenshtein-automaton-over-FST
+    shape, automata/lev.py + codec/base.py:363-389): a Lev DFA's
+    ``next_valid`` seek prunes the term-sorted segment files at ROW GROUP
+    granularity (skip a group when the smallest accepted string >= its min
+    term exceeds its max term) and jump-scans the surviving groups with
+    searchsorted — work is O(candidates + jumps), never O(lexicon). Falls
+    back to the vectorized predicate scan + banded DP for index objects
+    without parquet segments (e.g. views). The banded DP still assigns the
+    exact distance to each accepted term.
     """
-    out: list[tuple[str, int]] = []
     pre = text[:prefix]
+    scanned = _automaton_scan(index, text, maxdist, pre)
+    if scanned is not None:
+        return scanned
+
+    out: list[tuple[str, int]] = []
     lo, hi = len(text) - maxdist, len(text) + maxdist
 
     def predicate(col: pa.ChunkedArray):
@@ -73,6 +84,94 @@ def terms_within(
         if d is not None:
             out.append((cand, d))
     return out
+
+
+def _automaton_scan(
+    index, text: str, maxdist: int, pre: str
+) -> list[tuple[str, int]] | None:
+    """Levenshtein-automaton bounded scan over an Index's (or MultiIndex's)
+    term-sorted segment parquet. Returns None when ``index`` doesn't expose
+    segment files (caller falls back to the predicate scan). Records
+    pruning stats on ``index.last_fuzzy_stats``."""
+    members = getattr(index, "members", None)
+    if members is None:
+        if not (hasattr(index, "manifest") and hasattr(index, "path")):
+            return None
+        members = [index]
+    if not all(hasattr(m, "manifest") and hasattr(m, "path") for m in members):
+        return None
+
+    import os
+
+    import pyarrow.parquet as pq
+
+    from whoosh_novo_ray.search.lev import LevAutomaton
+
+    dfa = LevAutomaton(text, maxdist)
+    hi_bound = pre + "\U0010ffff" if pre else None
+    stats = {"row_groups_total": 0, "row_groups_read": 0, "terms_scanned": 0}
+    found: dict[str, int] = {}
+    for m in members:
+        for b in m.manifest["buckets"]:
+            if not b["path"]:
+                continue
+            pf = pq.ParquetFile(os.path.join(m.path, b["path"]))
+            md = pf.metadata
+            term_ci = md.schema.to_arrow_schema().get_field_index("term")
+            keep_groups = []
+            for g in range(md.num_row_groups):
+                stats["row_groups_total"] += 1
+                st = md.row_group(g).column(term_ci).statistics
+                if st is None or st.min is None or st.max is None:
+                    keep_groups.append(g)
+                    continue
+                gmin, gmax = st.min, st.max
+                if pre:
+                    if gmax < pre or (hi_bound and gmin > hi_bound):
+                        continue
+                    gmin = max(gmin, pre)
+                nv = dfa.next_valid(gmin)
+                if nv is None or nv > gmax:
+                    continue
+                keep_groups.append(g)
+            if not keep_groups:
+                continue
+            stats["row_groups_read"] += len(keep_groups)
+            tbl = pf.read_row_groups(keep_groups, columns=["term"])
+            col = tbl["term"].combine_chunks()
+            # vectorized length-band prefilter (distance <= k implies the
+            # band) BEFORE the per-term automaton work: jumps over the
+            # filtered array stay sound — next_valid is a lower bound and
+            # out-of-band terms can never be accepted
+            lens = pc.utf8_length(col)
+            band = pc.and_(
+                pc.greater_equal(lens, len(text) - maxdist),
+                pc.less_equal(lens, len(text) + maxdist),
+            )
+            terms = np.asarray(col.filter(band).to_pylist(), object)
+            # jump-scan the sorted array with next_valid + searchsorted
+            i = int(np.searchsorted(terms, pre)) if pre else 0
+            while i < len(terms):
+                t = terms[i]
+                if hi_bound and t > hi_bound:
+                    break
+                stats["terms_scanned"] += 1
+                nv = dfa.next_valid(t)
+                if nv is None:
+                    break
+                if nv == t:
+                    if not pre or t.startswith(pre):
+                        d = edit_distance(text, t, maxdist)
+                        if d is not None:  # accepts() implies this
+                            found[t] = d
+                    i += 1
+                else:
+                    i = int(np.searchsorted(terms, nv, side="left"))
+    try:
+        index.last_fuzzy_stats = stats
+    except AttributeError:
+        pass
+    return sorted(found.items())
 
 
 @dataclass(frozen=True)

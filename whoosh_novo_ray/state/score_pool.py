@@ -39,7 +39,11 @@ import pyarrow.parquet as pq
 import ray
 
 from whoosh_novo_ray.index.build import MANIFEST_NAME
-from whoosh_novo_ray.index.docshard import build_serving_shards, serving_dir_for
+from whoosh_novo_ray.index.docshard import (
+    SERVING_SUBDIR,
+    build_serving_shards,
+    serving_dir_for,
+)
 from whoosh_novo_ray.index.segment import (
     _SCORING_COLUMNS,
     Index,
@@ -211,13 +215,22 @@ class ScoreServer:
     parquet) and the in-flight task retries transparently — on a long-lived
     multi-node fleet individual workers WILL die. Caches rebuild lazily."""
 
-    def __init__(self, serving_dir: str, shards: list[int]):
+    def __init__(self, serving_dir: str | list[str], shards: list[int]):
+        """``serving_dir`` may be a LIST of member serving dirs (one per
+        doc-disjoint generational member, all sharded with the same doc
+        hash and shard count): the actor pins shard k's table from EVERY
+        member and evaluates over their union — how an incremental commit
+        serves without re-encoding unchanged members."""
+        dirs = [serving_dir] if isinstance(serving_dir, str) else list(serving_dir)
         self._shards = list(shards)
         self._attr_cache: _LRUCache = _LRUCache(8)
-        with open(os.path.join(serving_dir, MANIFEST_NAME)) as f:
-            man = json.load(f)
-        self._doc_count = int(man["doc_count"])
-        self._tfl = float(man["total_field_length"])
+        mans = []
+        for d in dirs:
+            with open(os.path.join(d, MANIFEST_NAME)) as f:
+                mans.append(json.load(f))
+        # members are doc-disjoint: global stats are the sums
+        self._doc_count = int(sum(int(m["doc_count"]) for m in mans))
+        self._tfl = float(sum(float(m["total_field_length"]) for m in mans))
         # Pin ONLY the scoring columns (+ wts_blob, which rides the tf slot
         # in scoring): positional/chars/per-occurrence-boost blobs are the
         # bulk of a positions-enabled segment and most queries never touch
@@ -229,31 +242,50 @@ class ScoreServer:
             "block_chars_off", "chars_blob",
             "pboosts_blob",
         )
+        def _dm_universe(d: str, k: int) -> np.ndarray:
+            p = os.path.join(d, "docmeta", f"bucket={k:05d}.parquet")
+            if not os.path.exists(p):
+                return np.empty(0, np.uint64)
+            return np.sort(
+                pq.read_table(p, columns=["doc_id"])["doc_id"]
+                .to_numpy(zero_copy_only=False)
+                .astype(np.uint64)
+            )
+
         self._tables: list[pa.Table] = []
         self._paths: list[str] = []
         self._lazy_cols: list[str] = []
         self._table_shards: list[int] = []  # bucket id per pinned table
-        for b in man["buckets"]:
-            if b["bucket"] in shards and b["path"]:
-                p = os.path.join(serving_dir, b["path"])
-                names = pq.read_schema(p).names
-                pin = [c for c in _SCORING_COLUMNS if c in names]
-                if "wts_blob" in names:
-                    pin.append("wts_blob")
-                self._lazy_cols = [c for c in _LAZY if c in names]
-                self._tables.append(pq.read_table(p, columns=pin))
-                self._paths.append(p)
-                self._table_shards.append(int(b["bucket"]))
+        # per-TABLE doc universe: with multi-member serving, several tables
+        # share a shard id but partition its docs — the deadline path's
+        # per-table evaluation needs the table's OWN universe (a shard-wide
+        # one would duplicate Not/Every/Column matches across members)
+        self._table_universe: list[np.ndarray] = []
+        for d, man in zip(dirs, mans):
+            for b in man["buckets"]:
+                if b["bucket"] in shards and b["path"]:
+                    p = os.path.join(d, b["path"])
+                    names = pq.read_schema(p).names
+                    pin = [c for c in _SCORING_COLUMNS if c in names]
+                    if "wts_blob" in names:
+                        pin.append("wts_blob")
+                    self._lazy_cols = [c for c in _LAZY if c in names]
+                    self._tables.append(pq.read_table(p, columns=pin))
+                    self._paths.append(p)
+                    self._table_shards.append(int(b["bucket"]))
+                    self._table_universe.append(_dm_universe(d, int(b["bucket"])))
         self._shard_universe: dict[int, np.ndarray] = {}
         parts = []
         for k in shards:
-            p = os.path.join(serving_dir, "docmeta", f"bucket={k:05d}.parquet")
-            if os.path.exists(p):
-                u = np.sort(
-                    pq.read_table(p, columns=["doc_id"])["doc_id"]
-                    .to_numpy(zero_copy_only=False)
-                    .astype(np.uint64)
+            k_parts = [
+                _dm_universe(d, k)
+                for d in dirs
+                if os.path.exists(
+                    os.path.join(d, "docmeta", f"bucket={k:05d}.parquet")
                 )
+            ]
+            if k_parts:
+                u = np.sort(np.concatenate(k_parts))
                 self._shard_universe[k] = u
                 parts.append(u)
         self._universe = (
@@ -328,11 +360,10 @@ class ScoreServer:
         TermRow cache is keyed by term only, so sub-searchers over different
         table subsets must not share it) with its own persistent per-table
         cache, so repeated deadline queries stay warm."""
-        k = self._table_shards[i]
         view = _GlobalStatsView(
             self._doc_count,
             self._tfl,
-            self._shard_universe.get(k, np.empty(0, np.uint64)),
+            self._table_universe[i],
         )
         s = ShardSearcher(
             view, [self._tables[i]], gstats, weighting,
@@ -846,6 +877,7 @@ class ScorePool:
         num_shards: int | None = None,
         serving_dir: str | None = None,
         num_replicas: int = 1,
+        member_serving_dirs: list[str] | None = None,
     ):
         """``index_path`` may be a list of doc-disjoint member index dirs
         (a generational MultiIndex): the serving shards union them, so a
@@ -865,8 +897,11 @@ class ScorePool:
             from whoosh_novo_ray.index.multi import MultiIndex
 
             self.index = MultiIndex(list(index_path))
-            if serving_dir is None:
-                raise ValueError("multi-member ScorePool needs serving_dir")
+            if serving_dir is None and member_serving_dirs is None:
+                raise ValueError(
+                    "multi-member ScorePool needs serving_dir or "
+                    "member_serving_dirs"
+                )
         # shard count scales with the CLUSTER, not the actor count: the
         # doc-shard shuffle/encode parallelism is num_shards-bounded
         # (measured 3.5x on a 1M-doc rebuild going 16 -> 64 shards at 32
@@ -876,12 +911,32 @@ class ScorePool:
             from whoosh_novo_ray.index.docshard import default_num_shards
 
             num_shards = default_num_shards(num_actors)
-        man = build_serving_shards(
-            index_path, num_shards=num_shards, out_dir=serving_dir
-        )
-        self._serving_dir = serving_dir
+        if member_serving_dirs is not None:
+            # incremental serving: one serving shard set PER MEMBER (same
+            # doc hash + shard count), built with resume — member dirs are
+            # immutable, so only members new to this generation re-encode;
+            # the actors pin shard k's table from every member
+            members = (
+                list(index_path) if isinstance(index_path, list) else [index_path]
+            )
+            if len(members) != len(member_serving_dirs):
+                raise ValueError("one serving dir per member required")
+            mans = [
+                build_serving_shards(m, num_shards=num_shards, out_dir=d)
+                for m, d in zip(members, member_serving_dirs)
+            ]
+            self._serving_dirs = list(member_serving_dirs)
+            all_shards = sorted(
+                {b["bucket"] for man in mans for b in man["buckets"] if b["path"]}
+            )
+        else:
+            man = build_serving_shards(
+                index_path, num_shards=num_shards, out_dir=serving_dir
+            )
+            self._serving_dirs = [serving_dir]
+            all_shards = sorted(b["bucket"] for b in man["buckets"])
+        self._serving_dir = self._serving_dirs[0]
         self._num_shards = num_shards
-        all_shards = sorted(b["bucket"] for b in man["buckets"])
         assignments: list[list[int]] = [[] for _ in range(num_actors)]
         for i, k in enumerate(all_shards):
             assignments[i % num_actors].append(k)
@@ -896,9 +951,12 @@ class ScorePool:
         self._driver_searcher = Searcher(self.index)
 
     def _spawn_replica(self) -> list:
-        return [
-            ScoreServer.remote(self._serving_dir, ks) for ks in self._assignments
-        ]
+        dirs = (
+            self._serving_dirs
+            if len(self._serving_dirs) > 1
+            else self._serving_dirs[0]
+        )
+        return [ScoreServer.remote(dirs, ks) for ks in self._assignments]
 
     # -- elastic replica scaling ----------------------------------------------
 
@@ -935,17 +993,21 @@ class ScorePool:
 
     @classmethod
     def for_generational(cls, gi, num_actors: int = 4, num_shards: int | None = None):
-        """Serving pool over a GenerationalIndex's CURRENT generation: the
-        shard set is rebuilt (resumably, keyed by member lineages) under
-        ``<root>/serving-gen-N`` whenever the generation changes."""
-        gen = gi.current_generation()
+        """Serving pool over a GenerationalIndex's CURRENT generation —
+        INCREMENTAL: each member segment set gets its own serving shard set
+        under ``<member>/serving`` (resume keyed on the member's lineage +
+        shard count). Member dirs are immutable (commits add new member
+        dirs; deletes rewrite affected members into new dirs), so a delta
+        commit re-encodes ONLY the new member(s); unchanged members' serving
+        sets are reused as-is and the actors pin shard k from every member."""
         members = gi._members(gi.current_path())
-        serving_dir = os.path.join(gi.root, f"serving-gen-{gen:06d}")
         return cls(
-            members,
+            members if len(members) > 1 else members[0],
             num_actors=num_actors,
             num_shards=num_shards,
-            serving_dir=serving_dir,
+            member_serving_dirs=[
+                os.path.join(m, SERVING_SUBDIR) for m in members
+            ],
         )
 
     # -- planning ------------------------------------------------------------
