@@ -330,6 +330,19 @@ def run_ops(sf_dir: str) -> dict:
         "op_minhash_lsh",
         lambda: minhash_lsh_candidates(_docs()),
     )
+    # A/B: numeric band fold vs the md5 oracle-parity default — identical
+    # pair sets asserted, the delta is the per-(doc, band) md5 cost
+    md5_pairs = minhash_lsh_candidates(_docs())
+    fast_holder = {}
+    timed(
+        "op_minhash_lsh_fasthash",
+        lambda: fast_holder.setdefault(
+            "t", minhash_lsh_candidates(_docs(), band_hash="fast")
+        ),
+    )
+    times["minhash_fasthash_pairs_match"] = int(
+        md5_pairs.equals(fast_holder["t"])
+    )
     from whoosh_novo_ray.ops import ngram_jaccard_pairs
 
     timed("op_jaccard", lambda: ngram_jaccard_pairs(_docs()))

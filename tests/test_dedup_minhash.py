@@ -218,3 +218,16 @@ def test_curated_corpus_ds_matches_table_form(dup_env):
         [t for t in ray.get(out.materialize().to_arrow_refs()) if len(t)]
     ).sort_by("doc_id")
     assert got.equals(want)
+
+
+def test_fast_band_hash_identical_pairs(dup_env):
+    # the numeric band fold must group identically to md5 banding (up to
+    # negligible 64-bit collisions): same pair set on the dup-heavy corpus
+    from whoosh_novo_ray.ops.dedup import minhash_lsh_candidates
+
+    tbl, ds = dup_env
+    md5p = minhash_lsh_candidates(ds, threshold=0.5)
+    fast = minhash_lsh_candidates(ds, threshold=0.5, band_hash="fast")
+    assert md5p.equals(fast)
+    with pytest.raises(ValueError):
+        minhash_lsh_candidates(ds, band_hash="nope")
