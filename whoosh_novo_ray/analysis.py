@@ -68,6 +68,10 @@ class StandardAnalyzer:
     # snowball language for StemFilter (lang_snowball.STEMMERS; None = Porter
     # when stem=True) — the LanguageAnalyzer wiring
     stem_lang: str | None = None
+    # standalone algorithm selector for StemFilter(stemfn=...) parity:
+    # "porter" (default) / "lovins" / "paicehusk" (reference lang/lovins.py,
+    # lang/paicehusk.py). Setting it implies stemming; stem_lang wins.
+    stem_algo: str | None = None
     # DelimitedAttributeFilter analog (reference analysis/filters.py:504-578):
     # 'word^2' -> token 'word' with boost 2.0. The pattern must include the
     # delimiter + payload in the token (as the reference requires).
@@ -101,6 +105,7 @@ class StandardAnalyzer:
             and self.maxsize is None
             and not self.stem
             and not self.stem_lang
+            and not self.stem_algo
         ):
             return toks
         stops = self.stoplist or frozenset()
@@ -110,7 +115,7 @@ class StandardAnalyzer:
             for t in toks
             if len(t) >= self.minsize and (mx is None or len(t) <= mx) and t not in stops
         ]
-        if self.stem or self.stem_lang:
+        if self.stem or self.stem_lang or self.stem_algo:
             _stem = self._stem_fn()
             out = [_stem(t) for t in out]
         return out
@@ -120,6 +125,14 @@ class StandardAnalyzer:
             from whoosh_novo_ray.lang_snowball import stemmer_for_language
 
             return stemmer_for_language(self.stem_lang)
+        if self.stem_algo and self.stem_algo != "porter":
+            if self.stem_algo == "lovins":
+                from whoosh_novo_ray.lang_lovins import stem as _stem
+            elif self.stem_algo == "paicehusk":
+                from whoosh_novo_ray.lang_paicehusk import stem as _stem
+            else:
+                raise ValueError(f"unknown stem_algo: {self.stem_algo!r}")
+            return _stem
         from whoosh_novo_ray.porter import stem as _stem
 
         return _stem
@@ -237,7 +250,7 @@ class StandardAnalyzer:
             boosts = boosts[keep]
         field_lengths = np.bincount(doc_idx, minlength=len(texts)).astype(np.int64)
 
-        if self.stem or self.stem_lang:
+        if self.stem or self.stem_lang or self.stem_algo:
             # stem once per unique term, then re-factorize (distinct surface
             # forms can collapse to one stem and must share a code)
             _stem = self._stem_fn()

@@ -109,10 +109,18 @@ def _automaton_scan(
 
     dfa = LevAutomaton(text, maxdist)
     hi_bound = pre + "\U0010ffff" if pre else None
-    stats = {"row_groups_total": 0, "row_groups_read": 0, "terms_scanned": 0}
+    stats = {
+        "buckets_total": 0,
+        "buckets_scanned": 0,
+        "row_groups_total": 0,
+        "row_groups_read": 0,
+        "rows_read": 0,
+        "terms_scanned": 0,
+    }
     found: dict[str, int] = {}
     for m in members:
         for b in m.manifest["buckets"]:
+            stats["buckets_total"] += 1
             if not b["path"]:
                 continue
             pf = pq.ParquetFile(os.path.join(m.path, b["path"]))
@@ -136,8 +144,10 @@ def _automaton_scan(
                 keep_groups.append(g)
             if not keep_groups:
                 continue
+            stats["buckets_scanned"] += 1
             stats["row_groups_read"] += len(keep_groups)
             tbl = pf.read_row_groups(keep_groups, columns=["term"])
+            stats["rows_read"] += tbl.num_rows
             col = tbl["term"].combine_chunks()
             # vectorized length-band prefilter (distance <= k implies the
             # band) BEFORE the per-term automaton work: jumps over the
@@ -169,6 +179,18 @@ def _automaton_scan(
                     i = int(np.searchsorted(terms, nv, side="left"))
     try:
         index.last_fuzzy_stats = stats
+        # mirror expand_terms' observability contract so pruning tests /
+        # users can read one attribute regardless of which path ran
+        index.last_expand_stats = {
+            k: stats[k]
+            for k in (
+                "buckets_total",
+                "buckets_scanned",
+                "row_groups_total",
+                "row_groups_read",
+                "rows_read",
+            )
+        }
     except AttributeError:
         pass
     return sorted(found.items())
