@@ -135,7 +135,17 @@ def test_multifield_parser_parity(mf_env, ref_mf):
     s = MultiFieldSearcher(idx, default_field="body")
     mine_p = MultifieldParser(["title", "body"])
     ref_p = WMFP(["title", "body"], ref_mf.schema)
-    for qs in ("search", "search data", "title:search data", '"search data"'):
+    for qs in (
+        "search",
+        "search data",
+        "title:search data",
+        '"search data"',
+        # FieldsPlugin group/phrase propagation under a multifield parser:
+        # terms inside title:(...) must NOT expand to the other fields
+        "title:(search data)",
+        "title:(search OR data) index",
+        'title:"search data" OR data',
+    ):
         mine = _mine(s, mine_p.parse(qs), limit=10)
         ref = _ref(ref_mf, ref_p.parse(qs), limit=10)
         assert [d for d, _ in mine] == [d for d, _ in ref], qs

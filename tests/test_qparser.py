@@ -35,6 +35,11 @@ SCORED = [
     "'Search'",
     "index 'search data'",
     "'one' OR data",  # quoted single term inside a boolean
+    # FieldsPlugin group/phrase propagation: field:(...) and field:"..."
+    # (single-field corpus, so the explicit field resolves to the default)
+    "text:(search OR data)",
+    "text:(search ANDNOT data) OR index",
+    'text:"search data" OR index',
 ]
 
 # queries where we assert the matched DOC SET (scoring semantics differ)

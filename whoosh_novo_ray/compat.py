@@ -81,11 +81,48 @@ class FieldSpec:
         return {"kind": self.kind, **self.options()}
 
 
+def _analyzer_to_json(a: StandardAnalyzer) -> dict:
+    """Persistable form of an analyzer dataclass (schema JSON must survive
+    open_dir in a fresh process)."""
+    return {
+        "cls": type(a).__name__,
+        "pattern": a.pattern,
+        "stoplist": sorted(a.stoplist) if a.stoplist is not None else None,
+        "minsize": a.minsize,
+        "maxsize": a.maxsize,
+        "stem": a.stem,
+        "stem_lang": a.stem_lang,
+        "stem_algo": a.stem_algo,
+        "boost_delim": a.boost_delim,
+    }
+
+
+def _analyzer_from_json(d: dict) -> StandardAnalyzer:
+    from whoosh_novo_ray.analysis import _NoLowerAnalyzer
+
+    cls = _NoLowerAnalyzer if d.get("cls") == "_NoLowerAnalyzer" else StandardAnalyzer
+    stop = d.get("stoplist")
+    return cls(
+        pattern=d["pattern"],
+        stoplist=frozenset(stop) if stop is not None else None,
+        minsize=d["minsize"],
+        maxsize=d["maxsize"],
+        stem=d["stem"],
+        stem_lang=d["stem_lang"],
+        stem_algo=d.get("stem_algo"),
+        boost_delim=d["boost_delim"],
+    )
+
+
 class TEXT(FieldSpec):
     """Analyzed full-text field (reference fields.TEXT). ``vector=True``
     stores per-doc (term, weight) vectors beside the field index
     (reference TEXT(vector=...), served by index/vectors.py — key_terms /
-    more_like read the stored vectors instead of re-analyzing text)."""
+    more_like read the stored vectors instead of re-analyzing text).
+
+    ``analyzer=`` takes any StandardAnalyzer-family instance and wins over
+    ``lang=``, which wins over ``stem=`` — the reference's precedence
+    (fields.py:1135-1140). Custom analyzers persist in the schema JSON."""
 
     kind = "text"
     indexed = True
@@ -96,13 +133,25 @@ class TEXT(FieldSpec):
         stem: bool = False,
         minsize: int = 2,
         vector: bool = False,
+        analyzer: StandardAnalyzer | dict | None = None,
+        lang: str | None = None,
     ):
         super().__init__(stored)
         self.stem = stem
         self.minsize = minsize
         self.vector = vector
+        if isinstance(analyzer, dict):  # schema-JSON reconstruction
+            analyzer = _analyzer_from_json(analyzer)
+        self._analyzer = analyzer
+        self.lang = lang
 
     def analyzer(self):
+        if self._analyzer is not None:
+            return self._analyzer
+        if self.lang:
+            from whoosh_novo_ray.analysis import language_analyzer
+
+            return language_analyzer(self.lang)
         if self.stem:
             return stemming_analyzer(minsize=self.minsize)
         return StandardAnalyzer(minsize=self.minsize)
@@ -113,6 +162,10 @@ class TEXT(FieldSpec):
             "stem": self.stem,
             "minsize": self.minsize,
             "vector": self.vector,
+            "analyzer": _analyzer_to_json(self._analyzer)
+            if self._analyzer is not None
+            else None,
+            "lang": self.lang,
         }
 
 

@@ -23,6 +23,9 @@ Supported syntax (single default field):
                                the reference's non-default RegexPlugin)
   term^2.5                     boost
   ( ... )                      grouping
+  field:(a OR b) field:"a b"   FieldsPlugin group/phrase propagation — terms
+                               inside analyze with that field's analyzer;
+                               inner explicit fields win
   *                            Every (match all)
 
 ``simple_parse`` implements the reference SimpleParser / PlusMinusPlugin:
@@ -117,9 +120,17 @@ class QueryParser:
         # reference default set — opt in to make r"pattern" a Regex query
         # (start-anchored re.match semantics, like the reference's)
         self.regex_plugin = regex_plugin
+        # innermost ``field:( ... )`` / ``field:"phrase"`` context — the
+        # reference FieldsPlugin attaches a fieldname node to the following
+        # group/quote and terms inside analyze with THAT field's analyzer
+        # (qparser/default.py fieldname filter)
+        self._field_ctx: list[str] = []
 
     def _analyze(self, text: str, field: str | None = None) -> list[str]:
         return (self.field_analyzers.get(field) or self.analyzer)(text)
+
+    def _ctx_field(self) -> str | None:
+        return self._field_ctx[-1] if self._field_ctx else None
 
     # -- lexing ----------------------------------------------------------------
 
@@ -252,12 +263,13 @@ class QueryParser:
                 if len(children) == 1:
                     return children[0]
                 return Q.Sequence(*children, slop=slop)
-            words = self.analyzer(text)
+            ctx = self._ctx_field()
+            words = self._analyze(text, ctx)
             if not words:
                 return NULL
             if len(words) == 1:
-                return Q.Term(words[0])
-            return Q.Phrase(words, slop=slop)
+                return Q.Term(words[0], field=ctx)
+            return Q.Phrase(words, slop=slop, field=ctx)
         if kind == "range":
             lo, hi, loexcl, hiexcl = val
             lo = None if lo == "*" else lo.lower()
@@ -278,6 +290,16 @@ class QueryParser:
                 return Q.Term(words[0], field=field)
             return Q.Phrase(words, field=field)
         if kind == "word":
+            fm = re.fullmatch(r"([A-Za-z_][A-Za-z0-9_]*):", val)
+            if fm and self._peek()[0] in ("(", "phrase"):
+                # bare field prefix before a group or quoted phrase:
+                # field:(a OR b) / field:"a b" — push the field context and
+                # parse the following atom under it
+                self._field_ctx.append(fm.group(1))
+                try:
+                    return self._parse_atom()
+                finally:
+                    self._field_ctx.pop()
             return self._parse_word(val)
         if kind == "rgx":
             return Q.Regex(val)
@@ -285,12 +307,13 @@ class QueryParser:
             # SingleQuotePlugin (reference qparser/plugins.py:110-117):
             # quoted text goes straight to analysis — wildcard / fuzzy /
             # range syntax inside quotes is literal, never operator
-            toks = self.analyzer(val)
+            ctx = self._ctx_field()
+            toks = self._analyze(val, ctx)
             if not toks:
                 return NULL
             if len(toks) == 1:
-                return Q.Term(toks[0])
-            return Q.And(*[Q.Term(t) for t in toks])
+                return Q.Term(toks[0], field=ctx)
+            return Q.And(*[Q.Term(t, field=ctx) for t in toks])
         if kind == "func":
             name, argstring, raw = val
             fn = self.functions.get(name)
@@ -312,7 +335,7 @@ class QueryParser:
         m = re.match(r"^(.*)\^(\d+(\.\d+)?)$", w)
         if m:
             w, boost = m.group(1), float(m.group(2))
-        field = None
+        field = self._ctx_field()
         fm = re.match(r"^([A-Za-z_][A-Za-z0-9_]*):(.+)$", w)
         if fm:
             field, w = fm.group(1), fm.group(2)
