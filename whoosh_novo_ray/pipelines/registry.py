@@ -1929,7 +1929,13 @@ def _collect(ds) -> list[pa.Table]:
     import ray
 
     # materialize() avoids to_arrow_refs' second (schema-probe) execution
-    return [t for t in ray.get(ds.materialize().to_arrow_refs()) if len(t)]
+    tables = ray.get(ds.materialize().to_arrow_refs())
+    nonempty = [t for t in tables if len(t)]
+    if nonempty:
+        return nonempty
+    # all blocks empty (e.g. a filter matched nothing at this scale): keep
+    # one — it carries the schema, so pa.concat_tables / casts still work
+    return tables[:1]
 
 
 def oracle_sql() -> dict[str, str]:
