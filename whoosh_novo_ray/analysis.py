@@ -69,8 +69,9 @@ class StandardAnalyzer:
     # when stem=True) — the LanguageAnalyzer wiring
     stem_lang: str | None = None
     # standalone algorithm selector for StemFilter(stemfn=...) parity:
-    # "porter" (default) / "lovins" / "paicehusk" (reference lang/lovins.py,
-    # lang/paicehusk.py). Setting it implies stemming; stem_lang wins.
+    # "porter" (default) / "porter2" / "lovins" / "paicehusk" (reference
+    # lang/porter2.py, lang/lovins.py, lang/paicehusk.py). Setting it implies
+    # stemming; stem_lang wins.
     stem_algo: str | None = None
     # DelimitedAttributeFilter analog (reference analysis/filters.py:504-578):
     # 'word^2' -> token 'word' with boost 2.0. The pattern must include the
@@ -130,6 +131,8 @@ class StandardAnalyzer:
                 from whoosh_novo_ray.lang_lovins import stem as _stem
             elif self.stem_algo == "paicehusk":
                 from whoosh_novo_ray.lang_paicehusk import stem as _stem
+            elif self.stem_algo == "porter2":
+                from whoosh_novo_ray.lang_porter2 import stem as _stem
             else:
                 raise ValueError(f"unknown stem_algo: {self.stem_algo!r}")
             return _stem
