@@ -90,6 +90,22 @@ def test_porter2_known_words():
     assert p2_stem("cry") == "cri"
 
 
+def test_index_config_persists_stem_algo():
+    """stem_algo survives the manifest JSON round-trip, so a porter2/lovins
+    index reopened from disk analyzes identically."""
+    from whoosh_novo_ray.analysis import StandardAnalyzer
+    from whoosh_novo_ray.index.build import IndexConfig
+
+    for algo in ("porter2", "lovins", "paicehusk", None):
+        cfg = IndexConfig(analyzer=StandardAnalyzer(stoplist=None, stem_algo=algo))
+        back = IndexConfig.from_json(cfg.to_json())
+        assert back.analyzer.stem_algo == algo
+        if algo:
+            assert back.analyzer("nationally hopping") == cfg.analyzer(
+                "nationally hopping"
+            )
+
+
 def test_stem_algo_porter2_pluggable():
     """porter2 plugs into the analyzer chain via stem_algo, on both the
     single-doc and the vectorized batch paths."""

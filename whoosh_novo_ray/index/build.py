@@ -125,6 +125,7 @@ class IndexConfig:
                 "maxsize": self.analyzer.maxsize,
                 "stem": self.analyzer.stem,
                 "stem_lang": self.analyzer.stem_lang,
+                "stem_algo": self.analyzer.stem_algo,
                 "boost_delim": self.analyzer.boost_delim,
             }
         return d
@@ -157,6 +158,7 @@ class IndexConfig:
                 maxsize=a["maxsize"],
                 stem=a.get("stem", False),
                 stem_lang=a.get("stem_lang"),
+                stem_algo=a.get("stem_algo"),
                 boost_delim=a.get("boost_delim"),
             )
         d["heavy_terms"] = tuple(d.get("heavy_terms", ()))

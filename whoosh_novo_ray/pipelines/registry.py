@@ -19,6 +19,7 @@ import pyarrow.parquet as pq
 
 from whoosh_novo_ray.analysis import STOP_WORDS
 from whoosh_novo_ray.lengths import length_table_sql_literal
+from whoosh_novo_ray.porter import stem as _porter_stem
 
 # ---------------------------------------------------------------------------
 # shared SQL fragments (tokenization identical to analysis.StandardAnalyzer)
@@ -137,6 +138,50 @@ words AS (
 filt AS (
   SELECT doc_id, substr(w, (i + 1)::BIGINT, 3) AS term, word_ord AS ord
   FROM words, unnest(range(greatest(length(w) - 2, 0))) AS u(i)
+),
+{_SCORE_CTES}"""
+
+
+# Porter-stemmed token stream: tokenize/stop-filter exactly like _BASE_CTES,
+# then map each surviving token through its Porter stem. SQL cannot run
+# Porter, but the testdata vocabulary is a CLOSED 31-word set (identical at
+# every sf — verified sf0.001 through sf1), so the map embeds as a VALUES CTE
+# over exactly the words Porter rewrites — the same determinism argument as
+# the variations_top10 IN-list (our Porter is itself word-for-word
+# differentially verified against the reference in tests/test_stemming.py).
+# Unmapped tokens pass through unchanged (Porter identity on them).
+_TESTDATA_VOCAB = (
+    "a", "agg", "batch", "big", "column", "customer", "data", "dup",
+    "fast", "filter", "group", "hash", "join", "key", "line", "merge",
+    "order", "part", "query", "row", "scan", "slow", "small", "sort",
+    "spark", "stream", "table", "the", "value", "vector", "window",
+)
+
+
+def _porter_map_values() -> str:
+    from whoosh_novo_ray.porter import stem
+
+    rows = [
+        f"('{w}', '{stem(w)}')" for w in _TESTDATA_VOCAB if stem(w) != w
+    ]
+    return ", ".join(rows)
+
+
+_STEM_CTES = f"""
+tokarr AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{_RX_SQL}') AS arr FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(arr) AS term, unnest(range(len(arr))) AS ord FROM tokarr
+),
+kept AS (
+  SELECT doc_id, term, ord FROM tok
+  WHERE length(term) >= 2 AND term NOT IN ({_STOPLIST_SQL})
+),
+stemmap(word, stem) AS (VALUES {_porter_map_values()}),
+filt AS (
+  SELECT k.doc_id, coalesce(m.stem, k.term) AS term, k.ord
+  FROM kept k LEFT JOIN stemmap m ON m.word = k.term
 ),
 {_SCORE_CTES}"""
 
@@ -1256,6 +1301,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _INDEX_CACHE[key] = Index(out)
         return Searcher(_INDEX_CACHE[key])
 
+    def _stem_searcher(sf_dir):
+        from whoosh_novo_ray.analysis import StandardAnalyzer
+        from whoosh_novo_ray.index import Index, IndexConfig, build_index
+        from whoosh_novo_ray.search import Searcher
+
+        key = ("stem", sf_dir)
+        if key not in _INDEX_CACHE:
+            out = os.path.join(
+                "/tmp/wnr_indexes",
+                sf_dir.strip("/").replace("/", "_") + "_stem",
+            )
+            build_index(
+                _docs_ds(sf_dir),
+                out,
+                IndexConfig(
+                    num_buckets=8, analyzer=StandardAnalyzer(stem=True)
+                ),
+                lineage=f"stem:{sf_dir}",
+                resume=True,
+            )
+            _INDEX_CACHE[key] = Index(out)
+        return Searcher(_INDEX_CACHE[key])
+
+    def stemmed_bm25_top10(sf_dir):
+        """StemFilter end-to-end: a Porter-stemmed index, queried with the
+        STEMS of two surface words (reference StemFilter in the default TEXT
+        chain, analysis/morph.py) — proves postings store stemmed terms."""
+        from whoosh_novo_ray.porter import stem
+        from whoosh_novo_ray.search import Or
+
+        q = Or(Term(stem(_T_MID)), Term(stem(_T_COMMON)))
+        t = _stem_searcher(sf_dir).search(q, limit=10)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "score": pa.array(np.round(t["score"].to_numpy(), 6), pa.float64()),
+            }
+        )
+
     def ngram_and_top10(sf_dir):
         """Substring search on the ngram field: query-mode grams of the word
         (NgramTokenizer mode='query' → one gram size) ANDed, BM25-scored."""
@@ -1904,6 +1988,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fielded_and": fielded_and,
         "multifield_parse": multifield_parse,
         "ngram_and_top10": ngram_and_top10,
+        "stemmed_bm25_top10": stemmed_bm25_top10,
         "ngramwords_or_top10": ngramwords_or_top10,
         "incr_add_top10": incr_add_top10,
         "incr_delete_top10": incr_delete_top10,
@@ -2117,6 +2202,10 @@ merged AS (
 SELECT (row_number() OVER (ORDER BY sec, r) - 1)::BIGINT AS rank,
        doc_id::BIGINT AS doc_id, score
 FROM merged ORDER BY rank""",
+        "stemmed_bm25_top10": f"""WITH {_STEM_CTES}
+SELECT doc_id::BIGINT AS doc_id, round(sum(score), 6) AS score
+FROM bm WHERE term IN ('{_porter_stem(_T_MID)}', '{_porter_stem(_T_COMMON)}')
+GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""",
         "ngram_and_top10": f"""WITH {_NGRAM_CTES}
 SELECT doc_id::BIGINT AS doc_id, round(sum(score), 6) AS score
 FROM bm WHERE term IN ({_terms_sql(_ng_grams)})
