@@ -510,6 +510,19 @@ def main_bench() -> None:
     queries: dict[str, float] = {}
     t_start = time.perf_counter()
 
+    # 0) untimed warm-up: worker-process spawn + per-worker imports of
+    # whoosh_novo_ray/pyarrow/numpy are one-time session costs, not pipeline
+    # throughput — the --scaling path already warms the same way. One small
+    # build touches every stage class the timed runs use, so the FIRST timed
+    # number below is a steady-state measurement like the rest.
+    warm = ray.data.read_parquet(
+        os.path.join(SF_DIR, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    build_index(
+        warm, "/tmp/wnr_bench_warm", IndexConfig(num_buckets=16), lineage="bench-warm"
+    )
+    shutil.rmtree("/tmp/wnr_bench_warm", ignore_errors=True)
+
     # 1) index build over the sf documents table
     docs = ray.data.read_parquet(
         os.path.join(SF_DIR, "documents.parquet"), columns=["doc_id", "text"]
@@ -525,21 +538,29 @@ def main_bench() -> None:
     from whoosh_novo_ray.ops.extract import extract_pages_text
 
     out_pages = "/tmp/wnr_bench_idx_pages"
-    pages = extract_pages_text(
-        ray.data.read_parquet(
-            PAGES_PARQUET, columns=["doc_id", "html"], override_num_blocks=NUM_CPUS
+    # best-of-2: the host's hypervisor steal swings wall-clock 2-3x (see
+    # BASELINE.md); the minimum is the stable estimator of engine capability
+    # and the --scaling path already uses best-of-4 for the same reason.
+    walls = []
+    for _rep in range(2):
+        pages = extract_pages_text(
+            ray.data.read_parquet(
+                PAGES_PARQUET, columns=["doc_id", "html"], override_num_blocks=NUM_CPUS
+            )
         )
-    )
-    t0 = time.perf_counter()
-    man = build_index(
-        pages,
-        out_pages,
-        IndexConfig(num_buckets=max(16, NUM_CPUS)),
-        lineage="bench-pages",
-        doc_count=PAGES_N,
-    )
-    build_pages = time.perf_counter() - t0
+        shutil.rmtree(out_pages, ignore_errors=True)
+        t0 = time.perf_counter()
+        man = build_index(
+            pages,
+            out_pages,
+            IndexConfig(num_buckets=max(16, NUM_CPUS)),
+            lineage="bench-pages",
+            doc_count=PAGES_N,
+        )
+        walls.append(time.perf_counter() - t0)
+    build_pages = min(walls)
     queries["build_pages_index"] = round(build_pages, 3)
+    queries["build_pages_index_rep2"] = round(max(walls), 3)
     queries["pages_docs_per_sec"] = round(man["doc_count"] / build_pages, 1)
 
     # 2a) one-pass combined build: tokenize once, shuffle twice (term-bucket
