@@ -77,6 +77,16 @@ class StandardAnalyzer:
     # 'word^2' -> token 'word' with boost 2.0. The pattern must include the
     # delimiter + payload in the token (as the reference requires).
     boost_delim: str | None = None
+    # ReverseTextFilter (reference analysis/filters.py:314-325) as a terminal
+    # chain step — index reversed tokens so Prefix(reversed(suffix)) is a
+    # suffix search. Applied after stemming.
+    reverse_text: bool = False
+    # ShingleFilter / BiWordFilter (reference analysis/intraword.py:181,
+    # analyzers BiWordFilter semantics): emit joins of `shingle` consecutive
+    # SURVIVING tokens (post stop/minsize/stem/reverse), each at the first
+    # component's position with the first component's boost. None = off.
+    shingle: int | None = None
+    shingle_sep: str = "-"
     _rx: re.Pattern = field(init=False, repr=False, compare=False, default=None)
 
     def __post_init__(self):
@@ -107,6 +117,8 @@ class StandardAnalyzer:
             and not self.stem
             and not self.stem_lang
             and not self.stem_algo
+            and not self.reverse_text
+            and not self.shingle
         ):
             return toks
         stops = self.stoplist or frozenset()
@@ -119,6 +131,10 @@ class StandardAnalyzer:
         if self.stem or self.stem_lang or self.stem_algo:
             _stem = self._stem_fn()
             out = [_stem(t) for t in out]
+        if self.reverse_text:
+            out = [t[::-1] for t in out]
+        if self.shingle:
+            out = shingle_tokens(out, self.shingle, self.shingle_sep)
         return out
 
     def _stem_fn(self):
@@ -274,6 +290,49 @@ class StandardAnalyzer:
             pos = (base + rel).astype(np.int32)
         else:
             pos = np.empty(0, dtype=np.int32)
+
+        if self.reverse_text:
+            # reversal is injective on distinct strings — codes are unchanged
+            uniques = np.array([u[::-1] for u in uniques], dtype=object)
+
+        if self.shingle:
+            # windows of `shingle` consecutive surviving tokens within a doc;
+            # strings build once per UNIQUE combination via a left-fold pair
+            # factorization (int64 key = acc_code * |vocab| + next_code)
+            k = self.shingle
+            sep = self.shingle_sep
+            n2 = len(doc_idx)
+            if n2 >= k:
+                idx0 = np.flatnonzero(doc_idx[: n2 - k + 1] == doc_idx[k - 1 :])
+            else:
+                idx0 = np.empty(0, np.int64)
+            acc_codes = codes[idx0]
+            acc_uniq = uniques
+            for j in range(1, k):
+                nxt = codes[idx0 + j]
+                key = acc_codes.astype(np.int64) * len(uniques) + nxt
+                acc_codes, ukey = pd.factorize(key, sort=False)
+                acc_uniq = np.array(
+                    [
+                        acc_uniq[q // len(uniques)] + sep + uniques[q % len(uniques)]
+                        for q in ukey
+                    ],
+                    dtype=object,
+                )
+            doc_idx = doc_idx[idx0]
+            codes = acc_codes
+            uniques = acc_uniq
+            # first component's (renumbered) position and boost; char span
+            # covers first start .. last end, per the reference's shingle
+            # token carrying its source tokens' extent
+            pos = pos[idx0]
+            field_lengths = np.bincount(doc_idx, minlength=len(texts)).astype(
+                np.int64
+            )
+            if spans is not None:
+                spans = np.stack([spans[idx0, 0], spans[idx0 + k - 1, 1]], axis=1)
+            if boosts is not None:
+                boosts = boosts[idx0]
 
         out = (doc_idx, codes, uniques, pos, field_lengths)
         if with_chars:

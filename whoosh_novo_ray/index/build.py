@@ -127,6 +127,9 @@ class IndexConfig:
                 "stem_lang": self.analyzer.stem_lang,
                 "stem_algo": self.analyzer.stem_algo,
                 "boost_delim": self.analyzer.boost_delim,
+                "reverse_text": self.analyzer.reverse_text,
+                "shingle": self.analyzer.shingle,
+                "shingle_sep": self.analyzer.shingle_sep,
             }
         return d
 
@@ -160,6 +163,9 @@ class IndexConfig:
                 stem_lang=a.get("stem_lang"),
                 stem_algo=a.get("stem_algo"),
                 boost_delim=a.get("boost_delim"),
+                reverse_text=a.get("reverse_text", False),
+                shingle=a.get("shingle"),
+                shingle_sep=a.get("shingle_sep", "-"),
             )
         d["heavy_terms"] = tuple(d.get("heavy_terms", ()))
         return IndexConfig(analyzer=ana, **d)

@@ -1340,6 +1340,63 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def _variant_searcher(sf_dir, tag, analyzer):
+        """Index the documents table under a non-default analyzer, cached per
+        (tag, sf_dir) like _ngram_searcher/_stem_searcher."""
+        from whoosh_novo_ray.index import Index, IndexConfig, build_index
+        from whoosh_novo_ray.search import Searcher
+
+        key = (tag, sf_dir)
+        if key not in _INDEX_CACHE:
+            out = os.path.join(
+                "/tmp/wnr_indexes",
+                sf_dir.strip("/").replace("/", "_") + "_" + tag,
+            )
+            build_index(
+                _docs_ds(sf_dir),
+                out,
+                IndexConfig(num_buckets=8, analyzer=analyzer),
+                lineage=f"{tag}:{sf_dir}",
+                resume=True,
+            )
+            _INDEX_CACHE[key] = Index(out)
+        return Searcher(_INDEX_CACHE[key])
+
+    def biword_bm25_top10(sf_dir):
+        """BiWord/ShingleFilter end-to-end: an index of adjacent-surviving-
+        token bigrams (reference BiWordFilter / ShingleFilter(2),
+        analysis/intraword.py:181), BM25 over two biword terms."""
+        from whoosh_novo_ray.analysis import StandardAnalyzer
+        from whoosh_novo_ray.search import Or
+
+        s = _variant_searcher(sf_dir, "biword", StandardAnalyzer(shingle=2))
+        q = Or(Term(f"{_T_MID}-{_T_COMMON}"), Term(f"{_T_COMMON}-{_T_MID}"))
+        t = s.search(q, limit=10)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "score": pa.array(np.round(t["score"].to_numpy(), 6), pa.float64()),
+            }
+        )
+
+    def reversed_suffix_docs(sf_dir):
+        """ReverseTextFilter end-to-end (reference analysis/filters.py:314):
+        an index of reversed tokens makes Prefix(reversed_suffix) a SUFFIX
+        search — here every doc containing a token ending in 'dow'."""
+        from whoosh_novo_ray.analysis import StandardAnalyzer
+        from whoosh_novo_ray.search import Prefix as _Prefix
+
+        s = _variant_searcher(
+            sf_dir, "revtext", StandardAnalyzer(reverse_text=True)
+        )
+        t = s.search(_Prefix("dow"[::-1]), limit=10**9)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "score": pa.array(np.round(t["score"].to_numpy(), 6), pa.float64()),
+            }
+        ).sort_by("doc_id")
+
     def ngram_and_top10(sf_dir):
         """Substring search on the ngram field: query-mode grams of the word
         (NgramTokenizer mode='query' → one gram size) ANDed, BM25-scored."""
@@ -1989,6 +2046,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multifield_parse": multifield_parse,
         "ngram_and_top10": ngram_and_top10,
         "stemmed_bm25_top10": stemmed_bm25_top10,
+        "biword_bm25_top10": biword_bm25_top10,
+        "reversed_suffix_docs": reversed_suffix_docs,
         "ngramwords_or_top10": ngramwords_or_top10,
         "incr_add_top10": incr_add_top10,
         "incr_delete_top10": incr_delete_top10,
@@ -2202,6 +2261,57 @@ merged AS (
 SELECT (row_number() OVER (ORDER BY sec, r) - 1)::BIGINT AS rank,
        doc_id::BIGINT AS doc_id, score
 FROM merged ORDER BY rank""",
+        # adjacent-surviving-token bigrams: consecutive rank in the KEPT
+        # stream (the engine shingles post-stop/minsize tokens); dl = bigram
+        # count per doc
+        "biword_bm25_top10": f"""WITH
+tokarr AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{_RX_SQL}') AS arr FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(arr) AS term, unnest(range(len(arr))) AS ord FROM tokarr
+),
+kept AS (
+  SELECT doc_id, term, ord FROM tok
+  WHERE length(term) >= 2 AND term NOT IN ({_STOPLIST_SQL})
+),
+seq AS (
+  SELECT doc_id, term,
+         row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1 AS r
+  FROM kept
+),
+filt AS (
+  SELECT a.doc_id, a.term || '-' || b.term AS term, a.r AS ord
+  FROM seq a JOIN seq b ON b.doc_id = a.doc_id AND b.r = a.r + 1
+),
+{_SCORE_CTES}
+SELECT doc_id::BIGINT AS doc_id, round(sum(score), 6) AS score
+FROM bm WHERE term IN ('{_T_MID}-{_T_COMMON}', '{_T_COMMON}-{_T_MID}')
+GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10""",
+        # reversed-token index = suffix search; same AUTO constant-score rule
+        # as prefix_docs over the reversed term dict
+        "reversed_suffix_docs": f"""WITH
+tokarr AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{_RX_SQL}') AS arr FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(arr) AS term, unnest(range(len(arr))) AS ord FROM tokarr
+),
+kept AS (
+  SELECT doc_id, term, ord FROM tok
+  WHERE length(term) >= 2 AND term NOT IN ({_STOPLIST_SQL})
+),
+filt AS (SELECT doc_id, reverse(term) AS term, ord FROM kept),
+{_SCORE_CTES},
+pterms AS (SELECT DISTINCT term FROM dfs WHERE term LIKE 'wod%'),
+nmatch AS (SELECT count(*) AS n FROM pterms),
+dc AS (SELECT count(*) AS n FROM documents)
+SELECT b.doc_id::BIGINT AS doc_id,
+       CASE WHEN (SELECT n FROM nmatch) >= 1024
+              OR ((SELECT n FROM nmatch) > 2 AND (SELECT n FROM dc) <= 5000)
+            THEN 1.0 ELSE round(sum(b.score), 6) END AS score
+FROM bm b WHERE b.term IN (SELECT term FROM pterms)
+GROUP BY b.doc_id""",
         "stemmed_bm25_top10": f"""WITH {_STEM_CTES}
 SELECT doc_id::BIGINT AS doc_id, round(sum(score), 6) AS score
 FROM bm WHERE term IN ('{_porter_stem(_T_MID)}', '{_porter_stem(_T_COMMON)}')
