@@ -94,6 +94,9 @@ def _analyzer_to_json(a: StandardAnalyzer) -> dict:
         "stem_lang": a.stem_lang,
         "stem_algo": a.stem_algo,
         "boost_delim": a.boost_delim,
+        "reverse_text": a.reverse_text,
+        "shingle": a.shingle,
+        "shingle_sep": a.shingle_sep,
     }
 
 
@@ -111,6 +114,9 @@ def _analyzer_from_json(d: dict) -> StandardAnalyzer:
         stem_lang=d["stem_lang"],
         stem_algo=d.get("stem_algo"),
         boost_delim=d["boost_delim"],
+        reverse_text=d.get("reverse_text", False),
+        shingle=d.get("shingle"),
+        shingle_sep=d.get("shingle_sep", "-"),
     )
 
 
