@@ -124,3 +124,35 @@ def test_all_tokens_filtered_is_empty_not_crash():
     b = ana.analyze_batch(["the a of", "the"])
     assert len(b.tokens) == 0
     assert list(b.field_lengths) == [0, 0]
+
+
+def test_fuzz_batch_vs_single_parity():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    variants = [
+        StandardAnalyzer(shingle=2),
+        StandardAnalyzer(shingle=3, shingle_sep="_"),
+        StandardAnalyzer(reverse_text=True),
+        StandardAnalyzer(reverse_text=True, shingle=2, stem=True),
+    ]
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        st.lists(
+            st.text(
+                alphabet=st.characters(
+                    whitelist_categories=("Ll", "Lu", "Nd", "Zs", "Po")
+                ),
+                max_size=60,
+            ),
+            max_size=6,
+        )
+    )
+    def check(texts):
+        for ana in variants:
+            b = ana.analyze_batch(texts)
+            for i, t in enumerate(texts):
+                assert list(b.tokens[b.doc_idx == i]) == ana(t)
+
+    check()
