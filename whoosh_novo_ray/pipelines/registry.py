@@ -1303,26 +1303,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def _stem_searcher(sf_dir):
         from whoosh_novo_ray.analysis import StandardAnalyzer
-        from whoosh_novo_ray.index import Index, IndexConfig, build_index
-        from whoosh_novo_ray.search import Searcher
 
-        key = ("stem", sf_dir)
-        if key not in _INDEX_CACHE:
-            out = os.path.join(
-                "/tmp/wnr_indexes",
-                sf_dir.strip("/").replace("/", "_") + "_stem",
-            )
-            build_index(
-                _docs_ds(sf_dir),
-                out,
-                IndexConfig(
-                    num_buckets=8, analyzer=StandardAnalyzer(stem=True)
-                ),
-                lineage=f"stem:{sf_dir}",
-                resume=True,
-            )
-            _INDEX_CACHE[key] = Index(out)
-        return Searcher(_INDEX_CACHE[key])
+        return _variant_searcher(sf_dir, "stem", StandardAnalyzer(stem=True))
 
     def stemmed_bm25_top10(sf_dir):
         """StemFilter end-to-end: a Porter-stemmed index, queried with the
